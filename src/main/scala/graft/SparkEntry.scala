@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed in SURVEY.md §2 gets a `queries` entry; each
+  * SQL-expressible one also gets an `oracleSql` entry (DuckDB, same
+  * parquet tables, identical output column names).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tpch.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
+    "q3_top_orders"      -> ((s, d) => Tpch.q3TopOrders(s, d)),
+    "q5_region_revenue"  -> ((s, d) => Tpch.q5LocalSupplierVolume(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL per query key (same column names!). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Tpch.q1Sql,
+    "q3_top_orders"      -> Tpch.q3Sql,
+    "q5_region_revenue"  -> Tpch.q5Sql,
+  )
 }

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed views of the driver testdata tables (TESTDATA.md) plus the
+  * reference's record types re-expressed as Spark case classes
+  * (reference: /root/reference src/main/scala/com/hong — see SURVEY.md §1.1).
+  *
+  * Scale note: all loaders are plain `spark.read.parquet` — scans get
+  * column pruning + predicate pushdown from Catalyst for free; at 100 TB
+  * the same call reads a partitioned table and prunes partitions.
+  */
+object Tables {
+
+  /** Load one driver parquet table by name from a scale-factor dir. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame    = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}
+
+/** Record types of the reference engine (SURVEY.md §1.1), used by the
+  * streaming jobs and their tests. Event time is epoch seconds (Long)
+  * exactly as in the reference CSVs; `timestamp_seconds` turns it into
+  * a Spark event-time column.
+  */
+object Records {
+  // reference: hotItems/HotItems.scala:211-220
+  case class UserBehavior(userId: Long, itemId: Long, categoryId: Int, behavior: String, timestamp: Long)
+  case class ItemViewCount(itemId: Long, windowEnd: Long, count: Long)
+  // reference: networkflow/analysis/NetworkFlowTopNPage*.scala:178-186
+  case class ApacheLogEvent(ip: String, userId: String, eventTime: Long, method: String, url: String)
+  case class PageViewCount(url: String, windowEnd: Long, count: Long)
+  // reference: market/SimulateMarketEvenSource.scala:44-47
+  case class MarketUserBehavior(userId: String, behavior: String, channel: String, timestamp: Long)
+  // reference: market/AdAnalysisByProvince_BlackList.scala:158-168
+  case class AdClickEvent(userId: Long, adId: Long, province: String, city: String, timestamp: Long)
+  case class BlackListWarning(userId: Long, adId: Long, msg: String)
+  // reference: loginmonitor/LoginFail.scala:104-106
+  case class LoginEvent(userId: Long, ip: String, eventType: String, eventTime: Long)
+  case class Warning(userId: Long, firstFailTime: Long, lastFailTime: Long, warningMsg: String)
+  // reference: orderpay_detect/OrderTimeout_CEP.scala:102-103, OrderPayTxMatch_2Flow_Co.scala:131
+  case class OrderEvent(orderId: Long, eventType: String, txId: String, eventTime: Long)
+  case class OrderResult(orderId: Long, resultMsg: String)
+  case class ReceiptEvent(txId: String, payChannel: String, timestamp: Long)
+}
+
+/** CSV parsers for the reference's file formats (batch or streaming:
+  * the same schema works for `spark.read.csv` and `spark.readStream.csv`).
+  * reference CSV shapes: SURVEY.md §2.3 / FIXTURES.md §A.
+  */
+object CsvSources {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.functions._
+
+  val userBehaviorSchema: StructType = StructType(Seq(
+    StructField("userId", LongType), StructField("itemId", LongType),
+    StructField("categoryId", IntegerType), StructField("behavior", StringType),
+    StructField("timestamp", LongType)))
+
+  val loginEventSchema: StructType = StructType(Seq(
+    StructField("userId", LongType), StructField("ip", StringType),
+    StructField("eventType", StringType), StructField("eventTime", LongType)))
+
+  val orderEventSchema: StructType = StructType(Seq(
+    StructField("orderId", LongType), StructField("eventType", StringType),
+    StructField("txId", StringType), StructField("eventTime", LongType)))
+
+  val receiptEventSchema: StructType = StructType(Seq(
+    StructField("txId", StringType), StructField("payChannel", StringType),
+    StructField("timestamp", LongType)))
+
+  val adClickSchema: StructType = StructType(Seq(
+    StructField("userId", LongType), StructField("adId", LongType),
+    StructField("province", StringType), StructField("city", StringType),
+    StructField("timestamp", LongType)))
+
+  def readUserBehavior(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(userBehaviorSchema).csv(path)
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
+
+  def readLoginEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(loginEventSchema).csv(path)
+      .withColumn("ts", timestamp_seconds(col("eventTime")))
+
+  def readOrderEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(orderEventSchema).csv(path)
+      .withColumn("ts", timestamp_seconds(col("eventTime")))
+
+  def readReceiptEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(receiptEventSchema).csv(path)
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
+
+  def readAdClicks(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(adClickSchema).csv(path)
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
+
+  /** apache.log parser: space-separated, wall-format timestamp.
+    * reference: networkflow/analysis/NetworkFlowTopNPage*.scala:33-42 */
+  def readApacheLog(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    raw.select(split(col("value"), " ").as("f"))
+      .select(
+        col("f").getItem(0).as("ip"),
+        col("f").getItem(1).as("userId"),
+        to_timestamp(col("f").getItem(3), "dd/MM/yyyy:HH:mm:ss").as("ts"),
+        col("f").getItem(5).as("method"),
+        col("f").getItem(6).as("url"))
+  }
+}
