@@ -20,6 +20,14 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_top_orders"      -> ((s, d) => Tpch.q3TopOrders(s, d)),
     "q5_region_revenue"  -> ((s, d) => Tpch.q5LocalSupplierVolume(s, d)),
+    "hot_users_topn"     -> ((s, d) => EventAnalytics.hotUsersTopN(s, d)),
+    "page_views"         -> ((s, d) => EventAnalytics.pageViews(s, d)),
+    "unique_visitors"    -> ((s, d) => EventAnalytics.uniqueVisitors(s, d)),
+    "unique_visitors_approx" -> ((s, d) => EventAnalytics.uniqueVisitorsApprox(s, d)),
+    "channel_counts"     -> ((s, d) => EventAnalytics.channelCounts(s, d)),
+    "total_counts"       -> ((s, d) => EventAnalytics.totalCounts(s, d)),
+    "clicks_by_province" -> ((s, d) => EventAnalytics.clicksByKBucket(s, d)),
+    "blacklist"          -> ((s, d) => EventAnalytics.blacklist(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
@@ -27,5 +35,12 @@ object SparkEntry {
     "q1_pricing_summary" -> Tpch.q1Sql,
     "q3_top_orders"      -> Tpch.q3Sql,
     "q5_region_revenue"  -> Tpch.q5Sql,
+    "hot_users_topn"     -> EventAnalytics.hotUsersTopNSql(),
+    "page_views"         -> EventAnalytics.pageViewsSql,
+    "unique_visitors"    -> EventAnalytics.uniqueVisitorsSql,
+    "channel_counts"     -> EventAnalytics.channelCountsSql,
+    "total_counts"       -> EventAnalytics.totalCountsSql,
+    "clicks_by_province" -> EventAnalytics.clicksByKBucketSql,
+    "blacklist"          -> EventAnalytics.blacklistSql(),
   )
 }

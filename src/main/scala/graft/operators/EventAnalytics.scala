@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColumnFunctions.epochSeconds
+
+/** Event-time windowed analytics over the `events` table — the batch
+  * expressions of the reference's windowed stream jobs (SURVEY.md §2.5,
+  * §2.6, §2.9). The same logical plans run in Structured Streaming via
+  * graft.streaming (readStream + withWatermark); here they are the
+  * oracle-checked batch forms.
+  *
+  * Reference mapping:
+  *   - hotUsersTopN      ≅ hotItems/HotItems.scala (sliding window count
+  *                         + per-windowEnd Top-N, reference lines 61-84)
+  *   - pageViews         ≅ networkflow/analysis/PageView.scala:40-55
+  *   - uniqueVisitors    ≅ networkflow/analysis/UniqueVisitor_02_Set.scala
+  *   - uniqueVisitorsApprox ≅ UniqueVisitor_03_Bloom.scala (HLL++ replaces
+  *                         the Redis bloom bitmap)
+  *   - channelCounts     ≅ market/AppMarketingByChannel.scala:28-35
+  *   - totalCounts       ≅ market/AppMarketingAllChannel.scala:25-35
+  *   - clicksByKBucket   ≅ market/AdAnalysisByProvince_BlackList.scala:24-46
+  *   - blacklist         ≅ market/z_FilterBlackListUser.scala:8-43 (the
+  *                         corrected semantics, not the buggy first draft)
+  *
+  * Output conventions: window bounds surface as epoch-second BIGINT
+  * (`window_end`), counts as BIGINT — both bit-identical in DuckDB.
+  *
+  * Scale notes: every query is a single shuffle (partial/final
+  * HashAggregate on the group keys). Sliding windows expand each row
+  * into window/slide rows *inside* the aggregate's first stage — the
+  * shuffle carries only per-(window,key) partials, so a 100 TB scan
+  * shuffles at most |windows|x|keys| partial rows. Top-N uses
+  * row_number over (window_end) which Catalyst rewrites to
+  * WindowGroupLimit (top-k pushed before the full sort; no global sort).
+  */
+object EventAnalytics {
+
+  private def events(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+
+  /** Top-N most active users per sliding window (1h window, 5m slide). */
+  def hotUsersTopN(spark: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val counted = events(spark, d)
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("user_id"), col("cnt"))
+    val rank = Window.partitionBy(col("window_end"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    counted.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= n)
+  }
+
+  def hotUsersTopNSql(n: Int = 5): String =
+    s"""WITH expanded AS (
+       |  SELECT user_id,
+       |         CAST(floor(epoch(ts)/300) AS BIGINT)*300 + 300 + g.g*300 AS window_end
+       |  FROM events CROSS JOIN generate_series(0, 11) AS g(g)
+       |), counted AS (
+       |  SELECT window_end, user_id, count(*) AS cnt
+       |  FROM expanded GROUP BY window_end, user_id
+       |)
+       |SELECT window_end, user_id, cnt, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, user_id) AS rn
+       |  FROM counted
+       |) WHERE rn <= $n""".stripMargin
+
+  /** Total page views per tumbling hour (reference PageView: behavior='pv';
+    * here event_type='view'). The reference hand-salts this aggregation to
+    * dodge hot-key skew (PageView.scala:42-68); Spark's partial/final
+    * HashAggregate makes the salt unnecessary. */
+  def pageViews(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("pv"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("pv"))
+
+  val pageViewsSql: String =
+    """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+      |       count(*) AS pv
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1""".stripMargin
+
+  /** Exact distinct users per tumbling day (reference UniqueVisitor_02:
+    * Set-accumulator exact UV; Spark's count(DISTINCT) is the two-phase
+    * exact form — no driver-side Set). */
+  def uniqueVisitors(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("uv"))
+
+  val uniqueVisitorsSql: String =
+    """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 + 86400 AS window_end,
+      |       count(DISTINCT user_id) AS uv
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Approximate distinct users per tumbling day — HyperLogLog++, the
+    * idiomatic replacement for the reference's 128 MB Redis bloom bitmap
+    * (UniqueVisitor_03_Bloom.scala:105-109). At 100 TB this is the only
+    * sane UV: fixed-size sketch per window, mergeable map-side.
+    * No oracle (sketch estimates are engine-specific) → rows-only check. */
+  def uniqueVisitorsApprox(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("uv_approx"))
+
+  /** Install/click counts by channel (reference AppMarketingByChannel:
+    * keyBy(channel, behavior) + sliding window; here the event_type plays
+    * the (channel, behavior) composite). Sliding 1h window, 10m slide. */
+  def channelCounts(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 hour", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("event_type"), col("cnt"))
+
+  val channelCountsSql: String =
+    """WITH expanded AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(ts)/600) AS BIGINT)*600 + 600 + g.g*600 AS window_end
+      |  FROM events CROSS JOIN generate_series(0, 5) AS g(g)
+      |)
+      |SELECT window_end, event_type, count(*) AS cnt
+      |FROM expanded GROUP BY window_end, event_type""".stripMargin
+
+  /** Global (all-channel) counts per tumbling hour (reference
+    * AppMarketingAllChannel: keyBy("total") const key — in Spark a plain
+    * global windowed aggregate, no artificial key needed). */
+  def totalCounts(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("cnt"))
+
+  val totalCountsSql: String =
+    """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+      |       count(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Ad-click analysis by "province" (reference AdAnalysisByProvince:
+    * clicks per province per window; the events table carries the
+    * dimension inside the props JSON — extracted with a scalar regexp,
+    * bucketed to 10 provinces). Tumbling 6h. */
+  def clicksByKBucket(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .filter(col("event_type") === "click")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy(window(col("ts"), "6 hours"), (col("k") % 10).as("province"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("province"), col("cnt"))
+
+  val clicksByKBucketSql: String =
+    """SELECT CAST(floor(epoch(ts)/21600) AS BIGINT)*21600 + 21600 AS window_end,
+      |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS province,
+      |       count(*) AS cnt
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Click-fraud blacklist (reference z_FilterBlackListUser: per
+    * (userId, adId) click count over threshold → warn once). Batch form:
+    * grouped count + HAVING. Key is (user_id, k-bucket). */
+  def blacklist(spark: SparkSession, d: String, threshold: Long = 3): DataFrame =
+    events(spark, d)
+      .filter(col("event_type") === "click")
+      .withColumn("ad_id", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 10)
+      .groupBy(col("user_id"), col("ad_id"))
+      .agg(count(lit(1)).as("clicks"))
+      .filter(col("clicks") > threshold)
+
+  def blacklistSql(threshold: Long = 3): String =
+    s"""SELECT user_id,
+       |       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS ad_id,
+       |       count(*) AS clicks
+       |FROM events WHERE event_type = 'click'
+       |GROUP BY 1, 2
+       |HAVING count(*) > $threshold""".stripMargin
+}

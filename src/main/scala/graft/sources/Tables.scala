@@ -23,7 +23,20 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = load(spark, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long via
+    * spark.sql.legacy.parquet.nanosAsLong. Convert to microsecond
+    * timestamp with integer division (DIV, not fp — nano epochs exceed
+    * 2^53 and would lose precision in a double), matching DuckDB's
+    * ns→us truncation. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val df = load(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }
