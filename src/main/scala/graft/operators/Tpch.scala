@@ -56,14 +56,17 @@ object Tpch {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: top-10 unshipped-revenue orders for one segment.
-    * customer is broadcast (small dim); orders⋈lineitem shuffles on the
-    * order key — the natural co-partitioning at scale. */
+    * customer scales with the fact tables (~150k rows x SF), so no
+    * broadcast hint: AQE picks broadcast when it actually fits and
+    * shuffle-join on custkey otherwise (co-partitioned with the
+    * orders side). orders⋈lineitem shuffles on the order key — the
+    * natural co-partitioning at scale. */
   def q3TopOrders(spark: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li   = Tables.lineitem(spark, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)"))
         .cast("double").as("revenue"))
@@ -90,8 +93,10 @@ object Tpch {
       |LIMIT 10""".stripMargin
 
   /** TPC-H Q5-style: revenue by nation within one region and date range.
-    * region→nation→customer chain is broadcast all the way; only
-    * orders⋈lineitem shuffles. */
+    * Only nation/region (25 / 5 rows — genuinely fixed-size) are
+    * broadcast; customer scales with SF and is shuffle-joined on
+    * custkey (AQE may still broadcast it at small SF). Only
+    * orders⋈lineitem and orders⋈customer shuffle. */
   def q5LocalSupplierVolume(spark: SparkSession, d: String): DataFrame = {
     val region = Tables.region(spark, d).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, d)
@@ -104,7 +109,7 @@ object Tpch {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)"))
         .cast("double").as("revenue"))
