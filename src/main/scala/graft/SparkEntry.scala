@@ -28,6 +28,13 @@ object SparkEntry {
     "total_counts"       -> ((s, d) => EventAnalytics.totalCounts(s, d)),
     "clicks_by_province" -> ((s, d) => EventAnalytics.clicksByKBucket(s, d)),
     "blacklist"          -> ((s, d) => EventAnalytics.blacklist(s, d)),
+    // stateful / CEP layer (SURVEY §2.7-2.8, state machines + window-fn forms)
+    "login_fail"         -> ((s, d) => Stateful.loginFail(s, d)),
+    "login_fail_cep"     -> ((s, d) => Stateful.loginFailCep(s, d)),
+    "order_timeout"      -> ((s, d) => Stateful.orderTimeout(s, d)),
+    "tx_match"           -> ((s, d) => Stateful.txMatch(s, d)),
+    "tx_match_join"      -> ((s, d) => Stateful.txMatchJoin(s, d)),
+    "blacklist_stateful" -> ((s, d) => Stateful.blacklistStateful(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
@@ -42,5 +49,11 @@ object SparkEntry {
     "total_counts"       -> EventAnalytics.totalCountsSql,
     "clicks_by_province" -> EventAnalytics.clicksByKBucketSql,
     "blacklist"          -> EventAnalytics.blacklistSql(),
+    "login_fail"         -> Stateful.loginFailSql(),
+    "login_fail_cep"     -> Stateful.loginFailCepSql(),
+    "order_timeout"      -> Stateful.orderTimeoutSql(),
+    "tx_match"           -> Stateful.txMatchSql(),
+    "tx_match_join"      -> Stateful.txMatchJoinSql(),
+    "blacklist_stateful" -> Stateful.blacklistStatefulSql(),
   )
 }

@@ -12,6 +12,10 @@ object ColumnFunctions {
     * matching DuckDB's CAST(epoch(ts) AS BIGINT). */
   def epochSeconds(c: Column): Column = c.cast("timestamp_ltz").cast("long")
 
+  /** Epoch microseconds (BIGINT) — exact event-time arithmetic for the
+    * stateful operators; matches DuckDB's epoch_us(ts). */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+
   /** Exact money sum: per-row double expression (bit-exact in any
     * engine) cast to decimal before the order-insensitive exact sum,
     * result surfaced as double. */

@@ -1,0 +1,137 @@
+package graft.streaming
+
+/** The four keyed state machines of the reference's stateful half
+  * (SURVEY.md §2.7–§2.8), re-expressed over [[EventTimeStateMachine]].
+  * All times are epoch MICROS.
+  */
+object Machines {
+
+  /** A timestamped flagged event (seq breaks ts ties deterministically). */
+  case class Flagged(tsUs: Long, seq: Long, flag: Boolean)
+
+  /** N consecutive failures within T per key — the corrected intent of
+    * reference loginmonitor/LoginFail.scala:38-98 (buffer fails, reset
+    * on success) and exactly LoginFail_CEP.scala:31-48 for n=2 (strict
+    * contiguity: `next` = no intervening event of any other kind).
+    * Emits on every failure that completes n consecutive fails whose
+    * span fits in `withinUs`; the buffer slides (no clear on emit), so a
+    * run of n+1 fails can warn twice — matching the CEP `next` pattern
+    * re-matching on each new failure. No timers needed: emission is
+    * match-driven, timeouts play no role.
+    */
+  final class LoginFailMachine(n: Int, withinUs: Long)
+      extends EventTimeStateMachine[Flagged, List[Long], (Long, Long)] {
+    def zero: List[Long] = Nil
+    def eventTime(e: Flagged): Long = e.tsUs
+    def onEvent(s: List[Long], e: Flagged): (List[Long], Seq[(Long, Long)], Option[Long]) =
+      if (!e.flag) (Nil, Nil, None) // success resets the run
+      else {
+        val buf = (s :+ e.tsUs).takeRight(n)
+        val out = if (buf.size == n && e.tsUs - buf.head <= withinUs)
+          Seq((buf.head, e.tsUs)) else Nil
+        (buf, out, None)
+      }
+    def onTimer(s: List[Long], t: Long): (List[Long], Seq[(Long, Long)], Option[Long]) =
+      (s, Nil, None)
+  }
+
+  /** Outcome of one create event: paid in time or timed out. */
+  case class OrderOutcome(createUs: Long, resultUs: Long, status: String)
+
+  /** Create-then-pay-within-T per key — reference
+    * orderpay_detect/OrderTimeout_PF.scala:50-131 / OrderTimeout_CEP
+    * `followedBy` + timeout extraction. Pending creates wait for the
+    * next pay; a pay settles every pending create (all within T by
+    * construction: an over-age create's timer fired before the pay's
+    * event time advanced the watermark past create+T). Timer at
+    * earliest-pending + T emits `timeout` at exactly create+T, matching
+    * the reference's "timeout at <ts>" message time.
+    */
+  final class OrderTimeoutMachine(timeoutUs: Long)
+      extends EventTimeStateMachine[Flagged, List[Long], OrderOutcome] {
+    def zero: List[Long] = Nil
+    def eventTime(e: Flagged): Long = e.tsUs
+    def onEvent(s: List[Long], e: Flagged): (List[Long], Seq[OrderOutcome], Option[Long]) =
+      if (e.flag) { // create: enqueue, (re)arm at earliest pending + T
+        val pend = s :+ e.tsUs
+        (pend, Nil, Some(pend.head + timeoutUs))
+      } else { // pay: settles all pending creates (each within T — see doc)
+        (Nil, s.map(c => OrderOutcome(c, e.tsUs, "paid")), None)
+      }
+    def onTimer(s: List[Long], t: Long): (List[Long], Seq[OrderOutcome], Option[Long]) = {
+      val (expired, alive) = s.partition(_ + timeoutUs <= t)
+      (alive, expired.map(c => OrderOutcome(c, c + timeoutUs, "timeout")),
+        alive.headOption.map(_ + timeoutUs))
+    }
+  }
+
+  /** One side of a two-stream reconciliation: pay or receipt. */
+  case class SideEvent(tsUs: Long, isPay: Boolean)
+  case class TxState(pay: Option[Long], rcpt: Option[Long])
+  case class TxOutcome(outcome: String, t1Us: Long, t2Us: Long)
+
+  /** Pay↔receipt reconciliation with per-side timeouts — reference
+    * orderpay_detect/OrderPayTxMatch_2Flow_Co.scala:48-124: match →
+    * emit matched pair; lone side times out after its own wait and goes
+    * to the unmatched side-output (tagged union here; split with
+    * graft.sources.Sinks.splitByTag). Outputs:
+    *   matched           t1=payTs,  t2=rcptTs
+    *   unmatched_pay     t1=payTs,  t2=payTs+payWait   (timeout instant)
+    *   unmatched_receipt t1=rcptTs, t2=rcptTs+rcptWait
+    * At most one side is ever pending: the second arrival either matches
+    * (within the survivor's wait) or arrives after the survivor's timer
+    * already fired it to unmatched.
+    */
+  final class TxMatchMachine(payWaitUs: Long, rcptWaitUs: Long)
+      extends EventTimeStateMachine[SideEvent, TxState, TxOutcome] {
+    def zero: TxState = TxState(None, None)
+    def eventTime(e: SideEvent): Long = e.tsUs
+    def onEvent(s: TxState, e: SideEvent): (TxState, Seq[TxOutcome], Option[Long]) =
+      if (e.isPay) s.rcpt match {
+        case Some(rc) => (TxState(None, None), Seq(TxOutcome("matched", e.tsUs, rc)), None)
+        case None if s.pay.isDefined => (s, Nil, Some(s.pay.get + payWaitUs)) // dup pay: ignore
+        case None => (TxState(Some(e.tsUs), None), Nil, Some(e.tsUs + payWaitUs))
+      } else s.pay match {
+        case Some(p) => (TxState(None, None), Seq(TxOutcome("matched", p, e.tsUs)), None)
+        case None if s.rcpt.isDefined => (s, Nil, Some(s.rcpt.get + rcptWaitUs)) // dup receipt
+        case None => (TxState(None, Some(e.tsUs)), Nil, Some(e.tsUs + rcptWaitUs))
+      }
+    def onTimer(s: TxState, t: Long): (TxState, Seq[TxOutcome], Option[Long]) = {
+      val payOut = s.pay.filter(_ + payWaitUs <= t)
+        .map(p => TxOutcome("unmatched_pay", p, p + payWaitUs))
+      val rcptOut = s.rcpt.filter(_ + rcptWaitUs <= t)
+        .map(r => TxOutcome("unmatched_receipt", r, r + rcptWaitUs))
+      (TxState(s.pay.filterNot(_ + payWaitUs <= t), s.rcpt.filterNot(_ + rcptWaitUs <= t)),
+        payOut.toSeq ++ rcptOut.toSeq, None)
+    }
+  }
+
+  case class BlState(day: Long, count: Long, warned: Boolean)
+  case class BlOutcome(outcome: String, tsUs: Long)
+
+  /** Click-fraud blacklist — reference market/z_FilterBlackListUser
+    * .scala:8-43 (the corrected semantics): per key count clicks; the
+    * click that pushes the count past `threshold` emits ONE `warn`
+    * output, later clicks are suppressed entirely, and the count resets
+    * daily (reference: processing-time midnight timer; batch analog:
+    * event-time day boundary — documented deviation, identical per-day
+    * results under ascending event time). Clicks at or below the
+    * threshold pass through as `pass` — the tagged-union main flow.
+    */
+  final class BlacklistMachine(threshold: Long, dayUs: Long = 86400L * 1000000L)
+      extends EventTimeStateMachine[Flagged, BlState, BlOutcome] {
+    def zero: BlState = BlState(-1L, 0L, warned = false)
+    def eventTime(e: Flagged): Long = e.tsUs
+    def onEvent(s0: BlState, e: Flagged): (BlState, Seq[BlOutcome], Option[Long]) = {
+      val day = e.tsUs / dayUs
+      val s = if (day != s0.day) BlState(day, 0L, warned = false) else s0
+      val c = s.count + 1
+      if (c > threshold && !s.warned)
+        (BlState(day, c, warned = true), Seq(BlOutcome("warn", e.tsUs)), None)
+      else if (c > threshold) (BlState(day, c, warned = true), Nil, None)
+      else (BlState(day, c, s.warned), Seq(BlOutcome("pass", e.tsUs)), None)
+    }
+    def onTimer(s: BlState, t: Long): (BlState, Seq[BlOutcome], Option[Long]) =
+      (s, Nil, None)
+  }
+}
