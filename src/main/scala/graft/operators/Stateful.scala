@@ -127,7 +127,11 @@ object Stateful {
        |), x AS (
        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END)
        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pay
+       |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pay,
+       |         lag(event_type) OVER (PARTITION BY user_id
+       |                               ORDER BY ts_us, event_id) AS prev_type,
+       |         lag(ts_us) OVER (PARTITION BY user_id
+       |                          ORDER BY ts_us, event_id) AS prev_us
        |  FROM u
        |)
        |SELECT user_id, ts_us AS create_us,
@@ -135,7 +139,16 @@ object Stateful {
        |       THEN next_pay ELSE ts_us + $t END AS result_us,
        |  CASE WHEN next_pay IS NOT NULL AND next_pay - ts_us <= $t
        |       THEN 'paid' ELSE 'timeout' END AS status
-       |FROM x WHERE event_type = 'click'""".stripMargin
+       |FROM x WHERE event_type = 'click'
+       |UNION ALL
+       |-- pay with nothing in flight (data-loss alarm): pending is empty
+       |-- iff the previous click/purchase event is absent, itself a pay
+       |-- (a pay flushes every pending create), or a click that already
+       |-- timed out (> T before this pay; older clicks are older still)
+       |SELECT user_id, ts_us AS create_us, ts_us AS result_us,
+       |       'paid_no_create' AS status
+       |FROM x WHERE event_type = 'purchase'
+       |  AND (prev_type IS NULL OR prev_type = 'purchase' OR ts_us - prev_us > $t)""".stripMargin
   }
 
   /** Pay↔receipt reconciliation with per-side timeouts — state-machine

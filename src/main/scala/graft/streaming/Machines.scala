@@ -45,7 +45,10 @@ object Machines {
     * construction: an over-age create's timer fired before the pay's
     * event time advanced the watermark past create+T). Timer at
     * earliest-pending + T emits `timeout` at exactly create+T, matching
-    * the reference's "timeout at <ts>" message time.
+    * the reference's "timeout at <ts>" message time. A pay with no
+    * pending create emits the reference's data-loss alarm
+    * ("already payed but not found created log",
+    * OrderTimeout_PF.scala:125-129) as status `paid_no_create`.
     */
   final class OrderTimeoutMachine(timeoutUs: Long)
       extends EventTimeStateMachine[Flagged, List[Long], OrderOutcome] {
@@ -55,6 +58,8 @@ object Machines {
       if (e.flag) { // create: enqueue, (re)arm at earliest pending + T
         val pend = s :+ e.tsUs
         (pend, Nil, Some(pend.head + timeoutUs))
+      } else if (s.isEmpty) { // pay with no create in flight: data-loss alarm
+        (Nil, Seq(OrderOutcome(e.tsUs, e.tsUs, "paid_no_create")), None)
       } else { // pay: settles all pending creates (each within T — see doc)
         (Nil, s.map(c => OrderOutcome(c, e.tsUs, "paid")), None)
       }

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Machines._
+import graft.streaming.StateMachineRunner
+import scala.util.Random
+
+/** Seeded randomized properties (SURVEY §5e): plan invariants that must
+  * hold for ANY input, checked over deterministic random corpora. */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed counts are invariant under input permutation") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val rows = Seq.tabulate(500)(i => (rnd.nextInt(20).toLong, rnd.nextInt(100000).toLong))
+    def agg(data: Seq[(Long, Long)]) = data.toDF("uid", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .groupBy(window(col("ts"), "1 hour"), col("uid")).count()
+      .select(col("window.end").cast("long").as("we"), col("uid"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg(rows) == agg(rnd.shuffle(rows)))
+  }
+
+  test("hot_users_topn rows are a subset of the full windowed counts, rn bounded") {
+    val top = operators.EventAnalytics.hotUsersTopN(spark, sf).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getAs[Int]("rn") <= 5))
+    val perWindow = top.groupBy(_.getAs[Long]("window_end"))
+    perWindow.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      // counts are non-increasing with rank within a window
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("cnt") >= b.getAs[Long]("cnt"); case _ => true
+      })
+    }
+  }
+
+  test("login-fail machine ≡ lag-based CEP form on random sequences") {
+    val rnd = new Random(7)
+    val within = 10L
+    for (_ <- 1 to 200) {
+      var t = 0L
+      val evs = Seq.fill(rnd.nextInt(30) + 1) {
+        t += rnd.nextInt(8) + 1 // strictly increasing times
+        Flagged(t, t, rnd.nextBoolean())
+      }
+      val machine = StateMachineRunner
+        .runSorted(new LoginFailMachine(2, within), evs.iterator).toList
+      val lagForm = evs.sliding(2).collect {
+        case Seq(a, b) if a.flag && b.flag && b.tsUs - a.tsUs <= within => (a.tsUs, b.tsUs)
+      }.toList
+      assert(machine == lagForm)
+    }
+  }
+
+  test("order-timeout machine: every create yields exactly one outcome") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 200) {
+      var t = 0L
+      val evs = Seq.fill(rnd.nextInt(40) + 1) {
+        t += rnd.nextInt(10) + 1
+        Flagged(t, t, rnd.nextBoolean())
+      }
+      val out = StateMachineRunner
+        .runSorted(new OrderTimeoutMachine(12), evs.iterator).toList
+      val creates = evs.filter(_.flag).map(_.tsUs)
+      assert(out.count(_.status != "paid_no_create") == creates.size)
+      assert(out.filter(_.status == "timeout").forall(o => o.resultUs == o.createUs + 12))
+      assert(out.filter(_.status == "paid").forall(o => o.resultUs - o.createUs <= 12))
+    }
+  }
+
+  test("runPartition over shuffled partitioning equals per-key runSorted") {
+    val rnd = new Random(23)
+    val keys = Seq("a", "b", "c", "d")
+    val evs = keys.flatMap { k =>
+      var t = 0L
+      Seq.fill(20) { t += rnd.nextInt(10) + 1; (k, Flagged(t, t, rnd.nextBoolean())) }
+    }
+    val m = new OrderTimeoutMachine(9)
+    val partitioned = StateMachineRunner
+      .runPartition(m, evs.sortBy(e => (e._1, e._2.tsUs)).iterator).toList
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val perKey = evs.groupBy(_._1).map { case (k, es) =>
+      k -> StateMachineRunner.runSorted(m, es.map(_._2).sortBy(_.tsUs).iterator).toList
+    }
+    assert(partitioned == perKey)
+  }
+}
