@@ -35,6 +35,14 @@ object SparkEntry {
     "tx_match"           -> ((s, d) => Stateful.txMatch(s, d)),
     "tx_match_join"      -> ((s, d) => Stateful.txMatchJoin(s, d)),
     "blacklist_stateful" -> ((s, d) => Stateful.blacklistStateful(s, d)),
+    // LLM-data-pipeline text operators (builder brief; SURVEY §7 step 8)
+    "dedup_exact"        -> ((s, d) => TextOps.dedupExact(s, d)),
+    "text_stats"         -> ((s, d) => TextOps.textStats(s, d)),
+    "lang_id"            -> ((s, d) => TextOps.langId(s, d)),
+    "doc_fingerprint"    -> ((s, d) => TextOps.fingerprint(s, d)),
+    "ngram_jaccard"      -> ((s, d) => TextOps.ngramJaccard(s, d)),
+    "minhash_lsh"        -> ((s, d) => TextOps.minhashLsh(s, d)),
+    "simhash"            -> ((s, d) => TextOps.simhash(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
@@ -55,5 +63,12 @@ object SparkEntry {
     "tx_match"           -> Stateful.txMatchSql(),
     "tx_match_join"      -> Stateful.txMatchJoinSql(),
     "blacklist_stateful" -> Stateful.blacklistStatefulSql(),
+    "dedup_exact"        -> TextOps.dedupExactSql,
+    "text_stats"         -> TextOps.textStatsSql,
+    "lang_id"            -> TextOps.langIdSql,
+    "doc_fingerprint"    -> TextOps.fingerprintSql,
+    "ngram_jaccard"      -> TextOps.ngramJaccardSql(),
+    "minhash_lsh"        -> TextOps.minhashLshSql(),
+    "simhash"            -> TextOps.simhashSql,
   )
 }

@@ -21,4 +21,24 @@ object ColumnFunctions {
     * result surfaced as double. */
   def moneySum(perRow: Column): Column =
     sum(perRow.cast("decimal(28,10)")).cast("double")
+
+  /** Largest prime below 2^63 — modulus of the portable hash family. */
+  val HashPrime: Long = 9223372036854775783L
+
+  /** Lower 64 bits of md5(c) read little-endian, as DECIMAL(20,0) —
+    * bit-identical to DuckDB's md5_number_lower(). Engine-portable
+    * hashing is the foundation of the dedup/fingerprint operators: the
+    * oracle can recompute every minhash/simhash exactly. */
+  def md5Lower64(c: Column): Column = {
+    val hex = md5(c.cast("string"))
+    val rev = concat((0 until 8).map(i => substring(hex, 31 - 2 * i, 2)): _*)
+    conv(rev, 16, 10).cast("decimal(20,0)")
+  }
+
+  /** Seeded portable 64-bit hash: md5Lower64("<seed>:" + c) mod HashPrime,
+    * as a non-negative BIGINT. DuckDB equivalent:
+    * (md5_number_lower(seed || ':' || c) % 9223372036854775783::UBIGINT)::BIGINT */
+  def hash64(c: Column, seed: Int): Column =
+    pmod(md5Lower64(concat_ws(":", lit(seed), c)), lit(HashPrime).cast("decimal(20,0)"))
+      .cast("long")
 }

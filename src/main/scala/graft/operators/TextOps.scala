@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColumnFunctions.{hash64, HashPrime}
+
+/** Text-pipeline operators over the `documents` table — the
+  * training-data-preparation half of the engine (builder brief; SURVEY
+  * §7 step 8): exact dedup, text statistics, language ID, document
+  * fingerprinting, n-gram Jaccard near-dup pairs, MinHash-LSH fuzzy
+  * dedup, and SimHash. Everything is engine-portable (md5-based hash
+  * family, exact integer/decimal arithmetic) so the DuckDB oracle can
+  * recompute results bit-for-bit.
+  *
+  * Scale shapes (the 100 TB lens):
+  *   - dedupExact / textStats / langId / fingerprint / simhash: embar-
+  *     rassingly parallel scans + one map-side-combined aggregation.
+  *   - minhashLsh: the scale path for fuzzy dedup — candidates come
+  *     from equality joins on (band, signature) buckets, never from the
+  *     O(n²) all-pairs product; the exact-Jaccard verify runs only on
+  *     candidates.
+  *   - ngramJaccard: the exact form; its shingle self-join is
+  *     inverted-index-shaped (join on shingle), safe while shingle
+  *     posting lists are bounded — at open-web scale you'd drop
+  *     stop-shingles first, or use minhashLsh and verify.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text (0-based SQL array). */
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+
+  private def docs(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).withColumn("toks", expr(toksExpr))
+
+  /** Word n-gram shingles, SQL-expression form (Spark arrays 0-based). */
+  private def shinglesExpr(k: Int): String = {
+    val parts = (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"transform(sequence(0, size(toks)-$k), i -> $parts)"
+  }
+
+  // ---- exact dedup ---------------------------------------------------
+
+  /** Exact content dedup: sha-256 the text, keep the lowest doc_id per
+    * hash. One map-side-combined shuffle on the hash; at 100 TB the
+    * groups stay tiny (hash collisions == true dups), no skew. */
+  def dedupExact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- text statistics ----------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Per-document quality statistics: sizes, token counts, subword
+    * (BPE-ish regex) count, stopword ratio. Pure per-row expressions —
+    * no shuffle at all; whole-stage-codegen end to end. */
+  def textStats(spark: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs(spark, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+      size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_subwords"),
+      (size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double") /
+        size(col("toks"))).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        size(col("toks"))).as("avg_token_len"))
+  }
+
+  val textStatsSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+       |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_subwords,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |       t -> t IN ($stops))) AS DOUBLE)
+       |    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+       |FROM documents""".stripMargin
+  }
+
+  // ---- language identification ---------------------------------------
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Stopword-profile language ID — the classic n-gram/function-word
+    * heuristic: score each language by its function-word hit ratio,
+    * argmax with a fixed priority for ties. Per-row expressions only. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    val base = docs(spark, d)
+    val scored = langStops.foldLeft(base) { case (df, (lang, stops)) =>
+      val arr = array(stops.map(lit): _*)
+      df.withColumn(s"score_$lang",
+        size(filter(col("toks"), t => array_contains(arr, t))).cast("double") /
+          size(col("toks")))
+    }
+    val Seq(en, de, fr, es) = langStops.map(l => col(s"score_${l._1}"))
+    scored.select(
+      col("doc_id"),
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("lang_pred"),
+      en.as("score_en"))
+  }
+
+  val langIdSql: String = {
+    def hits(stops: Seq[String]) = {
+      val l = stops.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($l))) AS DOUBLE) / len(toks)"
+    }
+    val Seq(en, de, fr, es) = langStops.map(l => hits(l._2))
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS lang_pred,
+       |  s_en AS score_en
+       |FROM s""".stripMargin
+  }
+
+  // ---- document fingerprint ------------------------------------------
+
+  /** Rolling-hash document fingerprint: min portable hash over word
+    * 3-gram shingles (minhash with one permutation — winnowing's
+    * degenerate form). Identical docs ⇒ identical fingerprints;
+    * near-identical docs collide with probability = their Jaccard. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame =
+    docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(3))).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(hash64(col("sh"), 0)).as("fingerprint"))
+
+  val fingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+       |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |       FROM t)
+       |SELECT doc_id,
+       |  min((md5_number_lower('0:' || sh) % ${HashPrime}::UBIGINT)::BIGINT) AS fingerprint
+       |FROM sh GROUP BY 1""".stripMargin
+
+  // ---- n-gram Jaccard near-dup pairs (exact form) --------------------
+
+  /** Exact bigram-shingle Jaccard near-duplicate pairs (inverted-index
+    * join on the shingle, never an all-pairs product). */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val sets = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a").join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.5): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |d AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)),
+       |             i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |      FROM t),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
+
+  // ---- MinHash + LSH fuzzy dedup -------------------------------------
+
+  private val MinhashSeeds = 0 until 8 // 8 hashes → 4 bands × 2 rows
+
+  /** MinHash signatures (8 portable hashes over bigram shingles). */
+  private def signatures(spark: SparkSession, d: String): DataFrame = {
+    val sh = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh"))
+    val mins = MinhashSeeds.map(s => min(hash64(col("sh"), s)).as(s"h$s"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH fuzzy dedup, the scale path: band the 8-hash signature
+    * into 4 bands of 2 rows, bucket-join within bands for candidate
+    * pairs (equality join — no all-pairs product anywhere), then verify
+    * candidates with exact bigram Jaccard and keep pairs ≥ threshold.
+    * At J=0.9 a pair is caught with P = 1-(1-0.81)^4 ≈ 99.9 %; at the
+    * corpus background (J≈0.03) bands almost never collide, so the
+    * verify stage sees ~0.3 % of all pairs. */
+  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val sig = signatures(spark, d)
+    val bandCols = MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
+      struct(lit(bi).as("band"), col(s"h${ss.head}").as("x"), col(s"h${ss.last}").as("y"))
+    }.toSeq
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+        col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only
+    val sets = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a").join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLshSql(threshold: Double = 0.5): String = {
+    val h = (s: Int) =>
+      s"min((md5_number_lower('$s:' || sh) % ${HashPrime}::UBIGINT)::BIGINT)"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |              i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |       FROM t),
+       |sig AS (SELECT doc_id, ${MinhashSeeds.map(s => s"${h(s)} AS h$s").mkString(", ")}
+       |        FROM sh GROUP BY 1),
+       |bands AS (${MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
+                    s"SELECT doc_id, $bi AS band, h${ss.head} AS x, h${ss.last} AS y FROM sig"
+                  }.mkString(" UNION ALL ")}),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |           AND a.doc_id < b.doc_id),
+       |d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       |FROM cands c
+       |JOIN inter USING (doc_a, doc_b)
+       |JOIN sizes na ON c.doc_a = na.doc_id
+       |JOIN sizes nb ON c.doc_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 60-bit SimHash over distinct unigram tokens (portable hash, seed
+    * 42): per bit, majority vote of the tokens' hash bits. Near-dup
+    * docs land within small Hamming distance; downstream bucketing
+    * (e.g. 4×15-bit chunks) gives another LSH family. Bits 0..59 keep
+    * the value in a signed 63-bit range for both engines. */
+  def simhash(spark: SparkSession, d: String): DataFrame = {
+    val toks = docs(spark, d)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .withColumn("h", hash64(col("tok"), 42))
+    toks.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("bit"))
+      .withColumn("mask", expr("CAST(pow(2, bit) AS BIGINT)"))
+      .groupBy("doc_id", "bit", "mask")
+      .agg(sum(when(expr("h & mask") > 0, 1).otherwise(-1)).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, col("mask")).otherwise(0L)).as("simhash"))
+  }
+
+  val simhashSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id,
+       |        (md5_number_lower('42:' || tok) % ${HashPrime}::UBIGINT)::BIGINT AS h
+       |      FROM tok),
+       |votes AS (SELECT doc_id, bit, CAST(pow(2, bit) AS BIGINT) AS mask,
+       |            sum(CASE WHEN (h & CAST(pow(2, bit) AS BIGINT)) > 0
+       |                     THEN 1 ELSE -1 END) AS vote
+       |          FROM h, range(0, 60) r(bit) GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN vote > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY 1""".stripMargin
+}
