@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFunctions
+import graft.operators.TextOps
+
+/** Text-pipeline operator semantics: portable-hash parity with DuckDB,
+  * LSH recall on crafted near-duplicates, and cross-validation of the
+  * approximate (minhash) vs exact (all-pairs Jaccard) dedup paths. */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hash64/md5Lower64 match DuckDB md5_number_lower goldens") {
+    import spark.implicits._
+    val got = Seq("abc", "the quick").toDF("s")
+      .select(ColumnFunctions.md5Lower64(col("s")).cast("string"))
+      .collect().map(_.getString(0))
+    // SELECT md5_number_lower('abc'), md5_number_lower('the quick') in DuckDB
+    assert(got.toSeq == Seq("8250560606382298838", "8832313459881608"))
+    val seeded = Seq("spark graft").toDF("s")
+      .select(ColumnFunctions.hash64(col("s"), 0)).collect().map(_.getLong(0))
+    // SELECT (md5_number_lower('0:spark graft') % 9223372036854775783::UBIGINT)::BIGINT
+    assert(seeded.toSeq == Seq(3627467534477731596L))
+  }
+
+  test("minhash LSH finds crafted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = ("w" + (1 to 40).mkString(" w")).split(" ").mkString(" ") // w1..w40
+    val nearDup = base.replace("w20", "w99") // 1 token of 40 changed
+    val other = ("x" + (1 to 40).mkString(" x")).split(" ").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    Seq((0L, base, "en", "s", base.length.toLong),
+        (1L, nearDup, "en", "s", nearDup.length.toLong),
+        (2L, other, "en", "s", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.minhashLsh(spark, dir, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("minhash LSH equals the exact all-pairs form on the test corpus") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(TextOps.ngramJaccard(spark, sf, 0.5))
+    val lsh = key(TextOps.minhashLsh(spark, sf, 0.5))
+    assert(lsh.subsetOf(exact)) // LSH+verify can never invent a pair
+    assert(exact.nonEmpty && lsh.size >= (exact.size * 9) / 10) // ≥90 % recall
+  }
+
+  test("dedup_exact keeps one row per distinct text with the lowest doc_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs2").toString
+    Seq((5L, "aa bb cc", "en", "s", 8L), (3L, "aa bb cc", "en", "s", 8L),
+        (7L, "dd ee ff", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.dedupExact(spark, dir)
+      .select("keeper_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("text stats and langId agree with hand-computed values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs3").toString
+    Seq((1L, "the cat and the hat", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val st = TextOps.textStats(spark, dir).collect().head
+    assert(st.getAs[Int]("n_tokens") == 5)
+    assert(st.getAs[Int]("n_distinct_tokens") == 4)
+    assert(st.getAs[Double]("stopword_ratio") == 3.0 / 5) // the, and, the
+    assert(st.getAs[Double]("avg_token_len") == 15.0 / 5)
+    val li = TextOps.langId(spark, dir).collect().head
+    assert(li.getAs[String]("lang_pred") == "en")
+    assert(li.getAs[Double]("score_en") == 3.0 / 5)
+  }
+
+  test("simhash of identical docs is identical; near-dups are Hamming-close") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7", "tok99")
+    val far = (1 to 30).map(i => s"other$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs4").toString
+    Seq((0L, base, "en", "s", 1L), (1L, base, "en", "s", 1L),
+        (2L, near, "en", "s", 1L), (3L, far, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = TextOps.simhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(0L) == h(1L))
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)))
+    assert(ham(h(0L), h(2L)) <= 12) // 1/30 tokens changed: few bits flip
+  }
+}
