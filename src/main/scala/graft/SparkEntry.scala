@@ -43,6 +43,9 @@ object SparkEntry {
     "ngram_jaccard"      -> ((s, d) => TextOps.ngramJaccard(s, d)),
     "minhash_lsh"        -> ((s, d) => TextOps.minhashLsh(s, d)),
     "simhash"            -> ((s, d) => TextOps.simhash(s, d)),
+    // embedding similarity search (brute-force baseline + IVF scale path)
+    "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
+    "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
@@ -70,5 +73,7 @@ object SparkEntry {
     "ngram_jaccard"      -> TextOps.ngramJaccardSql(),
     "minhash_lsh"        -> TextOps.minhashLshSql(),
     "simhash"            -> TextOps.simhashSql,
+    "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
+    "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
   )
 }
