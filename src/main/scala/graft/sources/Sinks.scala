@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sinks + the side-output abstraction (SURVEY §2.2).
+  *
+  * Flink side outputs (`OutputTag`) have no 1:1 Spark primitive; the
+  * engine's pattern is the tagged union: stateful operators emit an
+  * `outcome`/tag column (see Machines.TxMatchMachine,
+  * BlacklistMachine), and [[splitByTag]] / [[routeByTag]] fan the one
+  * result out to per-tag destinations — in batch as plain filtered
+  * frames, in streaming inside foreachBatch (single state pass, n
+  * sinks, no duplicated computation).
+  */
+object Sinks {
+
+  /** Batch side-output splitter: one tagged frame → per-tag frames. */
+  def splitByTag(df: DataFrame, tagCol: String, tags: Seq[String]): Map[String, DataFrame] =
+    tags.map(t => t -> df.filter(df(tagCol) === t)).toMap
+
+  /** Streaming side-output router: run the tagged stream once per
+    * micro-batch and hand each tag's slice to its writer (the batch is
+    * cached so n tags don't recompute the state pass n times). */
+  def routeByTag(stream: DataFrame, tagCol: String,
+                 writers: Map[String, DataFrame => Unit]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try writers.foreach { case (tag, write) => write(batch.filter(batch(tagCol) === tag)) }
+      finally batch.unpersist()
+    }
+
+  /** Console sink (the reference's `print()` everywhere). */
+  def console(stream: DataFrame, mode: String = "append"): StreamingQuery =
+    stream.writeStream.outputMode(mode).format("console").start()
+
+  /** Named in-memory table sink — the test/debug sink. */
+  def memory(stream: DataFrame, name: String, mode: String = "append"): StreamingQuery =
+    stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
+
+  /** Partitioned parquet appender — the durable batch sink. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

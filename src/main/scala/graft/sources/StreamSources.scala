@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFunctions.hash64
+
+/** Streaming sources (SURVEY §2.1). Each returns a streaming DataFrame
+  * ready for the transforms in graft.streaming. */
+object StreamSources {
+
+  /** Kafka source (reference hotItems/HotItems.scala:33-46:
+    * FlinkKafkaConsumer("hot_items")). Emits the value as `line`, ready
+    * for the CSV parse step. Requires a reachable broker — construction
+    * only here; integration is environment-dependent by nature. */
+  def kafkaLines(spark: SparkSession, brokers: String, topic: String,
+                 startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("line"))
+
+  /** Socket text source (reference NetworkFlowTopNPage…scala:31:
+    * socketTextStream("hadoop203", 7777)). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(col("value").as("line"))
+
+  private val behaviors = Seq("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")
+  private val channels = Seq("AppStore", "HuaweiStore", "XiaomiStore", "weibo", "wechat")
+
+  /** Deterministic market-event generator — the reference's
+    * SimulateMarketEvenSource.scala:10-41 (random uuid/behavior/channel
+    * every 100 ms) rebuilt on the replayable rate-micro-batch source:
+    * rowsPerBatch rows per trigger, fields derived from the row index
+    * via the portable hash (seedable, reproducible — unlike the
+    * reference's Random, so tests can golden-check it). */
+  def marketEvents(spark: SparkSession, rowsPerBatch: Int = 100, seed: Int = 0): DataFrame = {
+    val beh = array(behaviors.map(lit): _*)
+    val chan = array(channels.map(lit): _*)
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 0L)
+      .load()
+      .select(
+        concat(lit("user-"), pmod(hash64(col("value"), seed), lit(100000L))).as("userId"),
+        element_at(beh, (pmod(hash64(col("value"), seed + 1), lit(behaviors.size.toLong)) + 1).cast("int")).as("behavior"),
+        element_at(chan, (pmod(hash64(col("value"), seed + 2), lit(channels.size.toLong)) + 1).cast("int")).as("channel"),
+        col("timestamp").as("ts"))
+  }
+
+  /** Streaming file-drop readers for the reference CSV formats —
+    * `readStream` over a directory with the same schemas CsvSources
+    * uses for batch (one logical format, two physical modes). */
+  def loginEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(CsvSources.loginEventSchema).csv(dir)
+      .withColumn("ts", timestamp_seconds(col("eventTime")))
+
+  def orderEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(CsvSources.orderEventSchema).csv(dir)
+      .withColumn("ts", timestamp_seconds(col("eventTime")))
+
+  def userBehaviorStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(CsvSources.userBehaviorSchema).csv(dir)
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source-agnostic logical plans for the windowed streaming jobs — the
+  * same declarative transforms run over `spark.read` (batch) and
+  * `spark.readStream` (micro-batch incremental with state store), which
+  * is exactly the reference's DataStream-vs-batch duality (SURVEY §3.1).
+  *
+  * The input frame needs an event-time column `ts` (TIMESTAMP). In
+  * streaming mode `withWatermark` bounds state: completed windows are
+  * finalized and dropped once the watermark passes window.end + delay —
+  * the Spark analog of the reference's
+  * `assignAscendingTimestamps`/bounded-out-of-orderness watermarks
+  * (HotItems.scala:61, NetworkFlowTopNPage…scala:43-46).
+  */
+object StreamingJobs {
+
+  /** Windowed count by optional extra keys (HotItems / PageView /
+    * AppMarketing shape). slide=None → tumbling. */
+  def windowedCounts(events: DataFrame, win: String, slide: Option[String],
+                     keys: Seq[Column], wmDelay: String = "0 seconds"): DataFrame = {
+    val w = slide.fold(window(col("ts"), win))(s => window(col("ts"), win, s))
+    events.withWatermark("ts", wmDelay)
+      .groupBy(w +: keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("window.end").as("window_end") +: keys :+ col("cnt")): _*)
+  }
+
+  /** Windowed exact distinct (UniqueVisitor shape). Streaming note:
+    * count(DISTINCT) isn't incremental in micro-batch mode — streaming
+    * UV uses approxDistinct below (HLL++), the same trade the reference
+    * makes with its bloom filter (UniqueVisitor_03). */
+  def exactDistinct(events: DataFrame, win: String, idCol: Column): DataFrame =
+    events.groupBy(window(col("ts"), win))
+      .agg(countDistinct(idCol).as("uv"))
+      .select(col("window.end").as("window_end"), col("uv"))
+
+  /** Windowed approximate distinct — streaming-safe (mergeable sketch). */
+  def approxDistinct(events: DataFrame, win: String, idCol: Column,
+                     rsd: Double = 0.01, wmDelay: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", wmDelay)
+      .groupBy(window(col("ts"), win))
+      .agg(approx_count_distinct(idCol, rsd).as("uv_approx"))
+      .select(col("window.end").as("window_end"), col("uv_approx"))
+
+  /** Per-window Top-N over a windowed-count frame (HotItems rank stage).
+    * Batch: plain window function (Catalyst turns the rn<=n filter into
+    * WindowGroupLimit). Streaming: apply inside foreachBatch on the
+    * update/complete output of [[windowedCounts]] — ranking is not an
+    * incremental operator, same reason the reference re-keys by
+    * windowEnd into a separate process function (HotItems.scala:81). */
+  def topNPerWindow(counts: DataFrame, n: Int, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_end")).orderBy(col("cnt").desc, col(keyCol))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+}
