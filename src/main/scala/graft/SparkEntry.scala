@@ -46,6 +46,11 @@ object SparkEntry {
     // embedding similarity search (brute-force baseline + IVF scale path)
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    // SQL-text surface + UDx aggregators + multimodal plumbing
+    "hot_users_topn_sql" -> ((s, d) => SqlSurface.hotUsersTopNSql(s, d)),
+    "uv_udaf"            -> ((s, d) => EventAnalytics.uniqueVisitorsUdaf(s, d)),
+    "avg_value_udaf"     -> ((s, d) => EventAnalytics.avgValueUdaf(s, d)),
+    "media_features"     -> ((s, d) => Multimodal.mediaFeatures(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
@@ -75,5 +80,9 @@ object SparkEntry {
     "simhash"            -> TextOps.simhashSql,
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
+    "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),
+    "uv_udaf"            -> EventAnalytics.uniqueVisitorsSql,
+    "avg_value_udaf"     -> EventAnalytics.avgValueUdafSql,
+    "media_features"     -> Multimodal.mediaFeaturesSql,
   )
 }

@@ -109,6 +109,28 @@ object EventAnalytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(epochSeconds(col("window.end")).as("window_end"), col("uv_approx"))
 
+  /** Exact UV via the typed Set-buffer Aggregator (reference
+    * UvCountAgg, UniqueVisitor_02_Set.scala:53-62) — same results as
+    * [[uniqueVisitors]]' builtin count(DISTINCT), exercising the UDx
+    * surface (graft.functions.Udx) through the DataFrame API. */
+  def uniqueVisitorsUdaf(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.Udx.exactDistinct(col("user_id")).as("uv"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("uv"))
+
+  /** Per-event-type average of the value column via the decimal-exact
+    * typed Aggregator (reference MyAvgAgg, HotItems.scala:116-128). */
+  def avgValueUdaf(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Udx.decimalAvg(col("value")).as("avg_value"))
+
+  val avgValueUdafSql: String =
+    """SELECT event_type,
+      |       CAST(sum(CAST("value" AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Install/click counts by channel (reference AppMarketingByChannel:
     * keyBy(channel, behavior) + sliding window; here the event_type plays
     * the (channel, behavior) composite). Sliding 1h window, 10m slide.

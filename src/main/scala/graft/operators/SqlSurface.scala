@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** The SQL-text entry point (reference hotItems/HotItems_3_SQL.scala:
+  * 45-61: Blink `hop` windowed agg + ROW_NUMBER Top-N as one SQL
+  * string). Catalyst gives us the full surface; the reference query
+  * ports with only `hop(...)` → `window(ts, size, slide)` and
+  * `hop_end(...)` → `window.end` renames (SURVEY §3.2). Registered
+  * views make every engine table reachable from `spark.sql`.
+  */
+object SqlSurface {
+
+  /** Register the engine tables of a scale dir as temp views. */
+  def registerViews(spark: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.load(spark, d, t).createOrReplaceTempView(t)
+    }
+
+  /** The flagship Top-N in pure SQL — must produce byte-identical
+    * results to EventAnalytics.hotUsersTopN (the DataFrame form). */
+  def hotUsersTopNSql(spark: SparkSession, d: String, n: Int = 5): DataFrame = {
+    Tables.events(spark, d).createOrReplaceTempView("events")
+    spark.sql(
+      s"""SELECT window_end, user_id, cnt, rn FROM (
+         |  SELECT window_end, user_id, cnt,
+         |         ROW_NUMBER() OVER (PARTITION BY window_end
+         |                            ORDER BY cnt DESC, user_id) AS rn
+         |  FROM (
+         |    SELECT CAST(CAST(window.end AS TIMESTAMP_LTZ) AS BIGINT) AS window_end,
+         |           user_id, count(*) AS cnt
+         |    FROM events
+         |    GROUP BY window(ts, '1 hour', '5 minutes'), user_id
+         |  )
+         |) WHERE rn <= $n""".stripMargin)
+  }
+}
