@@ -35,6 +35,7 @@ object SparkEntry {
     "tx_match"           -> ((s, d) => Stateful.txMatch(s, d)),
     "tx_match_join"      -> ((s, d) => Stateful.txMatchJoin(s, d)),
     "blacklist_stateful" -> ((s, d) => Stateful.blacklistStateful(s, d)),
+    "late_events"        -> ((s, d) => Stateful.lateEvents(s, d)),
     // LLM-data-pipeline text operators (builder brief; SURVEY §7 step 8)
     "dedup_exact"        -> ((s, d) => TextOps.dedupExact(s, d)),
     "text_stats"         -> ((s, d) => TextOps.textStats(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "tx_match"           -> Stateful.txMatchSql(),
     "tx_match_join"      -> Stateful.txMatchJoinSql(),
     "blacklist_stateful" -> Stateful.blacklistStatefulSql(),
+    "late_events"        -> Stateful.lateEventsSql(),
     "dedup_exact"        -> TextOps.dedupExactSql,
     "text_stats"         -> TextOps.textStatsSql,
     "lang_id"            -> TextOps.langIdSql,

@@ -254,6 +254,42 @@ object Stateful {
       .toDF()
   }
 
+  case class LateRow(user_id: Long, event_id: Long, ts_us: Long)
+
+  /** Late-arrival detection (reference allowedLateness/side-output,
+    * SURVEY §2.9 mapping): rows whose event time trails their key's
+    * running max (in arrival order = event_id) by more than the allowed
+    * delay. The `ontime` main flow is the other tag of the same machine
+    * (Sinks.splitByTag). Same single-shuffle secondary-sort plan as the
+    * other machines, but sorted by ARRIVAL order — lateness is invisible
+    * in time order. */
+  def lateEvents(spark: SparkSession, d: String, delaySecs: Long = 60): DataFrame = {
+    import spark.implicits._
+    val m = new LateTagMachine(delaySecs * US)
+    Tables.events(spark, d)
+      .select(col("user_id").as("k"), epochMicros(col("ts")).as("ts_us"),
+        col("event_id").as("seq"), lit(true).as("flag"))
+      .as[FlagRow]
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "seq")
+      .mapPartitions { it =>
+        StateMachineRunner.runPartition(m, it.map(r => (r.k, Flagged(r.ts_us, r.seq, r.flag))))
+          .collect { case (uid, BlOutcome("late", ts)) => (uid, ts) }
+      }
+      .toDF("user_id", "late_ts_us")
+  }
+
+  def lateEventsSql(delaySecs: Long = 60): String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+       |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                 AND 1 PRECEDING) AS prev_max
+       |  FROM events
+       |)
+       |SELECT user_id, ts_us AS late_ts_us FROM o
+       |WHERE prev_max IS NOT NULL AND ts_us < prev_max - ${delaySecs * US}""".stripMargin
+
   def blacklistStatefulSql(threshold: Long = 1): String =
     s"""WITH c AS (
        |  SELECT user_id,

@@ -38,6 +38,17 @@ object Sinks {
   def memory(stream: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
 
+  /** Kafka producer harness (reference hotItems/KafkaProducerUtil
+    * .scala:13-34: replay a fixture file into a topic line by line) —
+    * writes the `line` column as record values. Broker reachability is
+    * environment-dependent; construction-only in this repo. */
+  def kafkaLines(df: DataFrame, brokers: String, topic: String): Unit =
+    df.select(df("line").cast("string").as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .save()
+
   /** Partitioned parquet appender — the durable batch sink. */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("append")

@@ -111,6 +111,26 @@ object Machines {
     }
   }
 
+  /** Late-data tagger — the engine's analog of the reference's
+    * `allowedLateness + sideOutputLateData` (SURVEY §2.9,
+    * NetworkFlowTopNPage…scala:49-58). Spark has no native "late beyond
+    * watermark" side output, so the engine tracks a PER-KEY watermark
+    * (running max event time in ARRIVAL order) and tags each event
+    * `late` when it trails that max by more than the allowed delay,
+    * else `ontime`. Per-key tracking is the scale-safe choice (a global
+    * watermark would serialize through one key); feed arrival order,
+    * not time order — a time-sorted input never sees lateness. */
+  final class LateTagMachine(delayUs: Long)
+      extends EventTimeStateMachine[Flagged, Long, BlOutcome] {
+    def zero: Long = Long.MinValue
+    def eventTime(e: Flagged): Long = e.seq // arrival order drives this machine
+    def onEvent(s: Long, e: Flagged): (Long, Seq[BlOutcome], Option[Long]) = {
+      val tag = if (s != Long.MinValue && e.tsUs < s - delayUs) "late" else "ontime"
+      (math.max(s, e.tsUs), Seq(BlOutcome(tag, e.tsUs)), None)
+    }
+    def onTimer(s: Long, t: Long): (Long, Seq[BlOutcome], Option[Long]) = (s, Nil, None)
+  }
+
   case class BlState(day: Long, count: Long, warned: Boolean)
   case class BlOutcome(outcome: String, tsUs: Long)
 
