@@ -61,7 +61,11 @@ object Similarity {
     val n = norms(v)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
-    val dots = q.join(v.select(col("vec_id").as("neighbor_id"), col("pos"), col("v").as("cv")), "pos")
+    // the query side is tiny by construction → broadcast it: the
+    // candidate scan streams once with a map-side hash join + partial
+    // agg instead of shuffling 64-key position partitions
+    val dots = v.select(col("vec_id").as("neighbor_id"), col("pos"), col("v").as("cv"))
+      .join(broadcast(q), "pos")
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(decSum(col("qv") * col("cv")).as("dot"))
@@ -129,12 +133,12 @@ object Similarity {
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("label"))
     val probed = qc.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe).select("query_id", "label")
-    // brute-force scoring restricted to probed cells
-    val cand = probed.join(
-        v.select(col("vec_id").as("neighbor_id"), col("label"), col("pos"), col("v").as("cv")),
-        "label")
+    // brute-force scoring restricted to probed cells; probed (queries ×
+    // nprobe rows) and the query vectors are broadcast-sized
+    val cand = v.select(col("vec_id").as("neighbor_id"), col("label"), col("pos"), col("v").as("cv"))
+      .join(broadcast(probed), "label")
       .filter(col("neighbor_id") =!= col("query_id"))
-    val dots = cand.join(q, Seq("query_id", "pos"))
+    val dots = cand.join(broadcast(q), Seq("query_id", "pos"))
       .groupBy("query_id", "neighbor_id")
       .agg(decSum(col("qv") * col("cv")).as("dot"))
     val scored = dots

@@ -228,15 +228,19 @@ object TextOps {
         col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification of candidates only
+    // exact-Jaccard verification of CANDIDATES ONLY — this is the whole
+    // point of LSH: the inverted-index join runs over |cands|·|shingles
+    // per doc| rows, never over every pair sharing a hot shingle (the
+    // all-pairs form in ngramJaccard is the expensive exact baseline)
     val sets = docs(spark, d)
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sets.as("a").join(sets.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("doc_a", "doc_b"))
+    inter
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
