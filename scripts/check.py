@@ -30,7 +30,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def h(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format='%.12g').encode()).hexdigest()
+    # full precision (%.17g round-trips any float64) — stricter than the
+    # driver can possibly be, so local OK implies driver OK
+    return hashlib.md5(df.to_csv(index=False, float_format='%.17g').encode()).hexdigest()
+
+def dtypes_of(df: pd.DataFrame):
+    return [str(t) for t in df.dtypes]
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -56,6 +61,8 @@ def main(out_dir, sf_dir):
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA_MISMATCH got={list(g.columns)} exp={list(e.columns)}"
+        elif dtypes_of(g) != dtypes_of(e):
+            results[name] = f"DTYPE_MISMATCH got={dtypes_of(g)} exp={dtypes_of(e)}"
         elif len(g) != len(e):
             results[name] = f"ROWCOUNT_MISMATCH got={len(g)} exp={len(e)}"
         elif h(g) != h(e):

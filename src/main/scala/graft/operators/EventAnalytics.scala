@@ -128,7 +128,7 @@ object EventAnalytics {
 
   val avgValueUdafSql: String =
     """SELECT event_type,
-      |       CAST(sum(CAST("value" AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_value
+      |       CAST(CAST(sum(CAST("value" AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
   /** Install/click counts by channel (reference AppMarketingByChannel:

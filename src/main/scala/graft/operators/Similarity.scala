@@ -85,11 +85,11 @@ object Similarity {
        |), v AS (
        |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
        |), n AS (
-       |  SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(28,14))) AS DOUBLE)) AS norm
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(v*v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE)) AS norm
        |  FROM v GROUP BY 1
        |), dots AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         CAST(sum(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+       |         CAST(CAST(sum(CAST(q.v * c.v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q JOIN v c ON q.pos = c.pos AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id < $nQueries
        |  GROUP BY 1, 2
@@ -157,18 +157,18 @@ object Similarity {
        |), v AS (
        |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
        |), n AS (
-       |  SELECT vec_id, sqrt(CAST(sum(CAST(v*v AS DECIMAL(28,14))) AS DOUBLE)) AS norm
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(v*v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE)) AS norm
        |  FROM v GROUP BY 1
        |), cent AS (
        |  SELECT label, pos,
-       |         CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS cv
+       |         CAST(CAST(sum(CAST(v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
        |  FROM v GROUP BY 1, 2
        |), cn AS (
-       |  SELECT label, sqrt(CAST(sum(CAST(cv*cv AS DECIMAL(28,14))) AS DOUBLE)) AS cnorm
+       |  SELECT label, sqrt(CAST(CAST(sum(CAST(cv*cv AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE)) AS cnorm
        |  FROM cent GROUP BY 1
        |), qc AS (
        |  SELECT q.vec_id AS query_id, cent.label,
-       |         CAST(sum(CAST(q.v * cent.cv AS DECIMAL(28,14))) AS DOUBLE) AS dot
+       |         CAST(CAST(sum(CAST(q.v * cent.cv AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q JOIN cent ON q.pos = cent.pos
        |  WHERE q.vec_id < $nQueries
        |  GROUP BY 1, 2
@@ -183,7 +183,7 @@ object Similarity {
        |  ) WHERE pr <= $nprobe
        |), dots AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         CAST(sum(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+       |         CAST(CAST(sum(CAST(q.v * c.v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q
        |  JOIN probed pb ON pb.query_id = q.vec_id
        |  JOIN v c ON c.label = pb.label AND c.pos = q.pos AND c.vec_id <> q.vec_id

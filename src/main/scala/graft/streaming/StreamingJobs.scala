@@ -45,6 +45,22 @@ object StreamingJobs {
       .agg(approx_count_distinct(idCol, rsd).as("uv_approx"))
       .select(col("window.end").as("window_end"), col("uv_approx"))
 
+  /** Stream-stream interval join (reference orderpay_detect/
+    * OrderPayTxMatch_2Flow_Join.scala:46-66: `intervalJoin.between(-3s,
+    * +5s)` on txId): equi-key join with a time band, both sides
+    * watermarked so the join state is purged once the band can no
+    * longer match (Spark's state cleanup needs the event-time columns
+    * in the join condition). Works identically on batch frames. */
+  def intervalJoin(left: DataFrame, lKey: String, lTime: String,
+                   right: DataFrame, rKey: String, rTime: String,
+                   loSecs: Long, hiSecs: Long,
+                   wmDelay: String = "0 seconds"): DataFrame =
+    left.withWatermark(lTime, wmDelay)
+      .join(right.withWatermark(rTime, wmDelay),
+        expr(s"$lKey = $rKey AND " +
+          s"$rTime >= $lTime + INTERVAL '$loSecs' SECOND AND " +
+          s"$rTime <= $lTime + INTERVAL '$hiSecs' SECOND"))
+
   /** Per-window Top-N over a windowed-count frame (HotItems rank stage).
     * Batch: plain window function (Catalyst turns the rn<=n filter into
     * WindowGroupLimit). Streaming: apply inside foreachBatch on the
