@@ -44,6 +44,7 @@ object SparkEntry {
     "ngram_jaccard"      -> ((s, d) => TextOps.ngramJaccard(s, d)),
     "minhash_lsh"        -> ((s, d) => TextOps.minhashLsh(s, d)),
     "simhash"            -> ((s, d) => TextOps.simhash(s, d)),
+    "simhash_pairs"      -> ((s, d) => TextOps.simhashPairs(s, d)),
     // embedding similarity search (brute-force baseline + IVF scale path)
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "ngram_jaccard"      -> TextOps.ngramJaccardSql(),
     "minhash_lsh"        -> TextOps.minhashLshSql(),
     "simhash"            -> TextOps.simhashSql,
+    "simhash_pairs"      -> TextOps.simhashPairsSql(),
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),

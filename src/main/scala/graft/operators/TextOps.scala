@@ -281,14 +281,19 @@ object TextOps {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 60-bit SimHash over distinct unigram tokens (portable hash, seed
-    * 42): per bit, majority vote of the tokens' hash bits. Near-dup
+  /** 60-bit SimHash over distinct bigram shingles (portable hash, seed
+    * 42): per bit, majority vote of the shingles' hash bits. Near-dup
     * docs land within small Hamming distance; downstream bucketing
-    * (e.g. 4×15-bit chunks) gives another LSH family. Bits 0..59 keep
-    * the value in a signed 63-bit range for both engines. */
+    * (4×15-bit chunks, [[simhashPairs]]) gives another LSH family.
+    * Bigram features, not unigrams: over a small shared vocabulary,
+    * unigram word-sets collide wholesale (this corpus: 448 pairs at
+    * Hamming 0) while bigrams separate near-dups (≤12) from background
+    * (≥15) cleanly. Bits 0..59 keep the value signed-safe in both
+    * engines. */
   def simhash(spark: SparkSession, d: String): DataFrame = {
     val toks = docs(spark, d)
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(shinglesExpr(2)))).as("tok"))
       .withColumn("h", hash64(col("tok"), 42))
     toks.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("bit"))
       .withColumn("mask", expr("CAST(pow(2, bit) AS BIGINT)"))
@@ -298,18 +303,59 @@ object TextOps {
       .agg(sum(when(col("vote") > 0, col("mask")).otherwise(0L)).as("simhash"))
   }
 
-  val simhashSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  private val simhashCtes: String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |           FROM documents),
-       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |tok AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)),
+       |               i -> toks[i] || ' ' || toks[i+1])) AS tok FROM t),
        |h AS (SELECT doc_id,
        |        (md5_number_lower('42:' || tok) % ${HashPrime}::UBIGINT)::BIGINT AS h
        |      FROM tok),
        |votes AS (SELECT doc_id, bit, CAST(pow(2, bit) AS BIGINT) AS mask,
        |            sum(CASE WHEN (h & CAST(pow(2, bit) AS BIGINT)) > 0
        |                     THEN 1 ELSE -1 END) AS vote
-       |          FROM h, range(0, 60) r(bit) GROUP BY 1, 2, 3)
-       |SELECT doc_id,
-       |       CAST(sum(CASE WHEN vote > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
-       |FROM votes GROUP BY 1""".stripMargin
+       |          FROM h, range(0, 60) r(bit) GROUP BY 1, 2, 3),
+       |sim AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN vote > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM votes GROUP BY 1)""".stripMargin
+
+  val simhashSql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM sim"
+
+  /** SimHash near-dup pairs — the second LSH family: band the 60-bit
+    * fingerprint into 4×15-bit chunks, bucket-join on (band, chunk),
+    * verify candidates with the native codegen'd [[graft.plans.Hamming64]]
+    * expression (one XOR+POPCNT per pair inside whole-stage codegen).
+    * Hamming ≤ 12 over 60 bits (with a matching 15-bit band) cleanly
+    * selects this corpus's planted near-dups. */
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
+    val sim = simhash(spark, d)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("shiftright(simhash, CAST(band * 15 AS INT)) & 32767"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", graft.plans.GraftFunctions.hamming64(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def simhashPairsSql(maxHamming: Int = 12): String =
+    s"""WITH $simhashCtes,
+       |bands AS (SELECT doc_id, simhash, band,
+       |            (simhash >> (band * 15)) & 32767 AS chunk
+       |          FROM sim, range(0, 4) r(band)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            a.simhash AS ha, b.simhash AS hb
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.chunk = b.chunk
+       |           AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cands
+       |WHERE bit_count(xor(ha, hb)) <= $maxHamming""".stripMargin
 }

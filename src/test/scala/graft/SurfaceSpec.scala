@@ -57,6 +57,23 @@ class SurfaceSpec extends AnyFunSuite {
     assert(fromCols.toSeq == fromJvm)
   }
 
+  test("hamming64 native expression: eval, codegen path, SQL registration") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (-1L, 0L), (5L, 3L), (Long.MaxValue, 0L)).toDF("a", "b")
+    val got = df.select(graft.plans.GraftFunctions.hamming64(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 64, 2, 63))
+    // registered by GraftExtensions → callable from SQL text
+    df.createOrReplaceTempView("hx")
+    val sqlGot = spark.sql("SELECT hamming64(a, b) FROM hx")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sqlGot == got)
+    // type check rejects non-BIGINT args
+    intercept[Exception] {
+      spark.sql("SELECT hamming64('x', 1)").collect()
+    }
+  }
+
   test("frame sampler emits n deterministic rows per payload") {
     val frames = Multimodal.sampleFrames(spark, sf, nFrames = 3)
     val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
