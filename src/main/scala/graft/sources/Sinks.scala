@@ -49,6 +49,16 @@ object Sinks {
       .option("topic", topic)
       .save()
 
+  /** Bucketed managed-table writer — the co-located-join path (brief:
+    * "bucketing for co-located joins"): two tables bucketed by the same
+    * key into the same bucket count join with ZERO exchanges — at
+    * 100 TB this removes the dominant shuffle from every fact⋈fact join
+    * that repeats a key (orders⋈customer on custkey, orders⋈lineitem on
+    * orderkey). sortBy makes the sort-merge join scan-ready too. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Partitioned parquet appender — the durable batch sink. */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("append")
