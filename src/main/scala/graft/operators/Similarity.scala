@@ -22,9 +22,16 @@ import graft.sources.Tables
   *    nprobe/nlists, the classic IVF trade (recall vs cost).
   *
   * Oracle-parity arithmetic: per-element products are IEEE doubles
-  * (identical in any engine), then summed EXACTLY as DECIMAL(28,14)
+  * (identical in any engine), then summed EXACTLY as DECIMAL(38,30)
   * (order-free), surfaced as double; sqrt/division are single double
-  * ops. The position-explode dot product keeps everything relational —
+  * ops. Two precision subtleties, both observed as real mismatches:
+  * (1) scale 14 lets a float product land on a decimal-rounding TIE
+  * where Spark (HALF_UP) and DuckDB (HALF_EVEN) split — scale 30 sits
+  * below every terminating product expansion, so no rounding decision
+  * exists; (2) Spark's double→decimal cast parses Double.toString
+  * (SHORTEST repr), DuckDB's casts the exact binary expansion — the
+  * oracle therefore routes products through VARCHAR (shortest repr on
+  * both sides) before the decimal cast. The position-explode dot product keeps everything relational —
   * the scalar zip_with fold ([[cosine]]) is the map-side form for
   * pipelines that don't need bit-parity with an external oracle.
   */
@@ -48,7 +55,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("pos"), col("fv").cast("double").as("v"))
 
   private def decSum(c: Column): Column =
-    sum(c.cast("decimal(28,14)")).cast("double")
+    sum(c.cast("decimal(38,30)")).cast("double")
 
   /** Exact L2 norms per vector. */
   private def norms(v: DataFrame): DataFrame =
@@ -85,11 +92,11 @@ object Similarity {
        |), v AS (
        |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
        |), n AS (
-       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(v*v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE)) AS norm
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
        |  FROM v GROUP BY 1
        |), dots AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         CAST(CAST(sum(CAST(q.v * c.v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS dot
+       |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q JOIN v c ON q.pos = c.pos AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id < $nQueries
        |  GROUP BY 1, 2
@@ -157,18 +164,18 @@ object Similarity {
        |), v AS (
        |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
        |), n AS (
-       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(v*v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE)) AS norm
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
        |  FROM v GROUP BY 1
        |), cent AS (
        |  SELECT label, pos,
-       |         CAST(CAST(sum(CAST(v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
+       |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
        |  FROM v GROUP BY 1, 2
        |), cn AS (
-       |  SELECT label, sqrt(CAST(CAST(sum(CAST(cv*cv AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE)) AS cnorm
+       |  SELECT label, sqrt(CAST(CAST(sum(CAST(CAST(cv*cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS cnorm
        |  FROM cent GROUP BY 1
        |), qc AS (
        |  SELECT q.vec_id AS query_id, cent.label,
-       |         CAST(CAST(sum(CAST(q.v * cent.cv AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS dot
+       |         CAST(CAST(sum(CAST(CAST(q.v * cent.cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q JOIN cent ON q.pos = cent.pos
        |  WHERE q.vec_id < $nQueries
        |  GROUP BY 1, 2
@@ -183,7 +190,7 @@ object Similarity {
        |  ) WHERE pr <= $nprobe
        |), dots AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         CAST(CAST(sum(CAST(q.v * c.v AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS dot
+       |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q
        |  JOIN probed pb ON pb.query_id = q.vec_id
        |  JOIN v c ON c.label = pb.label AND c.pos = q.pos AND c.vec_id <> q.vec_id
