@@ -41,4 +41,15 @@ object ColumnFunctions {
   def hash64(c: Column, seed: Int): Column =
     pmod(md5Lower64(concat_ws(":", lit(seed), c)), lit(HashPrime).cast("decimal(20,0)"))
       .cast("long")
+
+  /** Deterministic UUID-shaped id from arbitrary content — the
+    * replayable replacement for the reference generator's
+    * `UUID.randomUUID` (SimulateMarketEvenSource.scala:29): same input
+    * ⇒ same id, so tests can golden-check generated streams. */
+  def deterministicUuid(c: Column): Column = {
+    val h = md5(c.cast("string"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
 }

@@ -45,6 +45,22 @@ object StreamingJobs {
       .agg(approx_count_distinct(idCol, rsd).as("uv_approx"))
       .select(col("window.end").as("window_end"), col("uv_approx"))
 
+  /** Explicit two-phase salted aggregation — the skew-dodging shape the
+    * reference hand-codes (PageView.scala:40-68: random salt key →
+    * partial count → re-key → final sum). Spark's partial/final
+    * HashAggregate already does this implicitly for count/sum, so the
+    * default queries DON'T salt; this operator exists for the cases
+    * implicit partial agg can't cover (e.g. exact-distinct over one
+    * pathological hot key) and to make the technique testable. The
+    * salt is derived from a value column, not rand(): deterministic,
+    * retry-safe, and still uniform. */
+  def saltedCount(df: DataFrame, keyNames: Seq[String], saltSrc: Column,
+                  buckets: Int = 16): DataFrame =
+    df.groupBy((keyNames.map(col) :+ pmod(hash(saltSrc), lit(buckets)).as("_salt")): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col("_partial")).as("cnt"))
+
   /** Stream-stream interval join (reference orderpay_detect/
     * OrderPayTxMatch_2Flow_Join.scala:46-66: `intervalJoin.between(-3s,
     * +5s)` on txId): equi-key join with a time band, both sides
