@@ -201,7 +201,11 @@ object TextOps {
 
   private val MinhashSeeds = 0 until 8 // 8 hashes → 4 bands × 2 rows
 
-  /** MinHash signatures (8 portable hashes over bigram shingles). */
+  /** MinHash signatures (8 portable hashes over bigram shingles),
+    * computed inline per shingle instance: the map-side hash work stays
+    * inside one codegen stage feeding the partial-aggregate mins — no
+    * extra shuffle. (Measured alternative: dedup-shingles-then-join
+    * halves the md5 calls but adds two shuffles and ran ~2× slower.) */
   private def signatures(spark: SparkSession, d: String): DataFrame = {
     val sh = docs(spark, d)
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh"))
