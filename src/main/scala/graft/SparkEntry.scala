@@ -48,6 +48,7 @@ object SparkEntry {
     // embedding similarity search (brute-force baseline + IVF scale path)
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "embedding_neardup"  -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // SQL-text surface + UDx aggregators + multimodal plumbing
     "hot_users_topn_sql" -> ((s, d) => SqlSurface.hotUsersTopNSql(s, d)),
     "uv_udaf"            -> ((s, d) => EventAnalytics.uniqueVisitorsUdaf(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "simhash_pairs"      -> TextOps.simhashPairsSql(),
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
+    "embedding_neardup"  -> Similarity.embeddingNearDupSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),
     "uv_udaf"            -> EventAnalytics.uniqueVisitorsSql,
     "avg_value_udaf"     -> EventAnalytics.avgValueUdafSql,

@@ -157,6 +157,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the fourth dedup flavor
+    * (brief: "embedding-cosine near-dup"). All-pairs cosine is O(n²);
+    * the scale path restricts candidate pairs to the same IVF cell
+    * (label), the embedding analog of LSH banding: a near-duplicate
+    * pair lands in the same cell with high probability, and the scan
+    * shrinks by the cell count. Exact decimal-sum scoring as above.
+    * (This corpus plants no embedding dups — max within-cell cosine is
+    * ≈0.47 — so the default threshold surfaces "most similar" pairs;
+    * detection of true dups is covered by tests with crafted vectors.) */
+  def embeddingNearDup(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    val v = vals(spark, d)
+    val n = norms(v)
+    val dots = v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(decSum(col("a.v") * col("b.v")).as("dot"))
+    dots
+      .join(n.select(col("vec_id").as("vec_a"), col("norm").as("na")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), (col("dot") / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.4): String =
+    s"""WITH p AS (
+       |  SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS i, embedding
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
+       |), n AS (
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
+       |  FROM v GROUP BY 1
+       |), dots AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(CAST(sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM v a JOIN v b ON a.label = b.label AND a.pos = b.pos
+       |                   AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT vec_a, vec_b, dot / (na.norm * nb.norm) AS score
+       |FROM dots
+       |JOIN n na ON vec_a = na.vec_id
+       |JOIN n nb ON vec_b = nb.vec_id
+       |WHERE dot / (na.norm * nb.norm) >= $threshold""".stripMargin
+
   def annIvfTopKSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2): String =
     s"""WITH p AS (
        |  SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS i, embedding

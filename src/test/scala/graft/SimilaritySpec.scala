@@ -45,6 +45,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall")
   }
 
+  test("embedding near-dup finds crafted duplicates within a cell") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val nearDup = base.clone(); nearDup(3) = nearDup(3) + 0.001f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graftemb").toString
+    Seq((0L, base, 1), (1L, nearDup, 1), (2L, far, 1), (3L, base, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.embeddingNearDup(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0~1 near-identical in cell 1; 3 is identical to 0 but in another
+    // cell — the IVF restriction (documented recall trade) skips it
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("IVF scores equal exact scores for neighbors both return") {
     val exact = Similarity.annCosineTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("score")).toMap
