@@ -60,6 +60,37 @@ class LateDataSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-update Top-N: foreachBatch overwrite reproduces MapState re-ranking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the reference's TopNHotPage keeps a MapState so a late re-fire
+    // OVERWRITES the url's count and re-ranks (NetworkFlowTopNPage…
+    // scala:99-176); here: complete-mode counts + per-batch rank +
+    // last-write-wins sink keyed by window
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("secs", "url")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val counts = StreamingJobs.windowedCounts(df, "10 seconds", None, Seq(col("url")), "30 seconds")
+    val latest = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, Long)]]()
+    val q = counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingJobs.topNPerWindow(batch, 2, "url").collect()
+          .groupBy(_.getAs[java.sql.Timestamp]("window_end").getTime / 1000)
+          .foreach { case (we, rows) =>
+            latest.put(we, rows.sortBy(_.getAs[Int]("rn"))
+              .map(r => (r.getAs[String]("url"), r.getAs[Long]("cnt"))).toSeq)
+          }
+      }.start()
+    try {
+      input.addData(Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c")))
+      q.processAllAvailable()
+      assert(latest.get(10L).map(_._1) == Seq("a", "b")) // a=2, b=2, c=1
+      input.addData(Seq((6L, "c"), (7L, "c"))) // late-window updates: c -> 3
+      q.processAllAvailable()
+      assert(latest.get(10L) == Seq(("c", 3L), ("a", 2L))) // re-ranked, overwritten
+    } finally q.stop()
+  }
+
   test("late side output: tagged flow splits into main and late sinks") {
     import spark.implicits._
     val m = new LateTagMachine(10)
