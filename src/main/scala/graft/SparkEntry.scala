@@ -26,6 +26,7 @@ object SparkEntry {
     "unique_visitors_approx" -> ((s, d) => EventAnalytics.uniqueVisitorsApprox(s, d)),
     "channel_counts"     -> ((s, d) => EventAnalytics.channelCounts(s, d)),
     "total_counts"       -> ((s, d) => EventAnalytics.totalCounts(s, d)),
+    "events_by_type_salted" -> ((s, d) => EventAnalytics.eventsByTypeSalted(s, d)),
     "clicks_by_province" -> ((s, d) => EventAnalytics.clicksByKBucket(s, d)),
     "blacklist"          -> ((s, d) => EventAnalytics.blacklist(s, d)),
     // stateful / CEP layer (SURVEY §2.7-2.8, state machines + window-fn forms)
@@ -66,6 +67,7 @@ object SparkEntry {
     "unique_visitors"    -> EventAnalytics.uniqueVisitorsSql,
     "channel_counts"     -> EventAnalytics.channelCountsSql,
     "total_counts"       -> EventAnalytics.totalCountsSql,
+    "events_by_type_salted" -> EventAnalytics.eventsByTypeSaltedSql,
     "clicks_by_province" -> EventAnalytics.clicksByKBucketSql,
     "blacklist"          -> EventAnalytics.blacklistSql(),
     "login_fail"         -> Stateful.loginFailSql(),

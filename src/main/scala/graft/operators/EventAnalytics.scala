@@ -131,6 +131,17 @@ object EventAnalytics {
       |       CAST(CAST(sum(CAST("value" AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Counts by event type through the EXPLICIT two-phase salted
+    * aggregation (reference PageView.scala:40-68's hand-rolled skew
+    * dodge; see StreamingJobs.saltedCount for when it's still needed
+    * on top of Spark's implicit partial aggregation). */
+  def eventsByTypeSalted(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingJobs.saltedCount(
+      events(spark, d), Seq("event_type"), col("user_id"))
+
+  val eventsByTypeSaltedSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events GROUP BY 1""".stripMargin
+
   /** Install/click counts by channel (reference AppMarketingByChannel:
     * keyBy(channel, behavior) + sliding window; here the event_type plays
     * the (channel, behavior) composite). Sliding 1h window, 10m slide.
