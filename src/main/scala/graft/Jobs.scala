@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFunctions.epochMicros
+import graft.operators.{EventAnalytics, SqlSurface, Stateful}
+import graft.sources.{CsvSources, Sinks}
+import graft.streaming.{Machines, StateMachineRunner, StreamingJobs}
+import graft.streaming.Machines._
+
+/** One function per reference job — the complete user-facing surface: a
+  * user of Loky-Li/Flink-WSR-Project switches by calling the function
+  * that matches the `main()` they run today. Fixture-driven jobs
+  * (login/order/receipt/ad/apache) take the reference's own CSV paths;
+  * behavior-analytics jobs run over the events table of a scale dir.
+  * All return DataFrames — print with `.show()` (the reference's
+  * `print()` sink) or route through graft.sources.Sinks.
+  *
+  * | reference main                       | here                      |
+  * |--------------------------------------|---------------------------|
+  * | hotItems.HotItems / _2_Table         | [[hotItems]]              |
+  * | hotItems.HotItems_3_SQL              | [[hotItemsSql]]           |
+  * | networkflow.NetworkFlowTopNPage      | [[networkFlowTopPages]]   |
+  * | networkflow.PageView                 | [[pageView]]              |
+  * | networkflow.UniqueVisitor_01/_02     | [[uniqueVisitor]]         |
+  * | networkflow.UniqueVisitor_03_Bloom   | [[uniqueVisitorApprox]]   |
+  * | market.AppMarketingByChannel         | [[marketingByChannel]]    |
+  * | market.AppMarketingAllChannel        | [[marketingAllChannel]]   |
+  * | market.AdAnalysisByProvince_BlackList| [[adAnalysis]] + [[adBlacklist]] |
+  * | loginmonitor.LoginFail               | [[loginFail]]             |
+  * | loginmonitor.LoginFail_CEP           | [[loginFailCep]]          |
+  * | orderpay.OrderTimeout_CEP / _PF      | [[orderTimeout]]          |
+  * | orderpay.OrderPayTxMatch_2Flow_Co    | [[txMatch]]               |
+  * | orderpay.OrderPayTxMatch_2Flow_Join  | [[txMatchJoin]]           |
+  */
+object Jobs {
+
+  private val US = 1000000L
+
+  // ---- behavior analytics over the events table ----------------------
+
+  def hotItems(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    EventAnalytics.hotUsersTopN(spark, sfDir, n)
+
+  def hotItemsSql(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    SqlSurface.hotUsersTopNSql(spark, sfDir, n)
+
+  def pageView(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.pageViews(spark, sfDir)
+
+  def uniqueVisitor(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.uniqueVisitors(spark, sfDir)
+
+  def uniqueVisitorApprox(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.uniqueVisitorsApprox(spark, sfDir)
+
+  def marketingByChannel(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.channelCounts(spark, sfDir)
+
+  def marketingAllChannel(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.totalCounts(spark, sfDir)
+
+  def adAnalysis(spark: SparkSession, sfDir: String): DataFrame =
+    EventAnalytics.clicksByKBucket(spark, sfDir)
+
+  def adBlacklistWarnings(spark: SparkSession, sfDir: String, threshold: Long = 1): DataFrame =
+    Stateful.blacklistStateful(spark, sfDir, threshold)
+
+  // ---- fixture-driven stateful jobs (reference CSV formats) ----------
+
+  /** LoginLog.csv → consecutive-fail warnings, reference parameters
+    * (n fails within T seconds, reset on success). */
+  def loginFail(spark: SparkSession, loginCsv: String,
+                n: Int = 2, withinSecs: Long = 2): DataFrame = {
+    import spark.implicits._
+    val m = new LoginFailMachine(n, withinSecs * US)
+    CsvSources.readLoginEvents(spark, loginCsv)
+      .select(col("userId").as("k"), epochMicros(col("ts")).as("ts_us"),
+        col("eventTime").as("seq"), (col("eventType") === "fail").as("flag"))
+      .as[(Long, Long, Long, Boolean)]
+      .repartition(col("k")).sortWithinPartitions("k", "ts_us", "seq")
+      .mapPartitions { it =>
+        StateMachineRunner.runPartition(m, it.map(r => (r._1, Flagged(r._2, r._3, r._4))))
+          .map { case (uid, (a, b)) => (uid, a, b) }
+      }
+      .toDF("user_id", "first_fail_us", "last_fail_us")
+  }
+
+  /** Same warnings via the lag/CEP window-function form. */
+  def loginFailCep(spark: SparkSession, loginCsv: String, withinSecs: Long = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("ts_us"), col("eventTime"))
+    CsvSources.readLoginEvents(spark, loginCsv)
+      .withColumn("ts_us", epochMicros(col("ts")))
+      .withColumn("prev_type", lag(col("eventType"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("eventType") === "fail" && col("prev_type") === "fail" &&
+        col("ts_us") - col("prev_us") <= withinSecs * US)
+      .select(col("userId").as("user_id"), col("prev_us").as("first_fail_us"),
+        col("ts_us").as("last_fail_us"))
+  }
+
+  /** OrderLog.csv → per-order paid/timeout/data-loss outcomes, keyed by
+    * orderId exactly as the reference (15-minute wait, OrderTimeout_PF). */
+  def orderTimeout(spark: SparkSession, orderCsv: String,
+                   timeoutSecs: Long = 900): DataFrame = {
+    import spark.implicits._
+    val m = new OrderTimeoutMachine(timeoutSecs * US)
+    CsvSources.readOrderEvents(spark, orderCsv)
+      .select(col("orderId").as("k"), epochMicros(col("ts")).as("ts_us"),
+        col("eventTime").as("seq"), (col("eventType") === "create").as("flag"))
+      .as[(Long, Long, Long, Boolean)]
+      .repartition(col("k")).sortWithinPartitions("k", "ts_us", "seq")
+      .mapPartitions { it =>
+        StateMachineRunner.runPartition(m, it.map(r => (r._1, Flagged(r._2, r._3, r._4))))
+          .map { case (oid, o) => (oid, o.createUs, o.resultUs, o.status) }
+      }
+      .toDF("order_id", "create_us", "result_us", "status")
+  }
+
+  /** OrderLog + ReceiptLog → matched / unmatched-pay / unmatched-receipt
+    * keyed by txId with per-side waits (pay 5 s, receipt 3 s). Split the
+    * tagged result with Sinks.splitByTag(_, "outcome", ...) for the
+    * reference's side-output sinks. */
+  def txMatch(spark: SparkSession, orderCsv: String, receiptCsv: String,
+              payWaitSecs: Long = 5, rcptWaitSecs: Long = 3): DataFrame = {
+    import spark.implicits._
+    val m = new TxMatchMachine(payWaitSecs * US, rcptWaitSecs * US)
+    val pays = CsvSources.readOrderEvents(spark, orderCsv)
+      .filter(length(col("txId")) > 0)
+      .select(col("txId").as("k"), epochMicros(col("ts")).as("ts_us"), lit(true).as("is_pay"))
+    val rcpts = CsvSources.readReceiptEvents(spark, receiptCsv)
+      .select(col("txId").as("k"), epochMicros(col("ts")).as("ts_us"), lit(false).as("is_pay"))
+    pays.unionByName(rcpts)
+      .as[(String, Long, Boolean)]
+      .repartition(col("k")).sortWithinPartitions("k", "ts_us", "is_pay")
+      .mapPartitions { it =>
+        StateMachineRunner.runPartition(m, it.map(r => (r._1, SideEvent(r._2, r._3))))
+          .map { case (tx, o) => (tx, o.outcome, o.t1Us, o.t2Us) }
+      }
+      .toDF("tx_id", "outcome", "t1_us", "t2_us")
+  }
+
+  /** Interval-join form: pay ⋈ receipt with receipt ∈ [pay-3s, pay+5s]
+    * (reference OrderPayTxMatch_2Flow_Join.between(-3, +5)). */
+  def txMatchJoin(spark: SparkSession, orderCsv: String, receiptCsv: String,
+                  loSecs: Long = -3, hiSecs: Long = 5): DataFrame = {
+    val pays = CsvSources.readOrderEvents(spark, orderCsv)
+      .filter(length(col("txId")) > 0)
+      .select(col("txId"), col("ts").as("pay_ts"))
+    val rcpts = CsvSources.readReceiptEvents(spark, receiptCsv)
+      .select(col("txId").as("r_txId"), col("ts").as("rcpt_ts"))
+    StreamingJobs.intervalJoin(pays, "txId", "pay_ts", rcpts, "r_txId", "rcpt_ts",
+        loSecs, hiSecs)
+      .select(col("txId").as("tx_id"),
+        epochMicros(col("pay_ts")).as("pay_us"), epochMicros(col("rcpt_ts")).as("rcpt_us"))
+  }
+
+  /** apache.log → top-N hot pages per 10-minute window (reference
+    * NetworkFlowTopNPage, batch form; the late-data/update-mode form is
+    * StreamingJobs.windowedCounts + topNPerWindow over readStream). */
+  def networkFlowTopPages(spark: SparkSession, logPath: String, n: Int = 3): DataFrame = {
+    val counts = StreamingJobs.windowedCounts(
+      CsvSources.readApacheLog(spark, logPath), "10 minutes", None, Seq(col("url")))
+    StreamingJobs.topNPerWindow(counts, n, "url")
+  }
+
+  /** AdClickLog.csv → (pass-through clicks, one-time warnings) per the
+    * corrected z_FilterBlackListUser semantics — returned as the tagged
+    * union; split with Sinks.splitByTag. */
+  def adClickBlacklist(spark: SparkSession, adCsv: String,
+                       threshold: Long = 100): DataFrame = {
+    import spark.implicits._
+    val m = new BlacklistMachine(threshold)
+    CsvSources.readAdClicks(spark, adCsv)
+      .select(col("userId"), col("adId"), epochMicros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .repartition(col("userId"), col("adId"))
+      .sortWithinPartitions("userId", "adId", "ts_us")
+      .mapPartitions { it =>
+        StateMachineRunner.runPartition(m,
+            it.map(r => ((r._1, r._2), Flagged(r._3, 0, flag = true))))
+          .map { case ((uid, ad), o) => (uid, ad, o.outcome, o.tsUs) }
+      }
+      .toDF("user_id", "ad_id", "outcome", "ts_us")
+  }
+}

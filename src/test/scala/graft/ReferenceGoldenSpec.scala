@@ -2,16 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.CsvSources
-import graft.streaming.Machines._
-import graft.streaming.StateMachineRunner
+import graft.sources.{CsvSources, Sinks}
 
-/** Golden end-to-end tests: the reference's own fixture CSVs
-  * (/root/reference/src/main/resources) read through CsvSources and run
-  * through the state machines with the REFERENCE's parameters
+/** Golden end-to-end tests through the user-facing [[Jobs]] façade: the
+  * reference's own fixture CSVs run with the REFERENCE's parameters
   * (login: 2 fails / 2 s; order: pay within 15 min; tx: pay waits 5 s,
-  * receipt waits 3 s). Expected values were computed independently with
-  * DuckDB over the same CSVs.
+  * receipt waits 3 s). Expected values computed independently in DuckDB.
   */
 class ReferenceGoldenSpec extends AnyFunSuite {
   private val res = "/root/reference/src/main/resources"
@@ -29,36 +25,21 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(apache.filter(col("ts").isNull).count() == 0) // wall-format parse total
   }
 
-  test("login monitor on LoginLog.csv: user 1035's consecutive-fail warnings") {
-    import spark.implicits._
-    val us = US // local copy: keeps the spec class out of the task closure
-    val m = new LoginFailMachine(2, 2 * US)
-    val warns = CsvSources.readLoginEvents(spark, s"$res/LoginLog.csv")
-      .select(col("userId").as("k"), (col("eventTime") * US).as("ts_us"),
-        col("eventTime").as("seq"), (col("eventType") === "fail").as("flag"))
-      .as[(Long, Long, Long, Boolean)]
-      .repartition(col("k")).sortWithinPartitions("k", "ts_us")
-      .mapPartitions { it =>
-        StateMachineRunner.runPartition(m, it.map(r => (r._1, Flagged(r._2, r._3, r._4))))
-          .map { case (uid, (a, b)) => (uid, a / us, b / us) }
-      }.collect().toSet
+  test("login monitor job: user 1035's consecutive-fail warnings") {
+    val warns = Jobs.loginFail(spark, s"$res/LoginLog.csv").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / US, r.getLong(2) / US)).toSet
     assert(warns == Set(
       (1035L, 1558430842L, 1558430843L),
       (1035L, 1558430843L, 1558430844L)))
+    // CEP/lag form agrees
+    val cep = Jobs.loginFailCep(spark, s"$res/LoginLog.csv").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / US, r.getLong(2) / US)).toSet
+    assert(cep == warns)
   }
 
-  test("order timeout on OrderLog.csv keyed by orderId: 37 paid, 2 timeouts, 1 lost create") {
-    import spark.implicits._
-    val m = new OrderTimeoutMachine(15 * 60 * US)
-    val out = CsvSources.readOrderEvents(spark, s"$res/OrderLog.csv")
-      .select(col("orderId").as("k"), (col("eventTime") * US).as("ts_us"),
-        col("eventTime").as("seq"), (col("eventType") === "create").as("flag"))
-      .as[(Long, Long, Long, Boolean)]
-      .repartition(col("k")).sortWithinPartitions("k", "ts_us")
-      .mapPartitions { it =>
-        StateMachineRunner.runPartition(m, it.map(r => (r._1, Flagged(r._2, r._3, r._4))))
-          .map { case (oid, o) => (oid, o.status) }
-      }.collect()
+  test("order timeout job keyed by orderId: 37 paid, 2 timeouts, 3 data-loss alarms") {
+    val out = Jobs.orderTimeout(spark, s"$res/OrderLog.csv").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
     val byStatus = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     assert(byStatus("paid").size == 37)
     assert(byStatus("timeout") == Set(34767L, 34756L))
@@ -68,45 +49,39 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(byStatus("paid_no_create") == Set(34768L, 34767L, 34756L))
   }
 
-  test("tx match on OrderLog+ReceiptLog keyed by txId: 4 matched, 36+36 unmatched") {
-    import spark.implicits._
-    val m = new TxMatchMachine(5 * US, 3 * US)
-    val pays = CsvSources.readOrderEvents(spark, s"$res/OrderLog.csv")
-      .filter(length(col("txId")) > 0)
-      .select(col("txId").as("k"), (col("eventTime") * US).as("ts_us"), lit(true).as("is_pay"))
-    val rcpts = CsvSources.readReceiptEvents(spark, s"$res/ReceiptLog.csv")
-      .select(col("txId").as("k"), (col("timestamp") * US).as("ts_us"), lit(false).as("is_pay"))
-    val out = pays.unionByName(rcpts)
-      .as[(String, Long, Boolean)]
-      .repartition(col("k")).sortWithinPartitions("k", "ts_us", "is_pay")
-      .mapPartitions { it =>
-        StateMachineRunner.runPartition(m, it.map(r => (r._1, SideEvent(r._2, r._3))))
-          .map { case (tx, o) => (tx, o.outcome) }
-      }.collect()
-    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
-    assert(counts == Map("matched" -> 4, "unmatched_pay" -> 36, "unmatched_receipt" -> 36))
+  test("tx match job keyed by txId: 4 matched, 36+36 unmatched, splittable") {
+    val tagged = Jobs.txMatch(spark, s"$res/OrderLog.csv", s"$res/ReceiptLog.csv")
+    val split = Sinks.splitByTag(tagged, "outcome",
+      Seq("matched", "unmatched_pay", "unmatched_receipt"))
+    assert(split("matched").count() == 4)
+    assert(split("unmatched_pay").count() == 36)
+    assert(split("unmatched_receipt").count() == 36)
   }
 
-  test("ad blacklist on AdClickLog.csv: corrected z_FilterBlackListUser semantics") {
-    import spark.implicits._
-    // threshold 2 on the 142-row fixture (the reference's 100 never
-    // trips on its own fixture); warn = third click on the same
-    // (user, ad) within one day, later clicks suppressed
-    val m = new BlacklistMachine(2)
-    val out = CsvSources.readAdClicks(spark, s"$res/AdClickLog.csv")
-      .select(col("userId"), col("adId"), (col("timestamp") * US).as("ts_us"))
-      .as[(Long, Long, Long)]
-      .repartition(col("userId"), col("adId"))
-      .sortWithinPartitions("userId", "adId", "ts_us")
-      .mapPartitions { it =>
-        StateMachineRunner.runPartition(m, it.map(r => ((r._1, r._2), Flagged(r._3, 0, flag = true))))
-          .map { case ((uid, ad), o) => (uid, ad, o.outcome) }
-      }.collect()
+  test("tx interval-join form finds the in-band pay/receipt pairs") {
+    val joined = Jobs.txMatchJoin(spark, s"$res/OrderLog.csv", s"$res/ReceiptLog.csv")
+    // DuckDB golden: 4 pairs with rcpt in [pay-3s, pay+5s]
+    assert(joined.count() == 4)
+  }
+
+  test("ad blacklist job: corrected z_FilterBlackListUser semantics") {
+    val out = Jobs.adClickBlacklist(spark, s"$res/AdClickLog.csv", threshold = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val warns = out.filter(_._3 == "warn").map(t => (t._1, t._2)).toSet
-    val passes = out.count(_._3 == "pass")
     // DuckDB golden: 2 (user, ad) pairs reach 3 same-day clicks;
     // 22 clicks pass, 119 are suppressed (hot-key-dominated fixture)
     assert(warns == Set((937166L, 1715L), (161501L, 36156L)))
-    assert(passes == 22)
+    assert(out.count(_._3 == "pass") == 22)
+  }
+
+  test("behavior-analytics jobs run end to end on the events table") {
+    val sf = "/root/testdata/sf0.001"
+    assert(Jobs.hotItems(spark, sf).count() > 0)
+    assert(Jobs.pageView(spark, sf).count() > 0)
+    assert(Jobs.uniqueVisitor(spark, sf).count() > 0)
+    assert(Jobs.marketingByChannel(spark, sf).count() > 0)
+    assert(Jobs.marketingAllChannel(spark, sf).count() > 0)
+    assert(Jobs.adAnalysis(spark, sf).count() > 0)
+    assert(Jobs.networkFlowTopPages(spark, s"$res/apache.log").count() == 252)
   }
 }
