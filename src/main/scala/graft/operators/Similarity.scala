@@ -31,9 +31,13 @@ import graft.sources.Tables
   * exists; (2) Spark's double→decimal cast parses Double.toString
   * (SHORTEST repr), DuckDB's casts the exact binary expansion — the
   * oracle therefore routes products through VARCHAR (shortest repr on
-  * both sides) before the decimal cast. The position-explode dot product keeps everything relational —
-  * the scalar zip_with fold ([[cosine]]) is the map-side form for
-  * pipelines that don't need bit-parity with an external oracle.
+  * both sides) before the decimal cast. Physically, dot products run as SCALAR
+  * zip_with folds with a DECIMAL accumulator ([[exactDot]]) — one row
+  * per vector pair, no position explosion (the oracle's relational
+  * position-join computes the same exact sums; decimal addition is
+  * order-free, so the two shapes agree bit-for-bit). The plain-double
+  * [[cosine]] remains the fastest map-side form for pipelines that
+  * don't need oracle parity.
   */
 object Similarity {
 
@@ -48,39 +52,34 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** (id, pos, v) long-form view of the vectors. */
-  private def vals(spark: SparkSession, d: String): DataFrame =
+  /** Exact decimal-sum dot product of two numeric-array columns: per-
+    * element double products (IEEE-identical in any engine) cast to
+    * DECIMAL(38,30) (shortest-repr, no rounding decision — see class
+    * doc) and folded exactly. One scalar expression per row. */
+  def exactDot(a: String, b: String): Column = expr(
+    s"""CAST(aggregate(
+       |  zip_with($a, $b,
+       |    (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))),
+       |  CAST(0 AS DECIMAL(38,30)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,30))) AS DOUBLE)""".stripMargin)
+
+  /** Vectors with their exact L2 norms attached. */
+  private def withNorm(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
-      .select(col("vec_id"), col("label"), col("pos"), col("fv").cast("double").as("v"))
-
-  private def decSum(c: Column): Column =
-    sum(c.cast("decimal(38,30)")).cast("double")
-
-  /** Exact L2 norms per vector. */
-  private def norms(v: DataFrame): DataFrame =
-    v.groupBy("vec_id").agg(sqrt(decSum(col("v") * col("v"))).as("norm"))
+      .withColumn("norm", sqrt(exactDot("embedding", "embedding")))
 
   /** Brute-force exact cosine top-k: vectors with vec_id < nQueries are
-    * the query set, every other vector is a candidate. */
+    * the query set, every other vector is a candidate. The bounded
+    * query side (full vectors + norms) is broadcast; the candidate scan
+    * streams once, one scalar dot per (query, candidate) pair. */
   def annCosineTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val v = vals(spark, d)
-    val n = norms(v)
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
-    // the query side is tiny by construction → broadcast it: the
-    // candidate scan streams once with a map-side hash join + partial
-    // agg instead of shuffling 64-key position partitions
-    val dots = v.select(col("vec_id").as("neighbor_id"), col("pos"), col("v").as("cv"))
-      .join(broadcast(q), "pos")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(decSum(col("qv") * col("cv")).as("dot"))
-    val scored = dots
-      .join(n.select(col("vec_id").as("query_id"), col("norm").as("qn")), "query_id")
-      .join(n.select(col("vec_id").as("neighbor_id"), col("norm").as("cn")), "neighbor_id")
+    val e = withNorm(spark, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("norm").as("cn"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (col("dot") / (col("qn") * col("cn"))).as("score"))
+        (exactDot("qe", "ce") / (col("qn") * col("cn"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -120,39 +119,35 @@ object Similarity {
     * [[annCosineTopK]]. */
   def annIvfTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
                  nprobe: Int = 2): DataFrame = {
-    val v = vals(spark, d)
-    val n = norms(v)
-    // centroid long-form: exact mean per (label, pos), then its norm
-    val cent = v.groupBy("label", "pos")
-      .agg((decSum(col("v")) / count(lit(1))).as("cv"))
-    val centNorm = cent.groupBy("label")
-      .agg(sqrt(decSum(col("cv") * col("cv"))).as("cnorm"))
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val e = withNorm(spark, d)
+    // centroid arrays: exact element-wise means, assembled back into an
+    // array ordered by position (tiny: one row per label)
+    val cent = Tables.embeddings(spark, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+      .groupBy("label", "pos")
+      .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
+      .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
     // query ↔ centroid scores → top-nprobe labels per query
-    val qc = q.join(cent, "pos")
-      .groupBy("query_id", "label")
-      .agg(decSum(col("qv") * col("cv")).as("dot"))
-      .join(centNorm, "label")
-      .join(n.select(col("vec_id").as("query_id"), col("norm").as("qn")), "query_id")
+    val qc = cent.join(broadcast(q))
       .select(col("query_id"), col("label"),
-        (col("dot") / (col("qn") * col("cnorm"))).as("cscore"))
+        (exactDot("qe", "cemb") / (col("qn") * col("cnorm"))).as("cscore"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("label"))
     val probed = qc.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe).select("query_id", "label")
-    // brute-force scoring restricted to probed cells; probed (queries ×
-    // nprobe rows) and the query vectors are broadcast-sized
-    val cand = v.select(col("vec_id").as("neighbor_id"), col("label"), col("pos"), col("v").as("cv"))
+    // scalar scoring restricted to probed cells; probed and the query
+    // vectors are broadcast-sized
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("ce"), col("norm").as("cn"))
       .join(broadcast(probed), "label")
       .filter(col("neighbor_id") =!= col("query_id"))
-    val dots = cand.join(broadcast(q), Seq("query_id", "pos"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(decSum(col("qv") * col("cv")).as("dot"))
-    val scored = dots
-      .join(n.select(col("vec_id").as("query_id"), col("norm").as("qn")), "query_id")
-      .join(n.select(col("vec_id").as("neighbor_id"), col("norm").as("cn")), "neighbor_id")
+    val scored = cand.join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        (col("dot") / (col("qn") * col("cn"))).as("score"))
+        (exactDot("qe", "ce") / (col("qn") * col("cn"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -167,17 +162,25 @@ object Similarity {
     * ≈0.47 — so the default threshold surfaces "most similar" pairs;
     * detection of true dups is covered by tests with crafted vectors.) */
   def embeddingNearDup(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
-    val v = vals(spark, d)
-    val n = norms(v)
-    val dots = v.as("a").join(v.as("b"),
-        col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .agg(decSum(col("a.v") * col("b.v")).as("dot"))
-    dots
-      .join(n.select(col("vec_id").as("vec_a"), col("norm").as("na")), "vec_a")
-      .join(n.select(col("vec_id").as("vec_b"), col("norm").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), (col("dot") / (col("na") * col("nb"))).as("score"))
+    val e = withNorm(spark, d)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    // two-phase refine: the cheap all-double cosine (whole-stage
+    // codegen) prunes the pair stream first; the exact decimal score is
+    // computed only for survivors. The 1e-6 margin dwarfs the ~1e-13
+    // double-vs-exact gap, so the final exact filter sees every pair it
+    // would have seen without the prefilter — results are identical.
+    val approxDot = aggregate(
+      zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
+        (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v)
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(approxDot / (col("na") * col("nb")) >= threshold - 1e-6)
+      .select(col("vec_a"), col("vec_b"),
+        (exactDot("ea", "eb") / (col("na") * col("nb"))).as("score"))
       .filter(col("score") >= threshold)
   }
 
