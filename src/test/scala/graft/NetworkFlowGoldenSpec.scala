@@ -28,6 +28,33 @@ class NetworkFlowGoldenSpec extends AnyFunSuite {
       ("/images/jordan-80.png", 5L)))
   }
 
+  test("synthesized UserBehavior fixture drives the HotItems pipeline shape") {
+    // the reference's UserBehavior.csv is stripped from its repo
+    // (.MISSING_LARGE_BLOBS); FIXTURES.md §A: synthesize deterministically
+    val rnd = new scala.util.Random(42)
+    val base = 1511658000L
+    val rows = Seq.tabulate(3000) { i =>
+      val uid = rnd.nextInt(50) + 1
+      val item = rnd.nextInt(20) + 1
+      val beh = Seq("pv", "pv", "pv", "buy", "cart", "fav")(rnd.nextInt(6))
+      s"$uid,$item,${rnd.nextInt(100)},$beh,${base + i * 5}"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ub").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/UserBehavior.csv"),
+      rows.mkString("\n").getBytes)
+    val ub = CsvSources.readUserBehavior(spark, s"$dir/UserBehavior.csv")
+    assert(ub.count() == 3000)
+    val pv = ub.filter(col("behavior") === "pv")
+    val counts = StreamingJobs.windowedCounts(pv, "1 hour", Some("5 minutes"), Seq(col("itemId")))
+    val top = StreamingJobs.topNPerWindow(counts, 5, "itemId").collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getAs[Int]("rn") <= 5))
+    // window totals must re-add to the pv row count (each row lands in
+    // exactly 12 sliding panes)
+    val total = counts.agg(sum(col("cnt"))).collect().head.getLong(0)
+    assert(total == pv.count() * 12)
+  }
+
   test("interval join: streaming result == batch result on the same data") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
