@@ -74,7 +74,8 @@ object Jobs {
                 n: Int = 2, withinSecs: Long = 2): DataFrame = {
     import spark.implicits._
     val m = new LoginFailMachine(n, withinSecs * US)
-    CsvSources.readLoginEvents(spark, loginCsv)
+    CsvSources.loginEvents(spark, loginCsv).toDF() // typed Dataset[LoginEvent]
+      .withColumn("ts", timestamp_seconds(col("eventTime")))
       .select(col("userId").as("k"), epochMicros(col("ts")).as("ts_us"),
         col("eventTime").as("seq"), (col("eventType") === "fail").as("flag"))
       .as[(Long, Long, Long, Boolean)]
@@ -106,7 +107,8 @@ object Jobs {
                    timeoutSecs: Long = 900): DataFrame = {
     import spark.implicits._
     val m = new OrderTimeoutMachine(timeoutSecs * US)
-    CsvSources.readOrderEvents(spark, orderCsv)
+    CsvSources.orderEvents(spark, orderCsv).toDF() // typed Dataset[OrderEvent]
+      .withColumn("ts", timestamp_seconds(col("eventTime")))
       .select(col("orderId").as("k"), epochMicros(col("ts")).as("ts_us"),
         col("eventTime").as("seq"), (col("eventType") === "create").as("flag"))
       .as[(Long, Long, Long, Boolean)]

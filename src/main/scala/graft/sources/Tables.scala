@@ -117,6 +117,27 @@ object CsvSources {
     spark.read.schema(adClickSchema).csv(path)
       .withColumn("ts", timestamp_seconds(col("timestamp")))
 
+  // Typed views — Dataset[CaseClass] is the engine's analog of the
+  // reference's DataStream[CaseClass] (SURVEY §1.2); the extra `ts`
+  // column is tolerated by as[] and available when the frame is used
+  // untyped (e.g. for watermarks).
+  import org.apache.spark.sql.{Dataset, Encoders, SparkSession => SS}
+
+  def loginEvents(spark: SS, path: String): Dataset[Records.LoginEvent] =
+    readLoginEvents(spark, path).as(Encoders.product[Records.LoginEvent])
+
+  def orderEvents(spark: SS, path: String): Dataset[Records.OrderEvent] =
+    readOrderEvents(spark, path).as(Encoders.product[Records.OrderEvent])
+
+  def receiptEvents(spark: SS, path: String): Dataset[Records.ReceiptEvent] =
+    readReceiptEvents(spark, path).as(Encoders.product[Records.ReceiptEvent])
+
+  def adClickEvents(spark: SS, path: String): Dataset[Records.AdClickEvent] =
+    readAdClicks(spark, path).as(Encoders.product[Records.AdClickEvent])
+
+  def userBehavior(spark: SS, path: String): Dataset[Records.UserBehavior] =
+    readUserBehavior(spark, path).as(Encoders.product[Records.UserBehavior])
+
   /** apache.log parser: space-separated, wall-format timestamp.
     * reference: networkflow/analysis/NetworkFlowTopNPage*.scala:33-42 */
   def readApacheLog(spark: SparkSession, path: String): DataFrame = {

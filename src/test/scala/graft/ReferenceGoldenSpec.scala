@@ -25,6 +25,18 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(apache.filter(col("ts").isNull).count() == 0) // wall-format parse total
   }
 
+  test("typed Dataset views: lambda ops over the reference record types") {
+    import graft.sources.Records
+    val fails = CsvSources.loginEvents(spark, s"$res/LoginLog.csv")
+      .filter((e: Records.LoginEvent) => e.eventType == "fail")
+      .map((e: Records.LoginEvent) => e.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(fails.length == 9) // DuckDB: 9 fail rows in LoginLog.csv
+    val pays = CsvSources.orderEvents(spark, s"$res/OrderLog.csv")
+      .filter((e: Records.OrderEvent) => e.txId != null && e.txId.nonEmpty).count()
+    assert(pays == 40)
+  }
+
   test("login monitor job: user 1035's consecutive-fail warnings") {
     val warns = Jobs.loginFail(spark, s"$res/LoginLog.csv").collect()
       .map(r => (r.getLong(0), r.getLong(1) / US, r.getLong(2) / US)).toSet
