@@ -77,9 +77,28 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("norm").as("cn"))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (exactDot("qe", "ce") / (col("qn") * col("cn"))).as("score"))
+    // two-phase exact top-k: rank all pairs by the cheap all-double
+    // score, keep everything within 1e-6 of each query's k-th best,
+    // then exact-score only those survivors. Identity proof: an exact
+    // top-k member's double score is within ~1e-13 of its exact score,
+    // so it sits above (double k-th − 2e-13) > cutoff; every excluded
+    // pair's exact score is below the exact k-th, so survivor ranks ≤ k
+    // equal the global exact ranks.
+    val approxDot = aggregate(
+      zip_with(col("qe").cast("array<double>"), col("ce").cast("array<double>"),
+        (p, x) => p * x),
+      lit(0.0), (acc, v) => acc + v)
+    val pre = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", approxDot / (col("qn") * col("cn")))
+    val wPre = Window.partitionBy(col("query_id")).orderBy(col("approx").desc)
+    val kth = pre.withColumn("pre_rn", row_number().over(wPre))
+      .filter(col("pre_rn") === k)
+      .select(col("query_id"), col("approx").as("kth_approx"))
+    val survivors = pre.join(broadcast(kth), Seq("query_id"), "left")
+      .filter(col("kth_approx").isNull || // fewer than k candidates: keep all
+        col("approx") >= col("kth_approx") - 1e-6)
+    val scored = survivors.select(col("query_id"), col("neighbor_id"),
+      (exactDot("qe", "ce") / (col("qn") * col("cn"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
