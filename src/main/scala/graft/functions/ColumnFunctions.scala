@@ -35,12 +35,31 @@ object ColumnFunctions {
     conv(rev, 16, 10).cast("decimal(20,0)")
   }
 
+  /** md5 lower-64 reinterpreted as a SIGNED long (wrapping) — two
+    * 32-bit conv chunks combined with an overflowing shift; pure long
+    * arithmetic, no DECIMAL. */
+  private def md5Lower64Signed(c: Column): Column = {
+    val hex = md5(c.cast("string"))
+    def chunk(pairs: Seq[Int]): Column =
+      conv(concat(pairs.map(i => substring(hex, i, 2)): _*), 16, 10).cast("long")
+    shiftleft(chunk(Seq(31, 29, 27, 25)), 32)
+      .bitwiseOR(chunk(Seq(23, 21, 19, 17)))
+  }
+
   /** Seeded portable 64-bit hash: md5Lower64("<seed>:" + c) mod HashPrime,
     * as a non-negative BIGINT. DuckDB equivalent:
-    * (md5_number_lower(seed || ':' || c) % 9223372036854775783::UBIGINT)::BIGINT */
-  def hash64(c: Column, seed: Int): Column =
-    pmod(md5Lower64(concat_ws(":", lit(seed), c)), lit(HashPrime).cast("decimal(20,0)"))
-      .cast("long")
+    * (md5_number_lower(seed || ':' || c) % 9223372036854775783::UBIGINT)::BIGINT
+    *
+    * Hot-path form: all-long arithmetic (the decimal/string route cost
+    * ~2× on the minhash/fingerprint queries). For the signed
+    * reinterpretation x of the unsigned value u: u = x + 2^64 when
+    * x < 0, and 2^64 mod p = 50 (p = 2^63 − 25), so
+    * u mod p = pmod(pmod(x, p) + 50, p); for x ≥ 0 it's plain pmod. */
+  def hash64(c: Column, seed: Int): Column = {
+    val x = md5Lower64Signed(concat_ws(":", lit(seed), c))
+    val p = lit(HashPrime)
+    when(x >= 0, pmod(x, p)).otherwise(pmod(pmod(x, p) + lit(50L), p))
+  }
 
   /** Deterministic UUID-shaped id from arbitrary content — the
     * replayable replacement for the reference generator's
