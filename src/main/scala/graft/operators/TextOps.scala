@@ -299,12 +299,16 @@ object TextOps {
       .select(col("doc_id"),
         explode(array_distinct(expr(shinglesExpr(2)))).as("tok"))
       .withColumn("h", hash64(col("tok"), 42))
-    toks.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("bit"))
-      .withColumn("mask", expr("CAST(pow(2, bit) AS BIGINT)"))
-      .groupBy("doc_id", "bit", "mask")
-      .agg(sum(when(expr("h & mask") > 0, 1).otherwise(-1)).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, col("mask")).otherwise(0L)).as("simhash"))
+    // 60 static vote aggregates instead of a 60× bit-explode: the
+    // shuffle carries 60 partial sums per doc, never |shingles|×60 rows
+    val votes = (0 until 60).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1)).as(s"v$i")
+    }
+    val value = (0 until 60)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), value.as("simhash"))
   }
 
   private val simhashCtes: String =
