@@ -50,6 +50,7 @@ object SparkEntry {
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "embedding_neardup"  -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "embedding_lsh_neardup" -> ((s, d) => Similarity.embeddingLshNearDup(s, d)),
     // SQL-text surface + UDx aggregators + multimodal plumbing
     "hot_users_topn_sql" -> ((s, d) => SqlSurface.hotUsersTopNSql(s, d)),
     "uv_udaf"            -> ((s, d) => EventAnalytics.uniqueVisitorsUdaf(s, d)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
     "embedding_neardup"  -> Similarity.embeddingNearDupSql(),
+    "embedding_lsh_neardup" -> Similarity.embeddingLshNearDupSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),
     "uv_udaf"            -> EventAnalytics.uniqueVisitorsSql,
     "avg_value_udaf"     -> EventAnalytics.avgValueUdafSql,

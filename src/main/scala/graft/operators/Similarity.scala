@@ -171,6 +171,93 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Column-argument exact dot (same arithmetic as [[exactDot]]). */
+  private def exactDotCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x * y).cast("decimal(38,30)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,30)"),
+      (acc, v) => (acc + v).cast("decimal(38,30)")).cast("double")
+
+  /** ±1 hyperplane j, derived from the portable hash (parity of
+    * hash64("j:i")) — identical in the JVM, the Spark plan, and the
+    * DuckDB oracle. */
+  private def hyperplane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      if (Multimodal.md5Lower64Mod(s"$j:$i".getBytes("UTF-8")) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane (sign) LSH near-dup pairs — the second ANN scale
+    * path next to IVF: each vector's bucket is the sign pattern of
+    * `nBits` exact dot products with deterministic ±1 hyperplanes;
+    * cosine-similar vectors share buckets with high probability, and
+    * candidate pairs come from an equality join on the bucket (never
+    * all-pairs). Survivors get the exact cosine + threshold, with the
+    * same two-phase refine as [[embeddingNearDup]]. */
+  def embeddingLshNearDup(spark: SparkSession, d: String, nBits: Int = 12,
+                          threshold: Double = 0.4): DataFrame = {
+    val e = withNorm(spark, d)
+    val dim = 64 // embeddings table dimension (TESTDATA)
+    val bucket = (0 until nBits).map { j =>
+      val plane = typedLit(hyperplane(j, dim))
+      when(exactDotCols(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", bucket)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val approxDot = aggregate(
+      zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
+        (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v)
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(approxDot / (col("na") * col("nb")) >= threshold - 1e-6)
+      .select(col("vec_a"), col("vec_b"),
+        (exactDotCols(col("ea"), col("eb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  def embeddingLshNearDupSql(nBits: Int = 12, threshold: Double = 0.4): String = {
+    val P = graft.functions.ColumnFunctions.HashPrime
+    s"""WITH p AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
+       |), n AS (
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
+       |  FROM v GROUP BY 1
+       |), planes AS (
+       |  SELECT j, pos,
+       |         CASE WHEN (md5_number_lower(j || ':' || pos) % ${P}::UBIGINT) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END AS s
+       |  FROM range(0, $nBits) r(j), range(0, 64) q(pos)
+       |), bits AS (
+       |  SELECT v.vec_id, pl.j,
+       |         CASE WHEN CAST(CAST(sum(CAST(CAST(v.v * pl.s AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) > 0
+       |              THEN CAST(pow(2, pl.j) AS BIGINT) ELSE 0 END AS bit
+       |  FROM v JOIN planes pl ON v.pos = pl.pos
+       |  GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1
+       |), dots AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(CAST(sum(CAST(CAST(va.v * vb.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM buckets a
+       |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN v va ON va.vec_id = a.vec_id
+       |  JOIN v vb ON vb.vec_id = b.vec_id AND vb.pos = va.pos
+       |  GROUP BY 1, 2
+       |)
+       |SELECT vec_a, vec_b, dot / (na.norm * nb.norm) AS score
+       |FROM dots
+       |JOIN n na ON vec_a = na.vec_id
+       |JOIN n nb ON vec_b = nb.vec_id
+       |WHERE dot / (na.norm * nb.norm) >= $threshold""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs — the fourth dedup flavor
     * (brief: "embedding-cosine near-dup"). All-pairs cosine is O(n²);
     * the scale path restricts candidate pairs to the same IVF cell

@@ -61,6 +61,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("hyperplane LSH: identical vectors share a bucket and are found") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => 0.01f * ((i % 13) - 6))
+    val near = base.clone(); near(5) = near(5) + 0.0005f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.3f)
+    val dir = java.nio.file.Files.createTempDirectory("graftlsh").toString
+    Seq((0L, base, 1), (1L, near, 1), (2L, far, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.embeddingLshNearDup(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    // deterministic across runs
+    val again = Similarity.embeddingLshNearDup(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+  }
+
   test("IVF scores equal exact scores for neighbors both return") {
     val exact = Similarity.annCosineTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("score")).toMap
