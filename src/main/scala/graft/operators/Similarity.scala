@@ -200,7 +200,14 @@ object Similarity {
     val dim = 64 // embeddings table dimension (TESTDATA)
     val bucket = (0 until nBits).map { j =>
       val plane = typedLit(hyperplane(j, dim))
-      when(exactDotCols(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      // sign via the cheap double fold when it's safely away from zero
+      // (|double − exact| < 1e-13, so |double| > 1e-6 fixes the sign);
+      // the exact decimal fold only breaks the rare near-zero case
+      val ad = aggregate(
+        zip_with(col("embedding").cast("array<double>"), plane, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      val dot = when(abs(ad) > 1e-6, ad).otherwise(exactDotCols(col("embedding"), plane))
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bucketed = e.withColumn("bucket", bucket)
     val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
