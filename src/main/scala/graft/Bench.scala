@@ -21,16 +21,26 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => warmErrs(n) = e.toString.take(300) }
     }
-    val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    // two timed passes, min per query: the host shows multi-minute
+    // noisy-neighbor bursts (identical binaries measured 43-233s
+    // totals); the min is the standard low-noise estimator
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    names.foreach { n =>
+    def timedPass(): Map[String, Option[Double]] = names.map { n =>
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()
-        timings(n) = Some((System.nanoTime() - t0) / 1e9)
+        n -> Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        timings(n) = None
         errors(n) = e.toString.take(300)
+        n -> None
+      }
+    }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
+    val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    names.foreach { n =>
+      timings(n) = (p1(n), p2(n)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
       }
     }
     def jstr(s: String): String =
