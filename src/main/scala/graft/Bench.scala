@@ -42,6 +42,10 @@ object Bench {
         case (Some(a), Some(b)) => Some(math.min(a, b))
         case (a, b) => a.orElse(b)
       }
+      // consistent contract (ADVICE r2): a query with a reported timing
+      // is NOT an error — a flaky single-pass failure surfaces in the
+      // raw "passes" (null entry), not in errors/n_failed
+      if (timings(n).isDefined) errors.remove(n)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -51,11 +55,18 @@ object Bench {
     val qs = timings.map { case (k, v) =>
       s"${jstr(k)}:${v.map(x => f"$x%.3f").getOrElse("null")}"
     }.mkString("{", ",", "}")
+    // raw per-pass timings (VERDICT r2 #6): lets the driver see
+    // noisy-neighbor spread behind the min estimator
+    val passes = names.map { n =>
+      val raw = Seq(p1(n), p2(n))
+        .map(_.map(x => f"$x%.3f").getOrElse("null")).mkString("[", ",", "]")
+      s"${jstr(n)}:$raw"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.flatten.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
     try Files.writeString(Paths.get("/root/repo/bench_out.json"), line + "\n")
     catch { case _: Throwable => () }

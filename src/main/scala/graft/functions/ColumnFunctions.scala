@@ -54,11 +54,14 @@ object ColumnFunctions {
     * ~2× on the minhash/fingerprint queries). For the signed
     * reinterpretation x of the unsigned value u: u = x + 2^64 when
     * x < 0, and 2^64 mod p = 50 (p = 2^63 − 25), so
-    * u mod p = pmod(pmod(x, p) + 50, p); for x ≥ 0 it's plain pmod. */
+    * u mod p = (pmod(x, p) + 50) mod p; for x ≥ 0 it's plain pmod.
+    * The +50 is applied as `- (p - 50)` so the intermediate stays in
+    * [-(p-50), 49] — `pmod(x,p) + 50` itself can overflow Long for the
+    * 25 residues ≥ p - 25. */
   def hash64(c: Column, seed: Int): Column = {
     val x = md5Lower64Signed(concat_ws(":", lit(seed), c))
     val p = lit(HashPrime)
-    when(x >= 0, pmod(x, p)).otherwise(pmod(pmod(x, p) + lit(50L), p))
+    when(x >= 0, pmod(x, p)).otherwise(pmod(pmod(x, p) - lit(HashPrime - 50L), p))
   }
 
   /** Deterministic UUID-shaped id from arbitrary content — the

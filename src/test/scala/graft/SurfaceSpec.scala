@@ -72,6 +72,16 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT hamming64('x', 1)").collect()
     }
+    // arity check: wrong argument count is a proper AnalysisException,
+    // not an IndexOutOfBounds during analysis (ADVICE r2)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hamming64(a) FROM hx").collect()
+    }
+    assert(e1.getMessage.contains("hamming64"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hamming64(a, b, a) FROM hx").collect()
+    }
+    assert(e3.getMessage.contains("hamming64"))
   }
 
   test("frame sampler emits n deterministic rows per payload") {
