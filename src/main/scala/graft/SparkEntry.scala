@@ -36,7 +36,9 @@ object SparkEntry {
     "tx_match"           -> ((s, d) => Stateful.txMatch(s, d)),
     "tx_match_join"      -> ((s, d) => Stateful.txMatchJoin(s, d)),
     "blacklist_stateful" -> ((s, d) => Stateful.blacklistStateful(s, d)),
-    "late_events"        -> ((s, d) => Stateful.lateEvents(s, d)),
+    // simulated-arrival replay: the fixtures are time-sorted, so only a
+    // deterministic arrival permutation exercises the late path (>0 rows)
+    "late_events"        -> ((s, d) => Stateful.lateEvents(s, d, simulateArrival = true)),
     // LLM-data-pipeline text operators (builder brief; SURVEY §7 step 8)
     "dedup_exact"        -> ((s, d) => TextOps.dedupExact(s, d)),
     "text_stats"         -> ((s, d) => TextOps.textStats(s, d)),
@@ -77,7 +79,7 @@ object SparkEntry {
     "tx_match"           -> Stateful.txMatchSql(),
     "tx_match_join"      -> Stateful.txMatchJoinSql(),
     "blacklist_stateful" -> Stateful.blacklistStatefulSql(),
-    "late_events"        -> Stateful.lateEventsSql(),
+    "late_events"        -> Stateful.lateEventsSql(simulateArrival = true),
     "dedup_exact"        -> TextOps.dedupExactSql,
     "text_stats"         -> TextOps.textStatsSql,
     "lang_id"            -> TextOps.langIdSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.ColumnFunctions.epochMicros
+import graft.functions.ColumnFunctions.{epochMicros, hash64}
 import graft.streaming.{Machines, StateMachineRunner}
 import graft.streaming.Machines._
 
@@ -256,39 +256,61 @@ object Stateful {
 
   case class LateRow(user_id: Long, event_id: Long, ts_us: Long)
 
+  case class LateArrRow(k: Long, ts_us: Long, seq: Long, arr: Long)
+
+  /** Seed of the simulated-arrival permutation (shared with the oracle). */
+  val ArrivalSeed: Int = 7
+
   /** Late-arrival detection (reference allowedLateness/side-output,
     * SURVEY §2.9 mapping): rows whose event time trails their key's
-    * running max (in arrival order = event_id) by more than the allowed
-    * delay. The `ontime` main flow is the other tag of the same machine
+    * running max (in arrival order) by more than the allowed delay. The
+    * `ontime` main flow is the other tag of the same machine
     * (Sinks.splitByTag). Same single-shuffle secondary-sort plan as the
     * other machines, but sorted by ARRIVAL order — lateness is invisible
-    * in time order. */
-  def lateEvents(spark: SparkSession, d: String, delaySecs: Long = 60): DataFrame = {
+    * in time order.
+    *
+    * Arrival order: by default the fixtures' physical order (event_id) —
+    * which the driver generates globally time-sorted, so real lateness
+    * is legitimately zero there. `simulateArrival = true` replays the
+    * SAME rows in a deterministic pseudo-arrival order (the portable
+    * hash64 permutation of event_id — a stand-in for network jitter) so
+    * the operator's late path is exercised end-to-end on real data and
+    * the oracle can replay the identical permutation. No data is
+    * synthesized; only the replay order changes. */
+  def lateEvents(spark: SparkSession, d: String, delaySecs: Long = 60,
+                 simulateArrival: Boolean = false): DataFrame = {
     import spark.implicits._
     val m = new LateTagMachine(delaySecs * US)
+    val arrCol = if (simulateArrival) hash64(col("event_id"), ArrivalSeed)
+                 else col("event_id")
     Tables.events(spark, d)
       .select(col("user_id").as("k"), epochMicros(col("ts")).as("ts_us"),
-        col("event_id").as("seq"), lit(true).as("flag"))
-      .as[FlagRow]
+        col("event_id").as("seq"), arrCol.as("arr"))
+      .as[LateArrRow]
       .repartition(col("k"))
-      .sortWithinPartitions("k", "seq")
+      .sortWithinPartitions("k", "arr", "seq")
       .mapPartitions { it =>
-        StateMachineRunner.runPartition(m, it.map(r => (r.k, Flagged(r.ts_us, r.seq, r.flag))))
+        StateMachineRunner.runPartition(m, it.map(r => (r.k, Flagged(r.ts_us, r.seq, flag = true))))
           .collect { case (uid, BlOutcome("late", ts)) => (uid, ts) }
       }
       .toDF("user_id", "late_ts_us")
   }
 
-  def lateEventsSql(delaySecs: Long = 60): String =
+  def lateEventsSql(delaySecs: Long = 60, simulateArrival: Boolean = false): String = {
+    val ord =
+      if (simulateArrival)
+        s"(md5_number_lower('$ArrivalSeed:' || event_id) % ${graft.functions.ColumnFunctions.HashPrime}::UBIGINT)::BIGINT"
+      else "event_id"
     s"""WITH o AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-       |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+       |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY $ord, event_id
        |                                 ROWS BETWEEN UNBOUNDED PRECEDING
        |                                 AND 1 PRECEDING) AS prev_max
        |  FROM events
        |)
        |SELECT user_id, ts_us AS late_ts_us FROM o
        |WHERE prev_max IS NOT NULL AND ts_us < prev_max - ${delaySecs * US}""".stripMargin
+  }
 
   def blacklistStatefulSql(threshold: Long = 1): String =
     s"""WITH c AS (

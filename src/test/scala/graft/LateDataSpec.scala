@@ -91,6 +91,31 @@ class LateDataSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("simulated-arrival replay: late path is non-vacuous and equals the window-fn form") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // physical order is time-sorted → legitimately zero late rows
+    assert(operators.Stateful.lateEvents(spark, sf).count() == 0)
+    // hash-permuted replay must surface real late rows…
+    val sim = operators.Stateful.lateEvents(spark, sf, simulateArrival = true)
+    val got = sim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got.nonEmpty)
+    // …and the machine output must equal the declarative window-function
+    // form of the same semantics (running max over arrival order)
+    val arr = graft.functions.ColumnFunctions.hash64(col("event_id"), operators.Stateful.ArrivalSeed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(arr, col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        graft.functions.ColumnFunctions.epochMicros(col("ts")).as("ts_us"),
+        max(graft.functions.ColumnFunctions.epochMicros(col("ts"))).over(w).as("prev_max"))
+      .filter(col("prev_max").isNotNull && col("ts_us") < col("prev_max") - lit(60L * 1000000L))
+      .select(col("user_id"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == ref)
+  }
+
   test("late side output: tagged flow splits into main and late sinks") {
     import spark.implicits._
     val m = new LateTagMachine(10)
