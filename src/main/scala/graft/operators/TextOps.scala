@@ -20,10 +20,12 @@ import graft.functions.ColumnFunctions.{hash64, HashPrime}
   *     from equality joins on (band, signature) buckets, never from the
   *     O(n²) all-pairs product; the exact-Jaccard verify runs only on
   *     candidates.
-  *   - ngramJaccard: the exact form; its shingle self-join is
-  *     inverted-index-shaped (join on shingle), safe while shingle
-  *     posting lists are bounded — at open-web scale you'd drop
-  *     stop-shingles first, or use minhashLsh and verify.
+  *   - ngramJaccard: the exact form, with a statistics-driven choice
+  *     between three exact strategies (bitmap all-pairs for dense
+  *     small-vocab corpora, provably-lossless prefix-filtered
+  *     candidates for the Zipf/stop-shingle regime — the shape that
+  *     survives 100 TB — and the direct inverted-index join as the
+  *     dense fallback). minhashLsh remains the approximate scale path.
   */
 object TextOps {
 
@@ -162,11 +164,78 @@ object TextOps {
 
   // ---- n-gram Jaccard near-dup pairs (exact form) --------------------
 
-  /** Exact bigram-shingle Jaccard near-duplicate pairs (inverted-index
-    * join on the shingle, never an all-pairs product). */
-  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val sets = docs(spark, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+  /** Exact-Jaccard verification of a candidate pair set: intersection
+    * counts come from joining the candidates against the doc-shingle
+    * relation (runs over |cands| × shingles-per-doc rows only), then the
+    * size join and the threshold filter. Shared by [[ngramJaccard]] and
+    * [[minhashLsh]]. */
+  private def jaccardVerify(cands: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Prefix-filtered candidate pairs (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search"; Chaudhuri et al. prefix filtering) — the
+    * bound on the hot-shingle quadratic tail:
+    *
+    * Canonical shingle order = (document frequency asc, shingle asc);
+    * each doc keeps only its first `n − ceil(t·n) + 1` shingles (its
+    * PREFIX), and candidates come from the inverted-index join over
+    * prefixes only.
+    *
+    * Completeness proof: J(a,b) ≥ t ⇒ α = |a∩b| ≥ t·|a∪b| ≥
+    * t·max(na,nb), so α ≥ ceil(t·na) and α ≥ ceil(t·nb). Suppose no
+    * common element lies in BOTH prefixes, and (wlog) a's max prefix
+    * element e precedes b's max prefix element f in the canonical
+    * order. Any common c ∈ pref(a) has order ≤ e < f so it would also
+    * sit inside b's prefix — excluded by assumption; hence every common
+    * element lies in a's suffix, which has only ceil(t·na) − 1 < α
+    * elements. Contradiction. So the prefix join finds every
+    * qualifying pair — results are EXACTLY those of the naive
+    * inverted-index join (tested against it).
+    *
+    * Scale effect: a stop-shingle ("of the") has maximal df, so it
+    * sorts LAST in the canonical order and enters a doc's prefix only
+    * when the doc has almost nothing rarer — its posting list in the
+    * prefix relation collapses, where the naive join paid k² pairs. */
+  private[graft] def prefixRelation(sets: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    sets.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("sh"))
+  }
+
+  private[graft] def prefixCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+    val prefix = prefixRelation(sets, threshold)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Direct inverted-index aggregation: the shingle self-join feeding
+    * the intersection count straight into a groupBy — no candidate
+    * materialization, no re-join. Optimal for DENSE corpora (where
+    * almost every pair is a candidate anyway, so pruning can't win and
+    * re-joining costs extra); its weakness is the unbounded hot-shingle
+    * posting list (k docs sharing one shingle → k² join rows). */
+  private def directJaccard(sets: DataFrame, threshold: Double): DataFrame = {
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sets.as("a").join(sets.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -178,6 +247,126 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Bitmap all-pairs: when the shingle VOCABULARY is small (the dense
+    * small-vocab regime where candidate pruning is hopeless), encode
+    * each doc's shingle set as ⌈vocab/64⌉ longs and score every pair
+    * with word-wise AND + POPCNT inside one broadcast nested-loop join —
+    * no 10⁷-row shuffle, no groupBy. C(n,2)·⌈vocab/64⌉ word-ops, chosen
+    * only under the doc/vocab caps in [[chooseJaccardStrategy]]. */
+  private def bitmapJaccard(sets: DataFrame, vocab: Long, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = ((vocab + 63) / 64).toInt
+    // stable shingle → bit index; bounded by maxBitmapVocab, so the
+    // single-partition ranking window is trivially small
+    val vocabIdx = sets.select(col("sh")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("sh"))) - 1)
+    val ids = sets.join(broadcast(vocabIdx), "sh").select(col("doc_id"), col("idx"))
+    // per-word OR via SUM: idx values are distinct per doc, so each bit
+    // is added exactly once — the simhash static-aggregate trick
+    val words = (0 until nWords).map { w =>
+      sum(when(expr("idx DIV 64") === w,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as(s"w$w")
+    }
+    val bm = ids.groupBy("doc_id").agg(words.head, (words.tail :+ count(lit(1)).as("n")): _*)
+    // keep the words as FLAT long columns (not an array): the popcount
+    // sum below is then a plain builtin expression tree — whole-stage
+    // codegen, zero allocation per pair (a zip_with/aggregate HOF form
+    // measured 10× slower: per-pair array alloc + boxed lambdas)
+    val a = bm.select(col("doc_id").as("doc_a") +:
+      (0 until nWords).map(w => col(s"w$w").as(s"a$w")) :+ col("n").as("na"): _*)
+    val b = bm.select(col("doc_id").as("doc_b") +:
+      (0 until nWords).map(w => col(s"w$w").as(s"b$w")) :+ col("n").as("nb"): _*)
+    val inter = (0 until nWords)
+      .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))).cast("long"))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("inter", inter)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact corpus statistics driving the strategy choice — all exact
+    * counts, so the chosen plan is deterministic for a given corpus
+    * (and the DuckDB oracle, which always computes the naive form,
+    * stays bit-identical since every strategy is exact). */
+  private[graft] case class JaccardStats(nDocs: Long, vocab: Long, rows: Long,
+                                         directJoinRows: Long)
+
+  private[graft] def jaccardStats(sets: DataFrame): JaccardStats = {
+    val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+    val r = dfreq.agg(
+      count(lit(1)), coalesce(sum(col("df")), lit(0L)).cast("long"),
+      coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).cast("long")).head()
+    val nDocs = sets.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    JaccardStats(nDocs, r.getLong(0), r.getLong(1), r.getLong(2) / 2)
+  }
+
+  /** Join-size of the prefix-filtered candidate generation — only
+    * computed when the bitmap path is ruled out. */
+  private[graft] def prefixJoinRows(sets: DataFrame, threshold: Double): Long =
+    prefixRelation(sets, threshold)
+      .groupBy("sh").agg(count(lit(1)).as("pdf"))
+      .agg(coalesce(sum(col("pdf") * (col("pdf") - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+
+  private[graft] sealed trait JaccardStrategy
+  private[graft] case object BitmapAllPairs extends JaccardStrategy
+  private[graft] case object PrefixFiltered extends JaccardStrategy
+  private[graft] case object DirectInverted extends JaccardStrategy
+
+  /** Cost-based strategy choice (AQE-spirit, driven by exact stats):
+    *
+    *  - [[BitmapAllPairs]] when docs and vocabulary fit the bitmap caps
+    *    and C(n,2)·words is within a constant factor of the inverted
+    *    join (word-ops are ~30× cheaper than shuffled join rows).
+    *  - [[PrefixFiltered]] when pruned candidate generation plus its
+    *    re-join verification undercuts the direct join — the Zipf /
+    *    stop-shingle regime, the only shape that survives 100 TB.
+    *  - [[DirectInverted]] otherwise — the dense regime, where nearly
+    *    every pair is a genuine candidate and nothing can be pruned
+    *    (output-bound, inherently quadratic in that case).
+    */
+  private[graft] def chooseJaccardStrategy(
+      s: JaccardStats, pfRows: => Long,
+      maxBitmapDocs: Long = 32768, maxBitmapVocab: Long = 16384): JaccardStrategy = {
+    val words = (s.vocab + 63) / 64
+    val pairOps = s.nDocs * (s.nDocs - 1) / 2 * words
+    if (s.nDocs <= maxBitmapDocs && s.vocab <= maxBitmapVocab &&
+        pairOps <= 32L * s.directJoinRows) BitmapAllPairs
+    else {
+      val avgDoc = if (s.nDocs == 0) 0L else s.rows / s.nDocs
+      if (pfRows * (1 + 2 * avgDoc) < s.directJoinRows) PrefixFiltered
+      else DirectInverted
+    }
+  }
+
+  /** Exact bigram-shingle Jaccard near-duplicate pairs, with a
+    * statistics-driven choice between three EXACT strategies (bitmap
+    * all-pairs / prefix-filtered / direct inverted index — identical
+    * output, same oracle; see [[chooseJaccardStrategy]]). The naive
+    * single-strategy form is kept as [[ngramJaccardNaive]] for the
+    * equivalence tests. */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val sets = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val stats = jaccardStats(sets)
+    chooseJaccardStrategy(stats, prefixJoinRows(sets, threshold)) match {
+      case BitmapAllPairs => bitmapJaccard(sets, stats.vocab, threshold)
+      case PrefixFiltered => jaccardVerify(prefixCandidates(sets, threshold), sets, threshold)
+      case DirectInverted => directJaccard(sets, threshold)
+    }
+  }
+
+  /** The naive inverted-index form — reference semantics for the
+    * strategy equivalence tests; not registered as a query. */
+  private[graft] def ngramJaccardNaive(spark: SparkSession, d: String,
+                                       threshold: Double = 0.5): DataFrame = {
+    val sets = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    directJaccard(sets, threshold)
   }
 
   def ngramJaccardSql(threshold: Double = 0.5): String =
@@ -234,22 +423,10 @@ object TextOps {
       .distinct()
     // exact-Jaccard verification of CANDIDATES ONLY — this is the whole
     // point of LSH: the inverted-index join runs over |cands|·|shingles
-    // per doc| rows, never over every pair sharing a hot shingle (the
-    // all-pairs form in ngramJaccard is the expensive exact baseline)
+    // per doc| rows, never over every pair sharing a hot shingle
     val sets = docs(spark, d)
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
-    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardVerify(cands, sets, threshold)
   }
 
   def minhashLshSql(threshold: Double = 0.5): String = {

@@ -50,6 +50,61 @@ class TextOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty && lsh.size >= (exact.size * 9) / 10) // ≥90 % recall
   }
 
+  test("prefix-filtered ngram_jaccard equals the naive inverted-index form") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
+    val fast = TextOps.ngramJaccard(spark, sf).collect().map(key).toSet
+    val naive = TextOps.ngramJaccardNaive(spark, sf).collect().map(key).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("prefix filtering collapses a planted stop-shingle posting list") {
+    import spark.implicits._
+    // 30 docs, 10 shingles each, ALL sharing the stop-shingle "of the";
+    // docs 0 and 1 additionally share c1..c8 (J = 9/11 ≥ 0.5)
+    val hot = "of the"
+    val sets = (
+      Seq((0L, hot)) ++ (1 to 8).map(i => (0L, s"c$i")) ++ Seq((0L, "x0")) ++
+      Seq((1L, hot)) ++ (1 to 8).map(i => (1L, s"c$i")) ++ Seq((1L, "x1")) ++
+      (2 until 30).flatMap(dId =>
+        Seq((dId.toLong, hot)) ++ (1 to 9).map(i => (dId.toLong, s"u${dId}_$i")))
+    ).toDF("doc_id", "sh")
+    val cands = TextOps.prefixCandidates(sets, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot shingle alone would make every pair a candidate (435);
+    // the prefix filter keeps exactly the one qualifying pair
+    assert(cands == Set((0L, 1L)))
+  }
+
+  test("jaccard strategy chooser: bitmap for dense small corpora, prefix for stop-shingle, direct for dense-unprunable") {
+    import spark.implicits._
+    // stop-shingle corpus (same shape as the collapse test)
+    val hot = "of the"
+    val stopSets = (
+      Seq((0L, hot)) ++ (1 to 8).map(i => (0L, s"c$i")) ++ Seq((0L, "x0")) ++
+      Seq((1L, hot)) ++ (1 to 8).map(i => (1L, s"c$i")) ++ Seq((1L, "x1")) ++
+      (2 until 30).flatMap(dId =>
+        Seq((dId.toLong, hot)) ++ (1 to 9).map(i => (dId.toLong, s"u${dId}_$i")))
+    ).toDF("doc_id", "sh")
+    val stopStats = TextOps.jaccardStats(stopSets)
+    // small corpus → bitmap under default caps…
+    assert(TextOps.chooseJaccardStrategy(stopStats,
+      TextOps.prefixJoinRows(stopSets, 0.5)) == TextOps.BitmapAllPairs)
+    // …but with bitmap ruled out (the at-scale shape), the hot shingle
+    // collapses out of the prefixes → prefix filtering wins
+    assert(TextOps.chooseJaccardStrategy(stopStats,
+      TextOps.prefixJoinRows(stopSets, 0.5), maxBitmapDocs = 0) == TextOps.PrefixFiltered)
+    // the real corpus is DENSE (tiny shared vocab, df ≈ nDocs/17): with
+    // bitmap ruled out, pruning can't win → direct inverted index
+    val denseSets = sources.Tables.documents(spark, sf)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> toks[i] || ' ' || toks[i+1])")).as("sh"))
+      .distinct()
+    assert(TextOps.chooseJaccardStrategy(TextOps.jaccardStats(denseSets),
+      TextOps.prefixJoinRows(denseSets, 0.5), maxBitmapDocs = 0) == TextOps.DirectInverted)
+  }
+
   test("dedup_exact keeps one row per distinct text with the lowest doc_id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftdocs2").toString
