@@ -1,9 +1,10 @@
 package graft
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. Runs every SparkEntry query twice — one untimed
-  * warmup pass (JVM/JIT/codegen + parquet footer caches) and one timed
-  * pass — then emits a single JSON metric line.
+/** Benchmark main. Runs one untimed warmup pass (JVM/JIT/codegen +
+  * parquet footer caches), then three timed passes interleaved across
+  * the whole suite (min-of-3 per query, with a targeted re-run when the
+  * samples spread >2× — see below), and emits a single JSON metric line.
   *
   * Honesty contract (VERDICT r1 #9): a failing query is reported as
   * `null` timing plus an entry in `"errors"`, never as a fake elapsed
@@ -21,27 +22,42 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => warmErrs(n) = e.toString.take(300) }
     }
-    // two timed passes, min per query: the host shows multi-minute
-    // noisy-neighbor bursts (identical binaries measured 43-233s
-    // totals); the min is the standard low-noise estimator
+    // three timed passes INTERLEAVED across the whole suite (pass1 all
+    // queries, pass2 all, pass3 all), min per query: the host shows
+    // multi-minute noisy-neighbor bursts (identical binaries measured
+    // 43-233s totals), and interleaving spreads one query's samples
+    // ~a-full-suite-apart in time so a single burst can't capture all
+    // of them (VERDICT r3 #4 — back-to-back passes both landed inside
+    // one burst and produced a false 3.8× regression)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timedPass(): Map[String, Option[Double]] = names.map { n =>
+    def timeOne(n: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()
-        n -> Some((System.nanoTime() - t0) / 1e9)
+        Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         errors(n) = e.toString.take(300)
-        n -> None
+        None
       }
-    }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    }
+    def timedPass(): Map[String, Option[Double]] = names.map(n => n -> timeOne(n)).toMap
+    val allPasses = Seq(timedPass(), timedPass(), timedPass())
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    val rerun = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     names.foreach { n =>
-      timings(n) = (p1(n), p2(n)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b) => a.orElse(b)
+      val ok = allPasses.flatMap(_(n))
+      var best = if (ok.nonEmpty) Some(ok.min) else None
+      // TimeQuery-style targeted re-run: if the three samples disagree
+      // by >2× the burst hit at least one of them — take two more
+      // isolated samples, far from the original burst window, and keep
+      // the overall min. A burst can inflate a pass; it cannot make a
+      // query run faster than its true cost, so min-over-5 only sharpens.
+      if (ok.nonEmpty && ok.max > 2.0 * ok.min) {
+        val extra = Seq(timeOne(n), timeOne(n)).flatten
+        rerun(n) = extra.minOption
+        best = Some((ok ++ extra).min)
       }
+      timings(n) = best
       // consistent contract (ADVICE r2): a query with a reported timing
       // is NOT an error — a flaky single-pass failure surfaces in the
       // raw "passes" (null entry), not in errors/n_failed
@@ -56,9 +72,10 @@ object Bench {
       s"${jstr(k)}:${v.map(x => f"$x%.3f").getOrElse("null")}"
     }.mkString("{", ",", "}")
     // raw per-pass timings (VERDICT r2 #6): lets the driver see
-    // noisy-neighbor spread behind the min estimator
+    // noisy-neighbor spread behind the min estimator; re-run minima
+    // appear as a 4th entry for queries that tripped the 2× spread check
     val passes = names.map { n =>
-      val raw = Seq(p1(n), p2(n))
+      val raw = (allPasses.map(_(n)) ++ rerun.get(n))
         .map(_.map(x => f"$x%.3f").getOrElse("null")).mkString("[", ",", "]")
       s"${jstr(n)}:$raw"
     }.mkString("{", ",", "}")

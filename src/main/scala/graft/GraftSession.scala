@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bitmapJaccard joins up to 2·256 flat long columns per pair row;
+      // keep whole-stage codegen alive above the 100-field default
+      // (TextOps.bitmapJaccard scaladoc — ADVICE r3)
+      .config("spark.sql.codegen.maxFields", "1024")
       // driver testdata events.ts is TIMESTAMP(NANOS) — read as Long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -273,7 +273,12 @@ object TextOps {
     // keep the words as FLAT long columns (not an array): the popcount
     // sum below is then a plain builtin expression tree — whole-stage
     // codegen, zero allocation per pair (a zip_with/aggregate HOF form
-    // measured 10× slower: per-pair array alloc + boxed lambdas)
+    // measured 10× slower: per-pair array alloc + boxed lambdas).
+    // WSCG requires the joined row's field count (2·nWords + 4) under
+    // spark.sql.codegen.maxFields — GraftSession raises it to 1024 so
+    // the property holds all the way to the 16384-vocab cap (256 word
+    // columns); on a default-config session the upper end of the cap
+    // falls back to interpreted eval, still exact (ADVICE r3)
     val a = bm.select(col("doc_id").as("doc_a") +:
       (0 until nWords).map(w => col(s"w$w").as(s"a$w")) :+ col("n").as("na"): _*)
     val b = bm.select(col("doc_id").as("doc_b") +:
@@ -283,6 +288,11 @@ object TextOps {
       .reduce(_ + _)
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("inter", inter)
+      // inter > 0 keeps the all-pairs form identical to the inverted-
+      // index strategies even at threshold <= 0: a pair sharing no
+      // shingle never appears in a posting-list join, so it must not
+      // appear here either (ADVICE r3)
+      .filter(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -332,13 +342,22 @@ object TextOps {
   private[graft] def chooseJaccardStrategy(
       s: JaccardStats, pfRows: => Long,
       maxBitmapDocs: Long = 32768, maxBitmapVocab: Long = 16384): JaccardStrategy = {
-    val words = (s.vocab + 63) / 64
-    val pairOps = s.nDocs * (s.nDocs - 1) / 2 * words
+    // degenerate corpora (0/1 docs, empty vocab) have no pairs; the
+    // inverted-index form returns empty without building a bitmap
+    // (bitmapJaccard on vocab=0 would have no word columns — ADVICE r3)
+    if (s.nDocs < 2 || s.vocab == 0) return DirectInverted
+    // costs in Double: the products (nDocs² · words, pfRows · avgDoc)
+    // overflow Long exactly at the corpus sizes where a wrong flip to a
+    // quadratic strategy hurts most (ADVICE r3); Double loses only
+    // precision, never sign or magnitude, and the choice is a ~32×
+    // comparison where 1-ulp error is irrelevant
+    val words = ((s.vocab + 63) / 64).toDouble
+    val pairOps = s.nDocs.toDouble * (s.nDocs - 1).toDouble / 2.0 * words
     if (s.nDocs <= maxBitmapDocs && s.vocab <= maxBitmapVocab &&
-        pairOps <= 32L * s.directJoinRows) BitmapAllPairs
+        pairOps <= 32.0 * s.directJoinRows.toDouble) BitmapAllPairs
     else {
-      val avgDoc = if (s.nDocs == 0) 0L else s.rows / s.nDocs
-      if (pfRows * (1 + 2 * avgDoc) < s.directJoinRows) PrefixFiltered
+      val avgDoc = s.rows.toDouble / s.nDocs.toDouble
+      if (pfRows.toDouble * (1.0 + 2.0 * avgDoc) < s.directJoinRows.toDouble) PrefixFiltered
       else DirectInverted
     }
   }

@@ -79,6 +79,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == pairs)
   }
 
+  test("near-dup banded branch: forced cap still finds crafted dups, rejects far pairs") {
+    import spark.implicits._
+    // 64-dim so the hyperplane sign bits are real (not null-padded)
+    val base = Array.tabulate(64)(i => 0.01f * ((i % 13) - 6))
+    val near = base.clone(); near(5) = near(5) + 0.0005f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.3f)
+    val dir = java.nio.file.Files.createTempDirectory("graftbanded").toString
+    Seq((0L, base, 1), (1L, near, 1), (2L, far, 1), (3L, base, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // maxCell=1 < largest cell (3) forces the banded sign-LSH refinement
+    val pairs = Similarity.embeddingNearDup(spark, dir, threshold = 0.99, maxCell = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0~1 near-identical (same sign pattern, every band agrees); 2 is
+    // far (verify rejects any chance band collision); 3 is in another cell
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("near-dup banded branch is a subset of exact with identical scores") {
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scores(Similarity.embeddingNearDup(spark, sf, threshold = 0.3))
+    val banded = scores(Similarity.embeddingNearDup(spark, sf, threshold = 0.3, maxCell = 1))
+    assert(exact.nonEmpty)
+    assert(banded.keySet.subsetOf(exact.keySet),
+      s"banded emitted pairs outside the exact set: ${banded.keySet -- exact.keySet}")
+    banded.foreach { case (k, s) => assert(s == exact(k)) } // same exact arithmetic
+    // deterministic across runs (hash-derived hyperplanes)
+    val again = scores(Similarity.embeddingNearDup(spark, sf, threshold = 0.3, maxCell = 1))
+    assert(again == banded)
+  }
+
+  test("ANN overloads accept an arbitrary query DataFrame") {
+    import spark.implicits._
+    val qids = Seq(3L, 7L)
+    val queries = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    // the default form's query set {0..9} ⊇ {3,7}; per-query results are
+    // independent, so the overload must reproduce those queries exactly
+    val brute = keyed(Similarity.annCosineTopK(spark, sf, queries, k = 5))
+    val bruteDefault = keyed(Similarity.annCosineTopK(spark, sf))
+      .filter { case ((q, _), _) => qids.contains(q) }
+    assert(brute == bruteDefault)
+    val ivf = keyed(Similarity.annIvfTopK(spark, sf, queries, k = 5, nprobe = 2))
+    val ivfDefault = keyed(Similarity.annIvfTopK(spark, sf))
+      .filter { case ((q, _), _) => qids.contains(q) }
+    assert(ivf == ivfDefault)
+  }
+
   test("IVF scores equal exact scores for neighbors both return") {
     val exact = Similarity.annCosineTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("score")).toMap
