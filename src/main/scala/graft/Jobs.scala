@@ -167,6 +167,36 @@ object Jobs {
     StreamingJobs.topNPerWindow(counts, n, "url")
   }
 
+  /** STREAMING HotItems end-to-end, a single Structured Streaming query
+    * (reference hotItems/HotItems.scala:33-84: Kafka consumer → filter
+    * pv → 1h/5m sliding count by item → per-window TopN process
+    * function → sink). The source is a file-drop directory of
+    * UserBehavior CSVs — the replayable stand-in for the Kafka topic
+    * (swap in StreamSources.kafkaLines + the CSV parse line when a
+    * broker exists; every transform downstream is source-agnostic).
+    * Ranking is not an incremental operator, so TopN runs inside
+    * foreachBatch over the windowed-count state — the same re-key-by-
+    * windowEnd stage split the reference makes (HotItems.scala:81).
+    *
+    * `onBatch` receives the ranked TopN frame per micro-batch. Complete
+    * output mode replays all windows each batch (the fixture regime —
+    * its state is one row per live (window, item)); at 100 TB switch
+    * the caller to update mode + watermark so finalized windows leave
+    * the state store, and fold the per-batch deltas in the sink. */
+  def hotItemsStream(spark: SparkSession, dir: String, n: Int = 5,
+                     maxFilesPerTrigger: Int = 1)
+                    (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pv = graft.sources.StreamSources.userBehaviorStream(spark, dir, maxFilesPerTrigger)
+      .filter(col("behavior") === "pv")
+    val counts = StreamingJobs.windowedCounts(pv, "1 hour", Some("5 minutes"), Seq(col("itemId")))
+    counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(StreamingJobs.topNPerWindow(batch, n, "itemId"), id)
+      }
+      .start()
+  }
+
   /** AdClickLog.csv → (pass-through clicks, one-time warnings) per the
     * corrected z_FilterBlackListUser semantics — returned as the tagged
     * union; split with Sinks.splitByTag. */

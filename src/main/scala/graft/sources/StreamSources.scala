@@ -62,7 +62,13 @@ object StreamSources {
     spark.readStream.schema(CsvSources.orderEventSchema).csv(dir)
       .withColumn("ts", timestamp_seconds(col("eventTime")))
 
-  def userBehaviorStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(CsvSources.userBehaviorSchema).csv(dir)
-      .withColumn("ts", timestamp_seconds(col("timestamp")))
+  /** maxFilesPerTrigger < 1 → unthrottled; ≥ 1 caps files per
+    * micro-batch (tests use 1 to force one batch per dropped file). */
+  def userBehaviorStream(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(CsvSources.userBehaviorSchema)
+    val withOpt = if (maxFilesPerTrigger >= 1)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r
+    withOpt.csv(dir).withColumn("ts", timestamp_seconds(col("timestamp")))
+  }
 }

