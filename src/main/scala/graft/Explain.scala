@@ -6,12 +6,27 @@ package graft
   * review loop. Usage: runMain graft.Explain [sfDir] [query ...]
   * (no query names = all). */
 object Explain {
+
+  /** Audit-only plan variants not reachable through SparkEntry
+    * defaults: forced strategy branches whose 100-TB shape must be
+    * reviewable even when the chooser (correctly) avoids them at the
+    * audited SF. */
+  val audits: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "ngram_jaccard_prefix_forced" -> ((s, d) =>
+      operators.TextOps.ngramJaccardWith(s, d, 0.5, operators.TextOps.PrefixFiltered)),
+    "ngram_jaccard_direct_forced" -> ((s, d) =>
+      operators.TextOps.ngramJaccardWith(s, d, 0.5, operators.TextOps.DirectInverted)),
+    "embedding_neardup_banded_forced" -> ((s, d) =>
+      operators.Similarity.embeddingNearDup(s, d, threshold = 0.4, maxCell = 1)))
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-explain")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      val q = SparkEntry.queries(n)(spark, d)
+      val q = SparkEntry.queries.get(n).orElse(audits.get(n)).get(spark, d)
+      if (n == "ngram_jaccard")
+        println(s"-- chooser pick at $d: ${operators.TextOps.chosenStrategy(spark, d)}")
       q.collect() // materialize so AQE finalizes the plan
       println(s"===== $n")
       println(q.queryExecution.executedPlan.toString.linesIterator

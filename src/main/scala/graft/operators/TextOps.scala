@@ -379,6 +379,28 @@ object TextOps {
     }
   }
 
+  /** Run a SPECIFIC strategy regardless of the chooser — the plan-audit
+    * and equivalence-test hook (all three are exact, so output is
+    * identical; only the physical plan differs). */
+  private[graft] def ngramJaccardWith(spark: SparkSession, d: String, threshold: Double,
+                                      strategy: JaccardStrategy): DataFrame = {
+    val sets = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    strategy match {
+      case BitmapAllPairs => bitmapJaccard(sets, jaccardStats(sets).vocab, threshold)
+      case PrefixFiltered => jaccardVerify(prefixCandidates(sets, threshold), sets, threshold)
+      case DirectInverted => directJaccard(sets, threshold)
+    }
+  }
+
+  /** The chooser's pick for a corpus — audit/introspection hook. */
+  private[graft] def chosenStrategy(spark: SparkSession, d: String,
+                                    threshold: Double = 0.5): JaccardStrategy = {
+    val sets = docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    chooseJaccardStrategy(jaccardStats(sets), prefixJoinRows(sets, threshold))
+  }
+
   /** The naive inverted-index form — reference semantics for the
     * strategy equivalence tests; not registered as a query. */
   private[graft] def ngramJaccardNaive(spark: SparkSession, d: String,

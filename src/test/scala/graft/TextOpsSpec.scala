@@ -58,6 +58,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("all three FORCED strategies produce identical pairs (audit hook)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
+    val byStrategy = Seq(TextOps.BitmapAllPairs, TextOps.PrefixFiltered,
+        TextOps.DirectInverted)
+      .map(s => TextOps.ngramJaccardWith(spark, sf, 0.5, s).collect().map(key).toSet)
+    assert(byStrategy.head.nonEmpty)
+    assert(byStrategy.distinct.size == 1,
+      s"forced strategies disagree: sizes ${byStrategy.map(_.size)}")
+  }
+
   test("prefix filtering collapses a planted stop-shingle posting list") {
     import spark.implicits._
     // 30 docs, 10 shingles each, ALL sharing the stop-shingle "of the";
