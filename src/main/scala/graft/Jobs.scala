@@ -197,6 +197,33 @@ object Jobs {
       .start()
   }
 
+  /** STREAMING NetworkFlow over a live TCP socket, a single Structured
+    * Streaming query (reference networkflow/analysis/
+    * NetworkFlowTopNPage_经典演示迟到数据.scala:31-73: socketTextStream →
+    * apache-log parse → 10-minute sliding window count by url → TopN).
+    * The socket source is the same demo-grade source the reference
+    * uses — the parse and every downstream transform are shared with
+    * the batch path ([[networkFlowTopPages]]) via
+    * CsvSources.parseApacheLines, so swapping in a durable source
+    * (file-drop, Kafka) changes one line. `onBatch` receives the
+    * ranked per-window TopN each micro-batch (complete mode — same
+    * state regime note as [[hotItemsStream]]). */
+  def networkFlowStream(spark: SparkSession, host: String, port: Int,
+                        n: Int = 3, win: String = "10 minutes",
+                        slide: Option[String] = Some("5 minutes"))
+                       (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val parsed = CsvSources
+      .parseApacheLines(graft.sources.StreamSources.socketLines(spark, host, port))
+      .filter(col("ts").isNotNull && col("url").isNotNull)
+    val counts = StreamingJobs.windowedCounts(parsed, win, slide, Seq(col("url")))
+    counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(StreamingJobs.topNPerWindow(batch, n, "url"), id)
+      }
+      .start()
+  }
+
   /** AdClickLog.csv → (pass-through clicks, one-time warnings) per the
     * corrected z_FilterBlackListUser semantics — returned as the tagged
     * union; split with Sinks.splitByTag. */

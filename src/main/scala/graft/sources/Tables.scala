@@ -138,16 +138,21 @@ object CsvSources {
   def userBehavior(spark: SS, path: String): Dataset[Records.UserBehavior] =
     readUserBehavior(spark, path).as(Encoders.product[Records.UserBehavior])
 
-  /** apache.log parser: space-separated, wall-format timestamp.
+  /** apache.log line parse as a frame transform (input: one string
+    * column named `line`) — the same parse serves batch files, the
+    * socket stream, and a Kafka value stream (SURVEY §2.3: one logical
+    * format, any physical source).
     * reference: networkflow/analysis/NetworkFlowTopNPage*.scala:33-42 */
-  def readApacheLog(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.text(path)
-    raw.select(split(col("value"), " ").as("f"))
+  def parseApacheLines(lines: DataFrame): DataFrame =
+    lines.select(split(col("line"), " ").as("f"))
       .select(
         col("f").getItem(0).as("ip"),
         col("f").getItem(1).as("userId"),
         to_timestamp(col("f").getItem(3), "dd/MM/yyyy:HH:mm:ss").as("ts"),
         col("f").getItem(5).as("method"),
         col("f").getItem(6).as("url"))
-  }
+
+  /** apache.log parser: space-separated, wall-format timestamp. */
+  def readApacheLog(spark: SparkSession, path: String): DataFrame =
+    parseApacheLines(spark.read.text(path).select(col("value").as("line")))
 }
