@@ -298,6 +298,12 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The (doc_id, shingle) set relation every Jaccard strategy and the
+    * stats pass share — distinct bigram shingles per document. */
+  private[graft] def shingleSets(spark: SparkSession, d: String): DataFrame =
+    docs(spark, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+
   /** Exact corpus statistics driving the strategy choice — all exact
     * counts, so the chosen plan is deterministic for a given corpus
     * (and the DuckDB oracle, which always computes the naive form,
@@ -305,22 +311,51 @@ object TextOps {
   private[graft] case class JaccardStats(nDocs: Long, vocab: Long, rows: Long,
                                          directJoinRows: Long)
 
-  private[graft] def jaccardStats(sets: DataFrame): JaccardStats = {
-    val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
-    val r = dfreq.agg(
-      count(lit(1)), coalesce(sum(col("df")), lit(0L)).cast("long"),
-      coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).cast("long")).head()
-    val nDocs = sets.agg(countDistinct(col("doc_id"))).head().getLong(0)
-    JaccardStats(nDocs, r.getLong(0), r.getLong(1), r.getLong(2) / 2)
+  /** `sampleFraction < 1` estimates the stats from a deterministic
+    * doc-level sample (portable hash of doc_id, so repeatable) and
+    * scales them back up: under doc-sampling at rate f, E[rows]=f·rows
+    * and E[Σdf(df−1)]=f²·Σdf(df−1), so /f and /f² are unbiased; vocab
+    * is reported as observed (a lower bound — fine, it only gates the
+    * bitmap cap, and the sampling regime is far beyond that cap
+    * anyway). Sampled stats drive ONLY the strategy choice; every
+    * strategy then runs exact on the full corpus, so the output is
+    * identical either way (VERDICT r3 minor #4: at 100 TB the stats
+    * pass must not be a second full scan). Both aggregates (shingle-df
+    * rollup and distinct-doc count) are fused into one job via a
+    * 1-row × 1-row cross join — one action, one stage graph. */
+  private[graft] def jaccardStats(sets: DataFrame, sampleFraction: Double = 1.0): JaccardStats = {
+    val (s, f) =
+      if (sampleFraction >= 1.0) (sets, 1.0)
+      else (sets.filter(pmod(hash64(col("doc_id"), 7), lit(1000000L)) <
+        math.round(sampleFraction * 1000000L)), sampleFraction)
+    val shingleAgg = s.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("vocab"),
+        coalesce(sum(col("df")), lit(0L)).cast("long").as("rows"),
+        coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).cast("long").as("dj2"))
+    val docAgg = s.agg(countDistinct(col("doc_id")).as("nDocs"))
+    val r = shingleAgg.crossJoin(docAgg).head()
+    JaccardStats(
+      math.round(r.getLong(3) / f), r.getLong(0),
+      math.round(r.getLong(1) / f), math.round(r.getLong(2) / (2.0 * f * f)))
   }
 
   /** Join-size of the prefix-filtered candidate generation — only
-    * computed when the bitmap path is ruled out. */
-  private[graft] def prefixJoinRows(sets: DataFrame, threshold: Double): Long =
-    prefixRelation(sets, threshold)
+    * computed when the bitmap path is ruled out. Same doc-sampling
+    * contract as [[jaccardStats]] (estimate scales /f²; the df-order
+    * prefix selection on the sample approximates the full one — the
+    * estimate drives only the choice, never the result). */
+  private[graft] def prefixJoinRows(sets: DataFrame, threshold: Double,
+                                    sampleFraction: Double = 1.0): Long = {
+    val (s, f) =
+      if (sampleFraction >= 1.0) (sets, 1.0)
+      else (sets.filter(pmod(hash64(col("doc_id"), 7), lit(1000000L)) <
+        math.round(sampleFraction * 1000000L)), sampleFraction)
+    val raw = prefixRelation(s, threshold)
       .groupBy("sh").agg(count(lit(1)).as("pdf"))
       .agg(coalesce(sum(col("pdf") * (col("pdf") - 1)), lit(0L)).cast("long"))
-      .head().getLong(0) / 2
+      .head().getLong(0)
+    math.round(raw / (2.0 * f * f))
+  }
 
   private[graft] sealed trait JaccardStrategy
   private[graft] case object BitmapAllPairs extends JaccardStrategy
@@ -368,11 +403,19 @@ object TextOps {
     * output, same oracle; see [[chooseJaccardStrategy]]). The naive
     * single-strategy form is kept as [[ngramJaccardNaive]] for the
     * equivalence tests. */
-  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val sets = docs(spark, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
-    val stats = jaccardStats(sets)
-    chooseJaccardStrategy(stats, prefixJoinRows(sets, threshold)) match {
+  /** `statsSampleFraction < 1` runs the stats pass on a doc-level
+    * sample (the 100 TB regime — don't full-scan twice just to pick a
+    * plan). Sampled stats never select the bitmap strategy: its caps
+    * demand exact nDocs/vocab, and any corpus worth sampling is far
+    * past them. Output is identical at any fraction — all strategies
+    * are exact; only the plan choice is estimated. */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5,
+                   statsSampleFraction: Double = 1.0): DataFrame = {
+    val sets = shingleSets(spark, d)
+    val stats = jaccardStats(sets, statsSampleFraction)
+    val bitmapDocsCap = if (statsSampleFraction >= 1.0) 32768L else 0L
+    chooseJaccardStrategy(stats, prefixJoinRows(sets, threshold, statsSampleFraction),
+        maxBitmapDocs = bitmapDocsCap) match {
       case BitmapAllPairs => bitmapJaccard(sets, stats.vocab, threshold)
       case PrefixFiltered => jaccardVerify(prefixCandidates(sets, threshold), sets, threshold)
       case DirectInverted => directJaccard(sets, threshold)
@@ -384,8 +427,7 @@ object TextOps {
     * identical; only the physical plan differs). */
   private[graft] def ngramJaccardWith(spark: SparkSession, d: String, threshold: Double,
                                       strategy: JaccardStrategy): DataFrame = {
-    val sets = docs(spark, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val sets = shingleSets(spark, d)
     strategy match {
       case BitmapAllPairs => bitmapJaccard(sets, jaccardStats(sets).vocab, threshold)
       case PrefixFiltered => jaccardVerify(prefixCandidates(sets, threshold), sets, threshold)
@@ -396,8 +438,7 @@ object TextOps {
   /** The chooser's pick for a corpus — audit/introspection hook. */
   private[graft] def chosenStrategy(spark: SparkSession, d: String,
                                     threshold: Double = 0.5): JaccardStrategy = {
-    val sets = docs(spark, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val sets = shingleSets(spark, d)
     chooseJaccardStrategy(jaccardStats(sets), prefixJoinRows(sets, threshold))
   }
 
@@ -405,8 +446,7 @@ object TextOps {
     * strategy equivalence tests; not registered as a query. */
   private[graft] def ngramJaccardNaive(spark: SparkSession, d: String,
                                        threshold: Double = 0.5): DataFrame = {
-    val sets = docs(spark, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val sets = shingleSets(spark, d)
     directJaccard(sets, threshold)
   }
 
@@ -465,8 +505,7 @@ object TextOps {
     // exact-Jaccard verification of CANDIDATES ONLY — this is the whole
     // point of LSH: the inverted-index join runs over |cands|·|shingles
     // per doc| rows, never over every pair sharing a hot shingle
-    val sets = docs(spark, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
+    val sets = shingleSets(spark, d)
     jaccardVerify(cands, sets, threshold)
   }
 

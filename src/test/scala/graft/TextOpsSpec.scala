@@ -50,6 +50,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty && lsh.size >= (exact.size * 9) / 10) // ≥90 % recall
   }
 
+  test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
+    // output is strategy-independent (all exact), so any sample fraction
+    // must reproduce the exact-stats result bit-for-bit
+    val exact = TextOps.ngramJaccard(spark, sf).collect().map(key).toSet
+    val sampled = TextOps.ngramJaccard(spark, sf, 0.5, statsSampleFraction = 0.5)
+      .collect().map(key).toSet
+    assert(sampled == exact && exact.nonEmpty)
+    // the scaled estimates land near the exact stats (doc sampling is
+    // unbiased for nDocs/rows and /f² for the join size)
+    val sets = TextOps.shingleSets(spark, sf)
+    val full = TextOps.jaccardStats(sets)
+    val est = TextOps.jaccardStats(sets, 0.5)
+    assert(math.abs(est.nDocs - full.nDocs) <= full.nDocs / 2)
+    assert(math.abs(est.rows - full.rows) <= full.rows / 2)
+    assert(est.vocab <= full.vocab && est.vocab > 0)
+  }
+
   test("prefix-filtered ngram_jaccard equals the naive inverted-index form") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
