@@ -58,10 +58,29 @@ object ColumnFunctions {
     * The +50 is applied as `- (p - 50)` so the intermediate stays in
     * [-(p-50), 49] — `pmod(x,p) + 50` itself can overflow Long for the
     * 25 residues ≥ p - 25. */
-  def hash64(c: Column, seed: Int): Column = {
-    val x = md5Lower64Signed(concat_ws(":", lit(seed), c))
+  def hash64(c: Column, seed: Int): Column =
+    signedToModPrime(md5Lower64Signed(concat_ws(":", lit(seed), c)))
+
+  /** u mod p for the signed-long reinterpretation x of unsigned u (see
+    * [[hash64]] for the +50 = 2^64 mod p correction). */
+  private def signedToModPrime(x: Column): Column = {
     val p = lit(HashPrime)
     when(x >= 0, pmod(x, p)).otherwise(pmod(pmod(x, p) - lit(HashPrime - 50L), p))
+  }
+
+  /** TWO independent portable hashes from ONE md5: the (lower, upper)
+    * 64-bit little-endian halves of md5("<tag>:" + c), each mod
+    * HashPrime as non-negative BIGINT. A k-seed hash family then costs
+    * one digest: g_s = (lo + s·hi) mod p (Kirsch–Mitzenmacher double
+    * hashing; Bloom/minhash-standard). DuckDB twins:
+    * md5_number_lower / md5_number_upper — byte order verified. */
+  def hash64Pair(c: Column, tag: String): (Column, Column) = {
+    val hex = md5(concat_ws(":", lit(tag), c).cast("string"))
+    def chunk(pairs: Seq[Int]): Column =
+      conv(concat(pairs.map(i => substring(hex, i, 2)): _*), 16, 10).cast("long")
+    val lo = shiftleft(chunk(Seq(31, 29, 27, 25)), 32).bitwiseOR(chunk(Seq(23, 21, 19, 17)))
+    val hi = shiftleft(chunk(Seq(15, 13, 11, 9)), 32).bitwiseOR(chunk(Seq(7, 5, 3, 1)))
+    (signedToModPrime(lo), signedToModPrime(hi))
   }
 
   /** Deterministic UUID-shaped id from arbitrary content — the

@@ -475,11 +475,23 @@ object TextOps {
     * computed inline per shingle instance: the map-side hash work stays
     * inside one codegen stage feeding the partial-aggregate mins — no
     * extra shuffle. (Measured alternative: dedup-shingles-then-join
-    * halves the md5 calls but adds two shuffles and ran ~2× slower.) */
+    * halves the md5 calls but adds two shuffles and ran ~2× slower.)
+    * The 8-hash family costs ONE md5 per instance, not 8: both 64-bit
+    * halves of the digest give independent mod-p values (lo, hi), and
+    * g_s = (lo + s·hi) mod p (Kirsch–Mitzenmacher) derives the rest
+    * with long/decimal arithmetic — measured ~2× on the whole query
+    * (the digest over the shingle string dominated the map side). */
   private def signatures(spark: SparkSession, d: String): DataFrame = {
     val sh = docs(spark, d)
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh"))
-    val mins = MinhashSeeds.map(s => min(hash64(col("sh"), s)).as(s"h$s"))
+    val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("sh"), "mh")
+    val mins = MinhashSeeds.map { s =>
+      val g = if (s == 0) lo
+        // lo + s·hi ≤ 8·(p−1) overflows Long → DECIMAL(21,0) intermediate
+        else ((lo.cast("decimal(21,0)") + lit(s.toLong) * hi.cast("decimal(21,0)"))
+          % lit(HashPrime)).cast("long")
+      min(g).as(s"h$s")
+    }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -510,8 +522,12 @@ object TextOps {
   }
 
   def minhashLshSql(threshold: Double = 0.5): String = {
+    // same double-hashing family as [[signatures]]: one md5, two halves
+    val lo = s"(md5_number_lower('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"
+    val hi = s"(md5_number_upper('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"
     val h = (s: Int) =>
-      s"min((md5_number_lower('$s:' || sh) % ${HashPrime}::UBIGINT)::BIGINT)"
+      if (s == 0) s"min($lo)"
+      else s"min(((($lo)::HUGEINT + $s * ($hi)::HUGEINT) % ${HashPrime})::BIGINT)"
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |           FROM documents),
        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

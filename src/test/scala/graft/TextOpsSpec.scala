@@ -25,6 +25,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(seeded.toSeq == Seq(3627467534477731596L))
   }
 
+  test("hash64Pair + derived double-hash match DuckDB lower/upper goldens") {
+    import spark.implicits._
+    val (lo, hi) = ColumnFunctions.hash64Pair(col("s"), "mh")
+    val p = ColumnFunctions.HashPrime
+    val g3 = ((lo.cast("decimal(21,0)") + lit(3L) * hi.cast("decimal(21,0)")) % lit(p)).cast("long")
+    val got = Seq("abc", "the quick").toDF("s").select(lo, hi, g3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // SELECT (md5_number_lower('mh:'||s) % p)::BIGINT, (md5_number_upper(…) % p)::BIGINT,
+    //        ((lo::HUGEINT + 3*hi::HUGEINT) % p)::BIGINT  in DuckDB
+    assert(got == Seq(
+      (5623659039962297221L, 8260406742845501516L, 2734763157934474420L),
+      (8829717554030173605L, 5455292087381511200L, 6748849742465155639L)))
+  }
+
   test("minhash LSH finds crafted near-duplicates and skips unrelated docs") {
     import spark.implicits._
     val base = ("w" + (1 to 40).mkString(" w")).split(" ").mkString(" ") // w1..w40
