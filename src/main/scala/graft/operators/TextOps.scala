@@ -286,7 +286,15 @@ object TextOps {
     val inter = (0 until nWords)
       .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))).cast("long"))
       .reduce(_ + _)
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+    // size-compatibility pruning INSIDE the join condition, evaluated
+    // before the nWords-term popcount sum: J(A,B) ≥ t ⇒ |A∩B| ≥
+    // t·|A∪B| ⇒ na ≥ t·nb (and symmetrically), since na ≥ inter and
+    // union ⊇ either set. Exact — a pair it drops cannot reach the
+    // threshold; for t ≤ 0 both conjuncts are vacuously true (sizes
+    // ≥ 1 > t·anything), so output is unchanged in the degenerate case
+    a.join(broadcast(b), col("doc_a") < col("doc_b") &&
+        col("na").cast("double") >= lit(threshold) * col("nb") &&
+        col("nb").cast("double") >= lit(threshold) * col("na"))
       .withColumn("inter", inter)
       // inter > 0 keeps the all-pairs form identical to the inverted-
       // index strategies even at threshold <= 0: a pair sharing no
