@@ -51,6 +51,7 @@ object SparkEntry {
     // embedding similarity search (brute-force baseline + IVF scale path)
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "ivf_train"          -> ((s, d) => Similarity.ivfTrain(s, d)),
     "embedding_neardup"  -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "embedding_lsh_neardup" -> ((s, d) => Similarity.embeddingLshNearDup(s, d)),
     // SQL-text surface + UDx aggregators + multimodal plumbing
@@ -90,6 +91,7 @@ object SparkEntry {
     "simhash_pairs"      -> TextOps.simhashPairsSql(),
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
+    "ivf_train"          -> Similarity.ivfTrainSql(),
     "embedding_neardup"  -> Similarity.embeddingNearDupSql(),
     "embedding_lsh_neardup" -> Similarity.embeddingLshNearDupSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),

@@ -63,6 +63,18 @@ object Similarity {
        |  CAST(0 AS DECIMAL(38,30)),
        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,30))) AS DOUBLE)""".stripMargin)
 
+  /** Exact decimal-sum squared-L2 distance (same parity contract as
+    * [[exactDot]]): per-element double differences squared
+    * (IEEE-identical in any engine), folded as DECIMAL(38,30),
+    * surfaced as a correctly-rounded double. */
+  def exactSqDist(a: String, b: String): Column = expr(
+    s"""CAST(aggregate(
+       |  zip_with($a, $b,
+       |    (x, y) -> CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+       |                   (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(38,30))),
+       |  CAST(0 AS DECIMAL(38,30)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,30))) AS DOUBLE)""".stripMargin)
+
   /** Vectors with their exact L2 norms attached. */
   private def withNorm(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)
@@ -163,11 +175,18 @@ object Similarity {
     * [[annCosineTopK]] overload; the probed-cell restriction shrinks
     * the candidate scan by nprobe/nlists on top of it. */
   def annIvfTopK(spark: SparkSession, d: String, queries: DataFrame, k: Int,
-                 nprobe: Int): DataFrame = {
-    val e = withNorm(spark, d)
+                 nprobe: Int): DataFrame =
+    ivfTopKImpl(Tables.embeddings(spark, d), queries, k, nprobe)
+
+  /** IVF search body over an arbitrary labeled base (vec_id, embedding,
+    * label) — shared by the table-label path and the [[ivfTrain]]ed
+    * path; the physical plan is identical either way. */
+  private def ivfTopKImpl(base: DataFrame, queries: DataFrame, k: Int,
+                          nprobe: Int): DataFrame = {
+    val e = base.withColumn("norm", sqrt(exactDot("embedding", "embedding")))
     // centroid arrays: exact element-wise means, assembled back into an
     // array ordered by position (tiny: one row per label)
-    val cent = Tables.embeddings(spark, d)
+    val cent = base
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
       .groupBy("label", "pos")
       .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
@@ -195,6 +214,116 @@ object Similarity {
         (exactDot("qe", "ce") / (col("qn") * col("cn"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ---- IVF index training (deterministic seeded k-means) -------------
+
+  /** Builds the coarse IVF partition from scratch — the upstream step
+    * [[annIvfTopK]] otherwise assumes precomputed: Lloyd's k-means,
+    * fully deterministic. Seeds are the `nlists` vectors with the
+    * smallest portable hash of vec_id (a TakeOrdered limit — no global
+    * sort materializes); each iteration broadcasts the nlists×dim
+    * centroid table, scores every vector with the exact decimal
+    * squared-L2 fold, takes the (dist, list_id)-tie-broken argmin, and
+    * recomputes element-wise means exactly (decimal sums / count, the
+    * same parity recipe as the IVF centroid build). Every arithmetic
+    * step is engine-portable, so the integer ASSIGNMENT hash-matches
+    * the unrolled-CTE DuckDB twin ([[ivfTrainSql]]) bit-for-bit.
+    *
+    * Scale: per iteration O(n·nlists·dim) map-side work plus one
+    * (list,pos)-keyed agg shuffle; the only broadcast is nlists×dim
+    * doubles, and iters is a small constant — the classic Spark
+    * k-means shape. */
+  def ivfTrain(spark: SparkSession, d: String, nlists: Int = 8,
+               iters: Int = 2): DataFrame = {
+    require(nlists >= 1 && iters >= 1, "nlists and iters must be >= 1")
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val seeds = e
+      .withColumn("h", graft.functions.ColumnFunctions.hash64(col("vec_id"), 0))
+      .orderBy(col("h"), col("vec_id")).limit(nlists)
+    // the rank window runs over the already-limited nlists rows only
+    val wSeed = Window.orderBy(col("h"), col("vec_id"))
+    var cent = seeds
+      .withColumn("list_id", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("list_id"), col("embedding").cast("array<double>").as("cemb"))
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      val scored = e.join(broadcast(cent))
+        .select(col("vec_id"), col("list_id"),
+          exactSqDist("embedding", "cemb").as("dist"))
+      val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("list_id"))
+      assign = scored.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") === 1).select(col("vec_id"), col("list_id"))
+      if (it < iters)
+        cent = e.join(assign, "vec_id")
+          .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+          .groupBy("list_id", "pos")
+          .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
+            count(lit(1))).as("cv"))
+          .groupBy("list_id")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
+    }
+    assign
+  }
+
+  /** IVF top-k over a SELF-TRAINED index: [[ivfTrain]] assignments
+    * replace the table's label column, then the identical search body
+    * runs. The end-to-end ANN story with no precomputed partition. */
+  def annIvfTopKTrained(spark: SparkSession, d: String, k: Int = 5,
+                        nQueries: Int = 10, nprobe: Int = 2,
+                        nlists: Int = 8, iters: Int = 2): DataFrame = {
+    val base = Tables.embeddings(spark, d).drop("label")
+      .join(ivfTrain(spark, d, nlists, iters).withColumnRenamed("list_id", "label"),
+        "vec_id")
+    ivfTopKImpl(base,
+      Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")), k, nprobe)
+  }
+
+  /** DuckDB twin of [[ivfTrain]]: the Lloyd loop unrolled into CTE
+    * layers (d$i = exact distances, a$i = argmin assignment, c$i =
+    * exact-mean centroids). VARCHAR-routed casts mirror Spark's
+    * shortest-repr double→decimal semantics (class doc). */
+  def ivfTrainSql(nlists: Int = 8, iters: Int = 2): String = {
+    val P = graft.functions.ColumnFunctions.HashPrime
+    val header =
+      s"""WITH p AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+         |  FROM embeddings
+         |), e AS (
+         |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
+         |), seeds AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id
+         |  FROM (SELECT vec_id,
+         |          (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h
+         |        FROM embeddings ORDER BY h, vec_id LIMIT $nlists)
+         |), c0 AS (
+         |  SELECT s.list_id, e.pos, e.v AS cv FROM seeds s JOIN e USING (vec_id)
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val dist =
+        s""", d$i AS (
+           |  SELECT e.vec_id, c.list_id,
+           |    CAST(CAST(sum(CAST(CAST((e.v - c.cv) * (e.v - c.cv) AS VARCHAR)
+           |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+           |  FROM e JOIN c${i - 1} c ON e.pos = c.pos GROUP BY 1, 2
+           |), a$i AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                                 ORDER BY dist, list_id) AS rn FROM d$i
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      val recompute = if (i < iters)
+        s""", c$i AS (
+           |  SELECT a.list_id, e.pos,
+           |    CAST(CAST(sum(CAST(CAST(e.v AS VARCHAR) AS DECIMAL(38,30)))
+           |      AS VARCHAR) AS DOUBLE) / count(*) AS cv
+           |  FROM e JOIN a$i a USING (vec_id) GROUP BY 1, 2
+           |)""".stripMargin
+      else ""
+      dist + recompute
+    }.mkString
+    s"$header$steps\nSELECT vec_id, list_id FROM a$iters"
   }
 
   /** Column-argument exact dot (same arithmetic as [[exactDot]]). */
