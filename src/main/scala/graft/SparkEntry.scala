@@ -59,7 +59,14 @@ object SparkEntry {
     "uv_udaf"            -> ((s, d) => EventAnalytics.uniqueVisitorsUdaf(s, d)),
     "avg_value_udaf"     -> ((s, d) => EventAnalytics.avgValueUdaf(s, d)),
     "media_features"     -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    // training-data curation (quality filter / mixing / packing)
+    "quality_filter"     -> ((s, d) => DataPipeline.qualityFilter(s, d)),
+    "stratified_sample"  -> ((s, d) => DataPipeline.stratifiedSample(s, d, SampleMix)),
+    "pack_documents"     -> ((s, d) => DataPipeline.packDocuments(s, d)),
   )
+
+  /** Mixing fractions for the registered stratified_sample query. */
+  private val SampleMix = Map("en" -> 0.5, "de" -> 0.25)
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
   def oracleSql: Map[String, String] = Map(
@@ -98,5 +105,8 @@ object SparkEntry {
     "uv_udaf"            -> EventAnalytics.uniqueVisitorsSql,
     "avg_value_udaf"     -> EventAnalytics.avgValueUdafSql,
     "media_features"     -> Multimodal.mediaFeaturesSql,
+    "quality_filter"     -> DataPipeline.qualityFilterSql(),
+    "stratified_sample"  -> DataPipeline.stratifiedSampleSql(SampleMix),
+    "pack_documents"     -> DataPipeline.packDocumentsSql(),
   )
 }

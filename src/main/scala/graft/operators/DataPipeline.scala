@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFunctions.{hash64, HashPrime}
+import graft.sources.Tables
+
+/** Training-data curation operators over the `documents` table — the
+  * steps between "raw corpus" and "pretraining batches" that a 100 TB
+  * pipeline runs after dedup (builder brief: first-class alongside
+  * SURVEY §2): heuristic quality filtering, deterministic stratified
+  * sampling for data mixing, and sharded concat-then-chunk sequence
+  * packing. All three are exact, hash-seeded (replayable), and
+  * oracle-expressible; none shuffles more than once.
+  */
+object DataPipeline {
+
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  // ---- heuristic quality filter (C4/Gopher-style rules) ---------------
+
+  /** Rule-based quality filter: per-document keep/drop with the FIRST
+    * failing rule as the reason (C4-style: length bounds, mean token
+    * length bounds, symbol ratio, stopword evidence). Pure per-row
+    * expressions — zero shuffle, embarrassingly parallel at any scale;
+    * the filter composes with every downstream operator as a plain
+    * `.filter(keep)`. */
+  def qualityFilter(spark: SparkSession, d: String,
+                    minTokens: Int = 5, maxTokens: Int = 10000,
+                    minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+                    maxSymbolRatio: Double = 0.3): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, d)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("avg_tok_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") / col("n_tokens"))
+      .withColumn("symbol_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+          .cast("double") / length(col("text")))
+      .withColumn("has_stopword",
+        size(filter(col("toks"), t => array_contains(stopArr, t))) > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("avg_tok_len") < minAvgTokLen, "avg_tok_len_low")
+          .when(col("avg_tok_len") > maxAvgTokLen, "avg_tok_len_high")
+          .when(col("symbol_ratio") > maxSymbolRatio, "symbol_heavy")
+          .when(!col("has_stopword"), "no_stopwords")
+          .otherwise("keep").as("verdict"))
+      .withColumn("keep", col("verdict") === "keep")
+  }
+
+  def qualityFilterSql(minTokens: Int = 5, maxTokens: Int = 10000,
+                       minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+                       maxSymbolRatio: Double = 0.3): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / len(toks) AS avg_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+       |      AS DOUBLE) / length(text) AS symbol_ratio,
+       |    len(list_filter(toks, t -> t IN ($stops))) > 0 AS has_stopword
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens < $minTokens THEN 'too_short'
+       |       WHEN n_tokens > $maxTokens THEN 'too_long'
+       |       WHEN avg_tok_len < $minAvgTokLen THEN 'avg_tok_len_low'
+       |       WHEN avg_tok_len > $maxAvgTokLen THEN 'avg_tok_len_high'
+       |       WHEN symbol_ratio > $maxSymbolRatio THEN 'symbol_heavy'
+       |       WHEN NOT has_stopword THEN 'no_stopwords'
+       |       ELSE 'keep' END AS verdict,
+       |  CASE WHEN n_tokens < $minTokens THEN false
+       |       WHEN n_tokens > $maxTokens THEN false
+       |       WHEN avg_tok_len < $minAvgTokLen THEN false
+       |       WHEN avg_tok_len > $maxAvgTokLen THEN false
+       |       WHEN symbol_ratio > $maxSymbolRatio THEN false
+       |       WHEN NOT has_stopword THEN false
+       |       ELSE true END AS keep
+       |FROM m""".stripMargin
+  }
+
+  // ---- deterministic stratified sampling (data mixing) ----------------
+
+  /** Per-stratum deterministic sampling — the data-mixing step: keep a
+    * document iff its portable hash falls under the stratum's
+    * fraction. Seeded and replayable (same corpus + seed ⇒ same
+    * sample, on any cluster size); unsampled strata pass through with
+    * fraction 1.0. Pure per-row filter — no shuffle, no state; at
+    * 100 TB this is a pushed-down predicate on the scan. */
+  /** Fraction → integer hash threshold, computed ONCE driver-side with
+    * exact BigDecimal arithmetic and inlined into both the Spark plan
+    * and the oracle SQL — the keep decision is then a pure BIGINT
+    * compare with zero cross-engine rounding surface. */
+  private def thresholds(fractions: Map[String, Double]): Map[String, Long] =
+    fractions.map { case (l, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for '$l' must be in [0,1]")
+      l -> (BigDecimal(f) * BigDecimal(HashPrime)).toLong
+    }
+
+  def stratifiedSample(spark: SparkSession, d: String,
+                       fractions: Map[String, Double],
+                       seed: Int = 0): DataFrame = {
+    val thr = thresholds(fractions).foldLeft(lit(HashPrime)) {
+      case (acc, (lang, t)) => when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    Tables.documents(spark, d)
+      .filter(hash64(col("doc_id"), seed) < thr)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  def stratifiedSampleSql(fractions: Map[String, Double], seed: Int = 0): String = {
+    val cases = thresholds(fractions)
+      .map { case (l, t) => s"WHEN lang = '$l' THEN $t" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE (md5_number_lower('$seed:' || doc_id) % ${HashPrime}::UBIGINT)::BIGINT
+       |    < (CASE $cases ELSE ${HashPrime} END)""".stripMargin
+  }
+
+  // ---- sequence packing (concat-then-chunk, sharded) ------------------
+
+  /** Concat-then-chunk sequence packing — the GPT-pretraining batching
+    * step: documents are concatenated in a deterministic order and cut
+    * into `budget`-token chunks; each document records the chunk its
+    * first token lands in and its offset inside it. Sharded for scale:
+    * the corpus is split into `nShards` hash-shards and the running
+    * token count is per-shard, so the cumulative-sum window runs on
+    * `nShards` independent partitions instead of one global ordered
+    * partition — the difference between a parallel plan and a
+    * single-partition bottleneck at 100 TB. Pack identity is
+    * (shard, pack_id). */
+  def packDocuments(spark: SparkSession, d: String, budget: Long = 2048,
+                    nShards: Int = 32): DataFrame = {
+    require(budget >= 1 && nShards >= 1, "budget and nShards must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(expr(toksExpr)).cast("long"))
+      .withColumn("shard", pmod(hash64(col("doc_id"), 1), lit(nShards.toLong)))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("tokens_before") / budget).cast("long").as("pack_id"),
+        (col("tokens_before") % budget).as("offset"))
+  }
+
+  def packDocumentsSql(budget: Long = 2048, nShards: Int = 32): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    (md5_number_lower('1:' || doc_id) % ${HashPrime}::UBIGINT)::BIGINT
+       |      % $nShards AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tokens_before
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(tokens_before // $budget AS BIGINT) AS pack_id,
+       |  CAST(tokens_before % $budget AS BIGINT) AS offset
+       |FROM c""".stripMargin
+}

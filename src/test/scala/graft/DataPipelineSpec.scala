@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DataPipeline
+
+/** Training-data curation semantics: each quality rule fires on a
+  * crafted doc, sampling is deterministic and proportional, packing
+  * invariants hold per shard. */
+class DataPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("quality filter: every rule fires on its crafted document") {
+    val good = "the quick brown fox jumps over a lazy dog again today"
+    val dir = docsDir(Seq(
+      0L -> good,                                      // keep
+      1L -> "just four small words",                   // too_short (4 < 5)
+      2L -> "a b c d e f g h i j",                     // avg_tok_len_low (1.0)
+      3L -> ("the " + "pneumonoultramicroscopics " * 9), // avg_tok_len_high
+      4L -> "the #### $$$$ %%%% ^^^^ &&&& !!!! ****",  // symbol_heavy
+      5L -> "quick brown fox jumps over lazy dog every day"))  // no_stopwords
+    val got = DataPipeline.qualityFilter(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(0L -> "keep", 1L -> "too_short", 2L -> "avg_tok_len_low",
+      3L -> "avg_tok_len_high", 4L -> "symbol_heavy", 5L -> "no_stopwords"))
+  }
+
+  test("stratified sample: deterministic, proportional, edge fractions exact") {
+    val all = graft.sources.Tables.documents(spark, sf)
+    val byLang = all.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction 0 removes the stratum entirely; 1.0 (default) passes through
+    val s0 = DataPipeline.stratifiedSample(spark, sf, Map("en" -> 0.0))
+    val s0Langs = s0.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!s0Langs.contains("en"))
+    assert(byLang.filter(_._1 != "en") == s0Langs)
+    // half-sampling lands near half (hash uniformity), deterministically
+    val h1 = DataPipeline.stratifiedSample(spark, sf, Map("en" -> 0.5), seed = 7)
+      .filter(col("lang") === "en").count()
+    val h2 = DataPipeline.stratifiedSample(spark, sf, Map("en" -> 0.5), seed = 7)
+      .filter(col("lang") === "en").count()
+    assert(h1 == h2)
+    val en = byLang("en").toDouble
+    assert(h1 > en * 0.35 && h1 < en * 0.65, s"sampled $h1 of $en")
+    // different seed, different sample (same size ballpark)
+    val h3 = DataPipeline.stratifiedSample(spark, sf, Map("en" -> 0.5), seed = 8)
+      .filter(col("lang") === "en").count()
+    assert(h3 > en * 0.35 && h3 < en * 0.65)
+  }
+
+  test("packing: per-shard running offsets, budget bounds, chunk monotonicity") {
+    val budget = 64L
+    val packed = DataPipeline.packDocuments(spark, sf, budget = budget, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._2).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._1)
+      var before = 0L
+      ordered.foreach { case (_, _, nTok, packId, offset) =>
+        assert(packId == before / budget)     // chunk of the first token
+        assert(offset == before % budget)     // position inside the chunk
+        assert(offset >= 0 && offset < budget)
+        before += nTok
+      }
+    }
+    // every doc packed exactly once
+    assert(packed.map(_._1).distinct.length == packed.length)
+  }
+}
