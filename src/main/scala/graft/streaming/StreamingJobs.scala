@@ -83,6 +83,19 @@ object StreamingJobs {
     * update/complete output of [[windowedCounts]] — ranking is not an
     * incremental operator, same reason the reference re-keys by
     * windowEnd into a separate process function (HotItems.scala:81). */
+  /** Streaming exact dedup — the streaming face of TextOps.dedupExact
+    * for a live ingestion pipeline: emit the FIRST arrival of each
+    * content hash, drop every later copy (arrival order replaces the
+    * batch form's min(doc_id) tie-break — a stream has no "all rows"
+    * to take a min over). State is one hash per distinct document,
+    * expired once the watermark passes its event time + delay, so the
+    * state store holds only the dedup horizon — the knob that makes
+    * this viable on an unbounded 100 TB/day feed. */
+  def streamingDedup(docs: DataFrame, wmDelay: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", wmDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   def topNPerWindow(counts: DataFrame, n: Int, keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_end")).orderBy(col("cnt").desc, col(keyCol))
