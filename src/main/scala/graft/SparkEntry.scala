@@ -52,6 +52,8 @@ object SparkEntry {
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "ivf_train"          -> ((s, d) => Similarity.ivfTrain(s, d)),
+    "pq_encode"          -> ((s, d) => Similarity.pqEncode(s, d)),
+    "pq_adc_topk"        -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "embedding_neardup"  -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "embedding_lsh_neardup" -> ((s, d) => Similarity.embeddingLshNearDup(s, d)),
     // SQL-text surface + UDx aggregators + multimodal plumbing
@@ -99,6 +101,8 @@ object SparkEntry {
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
     "ivf_train"          -> Similarity.ivfTrainSql(),
+    "pq_encode"          -> Similarity.pqEncodeSql(),
+    "pq_adc_topk"        -> Similarity.pqAdcTopKSql(),
     "embedding_neardup"  -> Similarity.embeddingNearDupSql(),
     "embedding_lsh_neardup" -> Similarity.embeddingLshNearDupSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),

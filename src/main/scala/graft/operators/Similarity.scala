@@ -326,6 +326,191 @@ object Similarity {
     s"$header$steps\nSELECT vec_id, list_id FROM a$iters"
   }
 
+  // ---- product quantization (PQ codebooks + ADC search) ---------------
+
+  /** Per-vector subvectors: dim split into `nSub` contiguous blocks of
+    * dim/nSub — one row per (vec_id, sub_id), the relation every PQ
+    * stage shares. */
+  private def subvectors(base: DataFrame, nSub: Int, dim: Int): DataFrame = {
+    val subDim = dim / nSub
+    val subs = (0 until nSub).map { j =>
+      struct(lit(j.toLong).as("sub_id"),
+        slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim).as("sv"))
+    }
+    base.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub_id").as("sub_id"), col("s.sv").as("sv"))
+  }
+
+  /** PQ codebooks via the same deterministic Lloyd recipe as
+    * [[ivfTrain]], run independently per subspace in ONE set of jobs
+    * (every aggregate and argmin just adds sub_id to its key): dim is
+    * cut into `nSub` blocks, each block gets `nCodes` centroids, and a
+    * vector's code word is the per-block argmin. Returns the codebook
+    * (sub_id, code, cemb) — nSub·nCodes rows, broadcast-sized by
+    * construction. Seeds are the `nCodes` lowest-hash vectors' own
+    * subvectors, so codebooks across subspaces share one seed scan. */
+  private[graft] def pqCodebook(base: DataFrame, nSub: Int, nCodes: Int,
+                                iters: Int, dim: Int): DataFrame = {
+    val sv = subvectors(base, nSub, dim)
+    val seedIds = base
+      .withColumn("h", graft.functions.ColumnFunctions.hash64(col("vec_id"), 0))
+      .orderBy(col("h"), col("vec_id")).limit(nCodes)
+    val wSeed = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = seedIds.withColumn("code", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("vec_id"), col("code"))
+    var cent = sv.join(seeds, "vec_id")
+      .select(col("sub_id"), col("code"), col("sv").as("cemb"))
+    for (it <- 1 to iters) {
+      val assign = pqAssign(sv, cent)
+      if (it < iters)
+        cent = sv.join(assign, Seq("vec_id", "sub_id"))
+          .select(col("sub_id"), col("code"), posexplode(col("sv")).as(Seq("pos", "fv")))
+          .groupBy("sub_id", "code", "pos")
+          .agg((sum(col("fv").cast("decimal(38,30)")).cast("double") /
+            count(lit(1))).as("cv"))
+          .groupBy("sub_id", "code")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
+    }
+    cent
+  }
+
+  /** Nearest code word per (vec_id, sub_id) — exact decimal squared-L2
+    * argmin, (dist, code) tie-break. */
+  private def pqAssign(sv: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = sv.join(broadcast(cent), "sub_id")
+      .select(col("vec_id"), col("sub_id"), col("code"),
+        exactSqDist("sv", "cemb").as("dist"))
+    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
+      .orderBy(col("dist"), col("code"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub_id"), col("code"))
+  }
+
+  /** PQ encode: each vector compressed to nSub code words — at 100 TB
+    * this is the memory story (64 floats → nSub bytes per vector, a
+    * 32× shrink at the defaults), the precondition for RAM-resident
+    * ANN over corpora whose raw vectors don't fit. Output is one
+    * integer row per (vec_id, sub_id); the codebook is trained inline
+    * (deterministic, so encode is replayable end to end). */
+  def pqEncode(spark: SparkSession, d: String, nSub: Int = 8, nCodes: Int = 16,
+               iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val cent = pqCodebook(base, nSub, nCodes, iters, dim)
+    pqAssign(subvectors(base, nSub, dim), cent)
+  }
+
+  /** PQ-ADC approximate top-k: queries score against the CODEBOOK once
+    * (a per-query lookup table of nSub·nCodes exact subdistances), and
+    * a vector's approximate distance is the sum of the nSub LUT
+    * entries its codes select — the scan never touches raw candidate
+    * vectors, only their integer codes. The classic asymmetric
+    * distance computation: broadcast LUT, one (query,vec)-keyed sum,
+    * per-query top-k window. */
+  def pqAdcTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+                nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val cent = pqCodebook(base, nSub, nCodes, iters, dim)
+    val codes = pqAssign(subvectors(base, nSub, dim), cent)
+    val qsv = subvectors(base.filter(col("vec_id") < nQueries), nSub, dim)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
+    val lut = qsv.join(broadcast(cent), "sub_id")
+      .select(col("query_id"), col("sub_id"), col("code"),
+        exactSqDist("qsv", "cemb").as("ld"))
+    val approx = codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("ld").cast("decimal(38,30)")).cast("double").as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    approx.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[pqEncode]]: the per-subspace Lloyd loop unrolled
+    * — identical CTE structure to [[ivfTrainSql]] with sub_id added to
+    * every key (pos // subDim names the subspace, pos % subDim the
+    * position inside it). */
+  def pqEncodeSql(nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                  dim: Int = 64): String =
+    s"${pqSqlChain(nSub, nCodes, iters, dim)}\nSELECT vec_id, sub_id, code FROM a$iters"
+
+  /** DuckDB twin of [[pqAdcTopK]]: the [[pqEncodeSql]] chain extended
+    * with the per-query LUT and the code-indexed distance sum. */
+  def pqAdcTopKSql(k: Int = 5, nQueries: Int = 10, nSub: Int = 8,
+                   nCodes: Int = 16, iters: Int = 2, dim: Int = 64): String =
+    s"""${pqSqlChain(nSub, nCodes, iters, dim)}, lut AS (
+       |  SELECT q.vec_id AS query_id, c.sub_id, c.code,
+       |    CAST(CAST(sum(CAST(CAST((q.v - c.cv) * (q.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS ld
+       |  FROM e q JOIN c${iters - 1} c ON q.sub_id = c.sub_id AND q.spos = c.spos
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    CAST(CAST(sum(CAST(CAST(l.ld AS VARCHAR) AS DECIMAL(38,30)))
+       |      AS VARCHAR) AS DOUBLE) AS adist
+       |  FROM a$iters a JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adist, neighbor_id) AS rank
+       |  FROM adc
+       |) WHERE rank <= $k""".stripMargin
+
+  /** Shared CTE chain: positions → subspaces → seeds → unrolled Lloyd
+    * loop, ending at assignment a$iters; also exposes c${iters-1}, the
+    * FINAL codebook (the centroids a$iters was scored against). */
+  private def pqSqlChain(nSub: Int, nCodes: Int, iters: Int, dim: Int): String = {
+    val subDim = dim / nSub
+    val P = graft.functions.ColumnFunctions.HashPrime
+    val header =
+      s"""WITH p AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+         |  FROM embeddings
+         |), e AS (
+         |  SELECT vec_id, CAST((i - 1) // $subDim AS BIGINT) AS sub_id,
+         |         (i - 1) % $subDim AS spos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM p
+         |), seeds AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+         |  FROM (SELECT vec_id,
+         |          (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h
+         |        FROM embeddings ORDER BY h, vec_id LIMIT $nCodes)
+         |), c0 AS (
+         |  SELECT e.sub_id, s.code, e.spos, e.v AS cv
+         |  FROM seeds s JOIN e USING (vec_id)
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val dist =
+        s""", d$i AS (
+           |  SELECT e.vec_id, e.sub_id, c.code,
+           |    CAST(CAST(sum(CAST(CAST((e.v - c.cv) * (e.v - c.cv) AS VARCHAR)
+           |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+           |  FROM e JOIN c${i - 1} c ON e.sub_id = c.sub_id AND e.spos = c.spos
+           |  GROUP BY 1, 2, 3
+           |), a$i AS (
+           |  SELECT vec_id, sub_id, code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+           |                                 ORDER BY dist, code) AS rn FROM d$i
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      val recompute = if (i < iters)
+        s""", c$i AS (
+           |  SELECT e.sub_id, a.code, e.spos,
+           |    CAST(CAST(sum(CAST(CAST(e.v AS VARCHAR) AS DECIMAL(38,30)))
+           |      AS VARCHAR) AS DOUBLE) / count(*) AS cv
+           |  FROM e JOIN a$i a ON e.vec_id = a.vec_id AND e.sub_id = a.sub_id
+           |  GROUP BY 1, 2, 3
+           |)""".stripMargin
+      else ""
+      dist + recompute
+    }.mkString
+    s"$header$steps"
+  }
+
   /** Column-argument exact dot (same arithmetic as [[exactDot]]). */
   private def exactDotCols(a: Column, b: Column): Column =
     aggregate(

@@ -67,6 +67,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"trained-IVF recall $recall")
   }
 
+  test("PQ encode: total deterministic code assignment per subspace") {
+    val codes = Similarity.pqEncode(spark, sf, nSub = 8, nCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(codes.length == n * 8)                       // one code per (vec, sub)
+    assert(codes.map(c => (c._1, c._2)).distinct.length == codes.length)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 16))   // codes in range
+    assert(codes.map(_._3).distinct.length > 1)         // codebook is used
+    val again = Similarity.pqEncode(spark, sf, nSub = 8, nCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.sorted.toSeq == again.sorted.toSeq)    // replayable
+  }
+
+  test("PQ-ADC top-k: k rows per query, distances ascending, useful recall") {
+    val adc = Similarity.pqAdcTopK(spark, sf, k = 5, nQueries = 10, nCodes = 32)
+    val rows = adc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3).toLong))
+    assert(rows.groupBy(_._1).forall { case (_, g) => g.length == 5 })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // ADC distances are code-grained, so overlap with the exact cosine
+    // top-5 is approximate — but far above chance (5/499 per slot)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keys(Similarity.annCosineTopK(spark, sf))
+    val recall = (keys(adc) & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ-ADC recall $recall")
+  }
+
   test("IVF with nprobe=2 recalls a meaningful share of the exact top-5") {
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
