@@ -48,6 +48,9 @@ object SparkEntry {
     "minhash_lsh"        -> ((s, d) => TextOps.minhashLsh(s, d)),
     "simhash"            -> ((s, d) => TextOps.simhash(s, d)),
     "simhash_pairs"      -> ((s, d) => TextOps.simhashPairs(s, d)),
+    "neardup_clusters"   -> ((s, d) => TextOps.neardupClusters(s, d)),
+    "repetition_stats"   -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "contamination"      -> ((s, d) => TextOps.contamination(s, d)),
     // embedding similarity search (brute-force baseline + IVF scale path)
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -98,6 +101,9 @@ object SparkEntry {
     "minhash_lsh"        -> TextOps.minhashLshSql(),
     "simhash"            -> TextOps.simhashSql,
     "simhash_pairs"      -> TextOps.simhashPairsSql(),
+    "neardup_clusters"   -> TextOps.neardupClustersSql(),
+    "repetition_stats"   -> TextOps.repetitionStatsSql,
+    "contamination"      -> TextOps.contaminationSql(),
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
     "ivf_train"          -> Similarity.ivfTrainSql(),

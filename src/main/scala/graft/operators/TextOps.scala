@@ -647,4 +647,188 @@ object TextOps {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
        |FROM cands
        |WHERE bit_count(xor(ha, hb)) <= $maxHamming""".stripMargin
+
+  // ---- repetition quality signal -------------------------------------
+
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * family: Rae et al. 2021 §A1.1): per document and n-gram order
+    * n ∈ {2,3}, the fraction of n-gram occurrences that are duplicates
+    * (1 − distinct/total) and the share of occurrences taken by the
+    * single most frequent n-gram. High values flag boilerplate and
+    * degenerate machine-generated text that per-doc length/punctuation
+    * stats ([[textStats]]) miss. Long format: one row per (doc, n).
+    *
+    * Scale: both orders ride ONE tagged explode → one
+    * (doc,n,gram)-keyed count with map-side combine → one (doc,n)
+    * roll-up. Strictly per-document — no cross-doc join, nothing
+    * grows with corpus size except the embarrassingly parallel scan. */
+  def repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    val base = docs(spark, d)
+    def tagged(n: Int) =
+      base.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(expr(shinglesExpr(n))).as("gram"))
+    val counts = tagged(2).union(tagged(3))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id", "n")
+      .agg(sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n"), col("n_grams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"),
+        (col("top_cnt").cast("double") / col("n_grams").cast("double"))
+          .as("top_frac"))
+  }
+
+  /** DuckDB twin of [[repetitionStats]] — integer counts divided in
+    * double (IEEE-identical in both engines, no decimal routing
+    * needed). */
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |  FROM t WHERE len(toks) >= 2
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(toks)-1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       |  FROM t WHERE len(toks) >= 3
+       |),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+       |SELECT doc_id, n, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |       count(*) AS n_distinct,
+       |       1.0 - CAST(count(*) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE)
+       |         AS dup_frac,
+       |       CAST(max(cnt) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE)
+       |         AS top_frac
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ---- benchmark contamination ---------------------------------------
+
+  /** Train/eval contamination check (the n-gram-overlap decontamination
+    * step of GPT-3 appendix C / PaLM §7): which training documents
+    * share at least `minShared` distinct word n-grams with a held-out
+    * benchmark set. Output: one row per contaminated (doc, bench doc)
+    * pair with the distinct-shared-gram count. The benchmark here is a
+    * deterministic slice of `documents` (doc_id ≡ benchRes mod
+    * benchMod) standing in for an external eval table; [[contaminationWith]]
+    * takes an arbitrary benchmark DataFrame.
+    *
+    * Scale: inverted-index equality join on the n-gram — never a doc ×
+    * bench product. Real eval sets are tiny (thousands of docs), so the
+    * gram-exploded benchmark side broadcasts and the check is one
+    * map-side join over the corpus scan; n ≥ 5 word grams make hot-key
+    * skew (stopword shingles) a non-issue. */
+  def contamination(spark: SparkSession, d: String, n: Int = 5,
+                    benchMod: Int = 10, benchRes: Int = 7,
+                    minShared: Long = 1L): DataFrame = {
+    val grams = docs(spark, d).filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
+    contaminationWith(
+      grams.filter(col("doc_id") % benchMod =!= benchRes),
+      grams.filter(col("doc_id") % benchMod === benchRes)
+        .select(col("doc_id").as("bench_id"), col("gram")),
+      minShared)
+  }
+
+  /** Core of [[contamination]]: corpus (doc_id, gram) × benchmark
+    * (bench_id, gram) inverted-index join, distinct-overlap count. */
+  def contaminationWith(corpus: DataFrame, bench: DataFrame,
+                        minShared: Long): DataFrame =
+    corpus.join(bench, "gram")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  /** DuckDB twin of [[contamination]]. */
+  def contaminationSql(n: Int = 5, benchMod: Int = 10, benchRes: Int = 7,
+                       minShared: Long = 1L): String = {
+    val parts = (1 to n).map(j => if (j == 1) "toks[i]" else s"toks[i+${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |               i -> $parts)) AS gram
+       |      FROM t WHERE len(toks) >= $n)
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |FROM g c JOIN g b USING (gram)
+       |WHERE c.doc_id % $benchMod <> $benchRes AND b.doc_id % $benchMod = $benchRes
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
+  }
+
+  // ---- near-dup cluster resolution -----------------------------------
+
+  /** The step every pair-emitting dedup operator needs to become an
+    * actual dedup: connected components over the [[minhashLsh]] near-dup
+    * graph, one canonical document kept per component. Output is one
+    * row per document: its cluster id (the minimum doc_id reachable
+    * through near-dup edges — singletons are their own cluster) and an
+    * is_canonical 0/1 keep flag (reference intent: the keep-lowest-id
+    * convention of `dedup_exact`, lifted from exact-hash groups to
+    * fuzzy-match components).
+    *
+    * Execution is Pregel-style min-label propagation: labels start as
+    * each node's own id; each round every node takes the min of its
+    * label and its neighbors' labels (one equality join on the
+    * symmetrized edge list + one map-side-combined min-agg per round);
+    * stop when no label changed. Rounds = graph diameter, and near-dup
+    * graphs are overwhelmingly tiny star/clique components (this
+    * corpus: diameter ≤ 2, so 2-3 rounds), so the loop is short and
+    * each round is a bounded shuffle of |V|+|E| rows — no transitive
+    * closure is ever materialized. The per-round driver action is one
+    * count() on changed labels (a scalar, not a collect). At 100 TB the
+    * same loop holds (edges ≪ docs after LSH banding); for adversarial
+    * high-diameter graphs the alternating large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") drops rounds to O(log² n) — same join/agg building
+    * blocks, noted here as the documented escalation path. */
+  def neardupClusters(spark: SparkSession, d: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(spark, d, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "node").persist()
+    var labels = Tables.documents(spark, d)
+      .select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+    labels.count()
+    var changed = 1L
+    while (changed > 0) {
+      val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("node"), col("label"))
+      val next = labels.union(msgs).groupBy("node")
+        .agg(min(col("label")).as("label")).persist()
+      // materialize next + count strictly-improved labels in one action;
+      // persist caps lineage so round k doesn't replay rounds 1..k-1
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).cast("long").as("is_canonical"))
+  }
+
+  /** DuckDB twin of [[neardupClusters]]: the [[minhashLshSql]] pair
+    * query nested as a CTE, then a recursive reachability closure —
+    * min reachable id ≡ the propagation fixpoint (both compute the
+    * component minimum; UNION set-semantics terminates the recursion
+    * on the cyclic symmetrized graph). */
+  def neardupClustersSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshSql(threshold)}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS node FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS node FROM pairs
+       |), reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.node, r.r FROM reach r JOIN edges e ON e.src = r.node
+       |)
+       |SELECT node AS doc_id, min(r) AS cluster_id,
+       |       CAST(node = min(r) AS BIGINT) AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin
 }

@@ -64,6 +64,86 @@ class TextOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty && lsh.size >= (exact.size * 9) / 10) // ≥90 % recall
   }
 
+  test("neardup clusters == union-find over the minhash pair graph") {
+    val pairs = TextOps.minhashLsh(spark, sf, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextOps.neardupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(clusters.length == nDocs)                    // one row per doc
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (doc, cl, canon) =>
+      assert(cl == find(doc), s"doc $doc: cluster $cl != union-find ${find(doc)}")
+      assert(canon == (if (doc == cl) 1L else 0L))
+    }
+    assert(pairs.nonEmpty)                              // graph is non-trivial
+  }
+
+  test("neardup clusters propagate across a chain (A~B~C, A!~C)") {
+    import spark.implicits._
+    val toks = (1 to 40).map(i => s"w$i").toArray
+    def mutate(t: Array[String], ps: Seq[Int]) =
+      t.zipWithIndex.map { case (w, i) => if (ps.contains(i)) s"m$i" else w }
+    val a = toks.mkString(" ")
+    val b = mutate(toks, Seq(3, 9, 15, 21)).mkString(" ")      // j(a,b)~0.66
+    val c = mutate(toks, Seq(3, 9, 15, 21, 27, 31, 35, 38)).mkString(" ")
+    val d = (1 to 40).map(i => s"x$i").mkString(" ")           // unrelated
+    val dir = java.nio.file.Files.createTempDirectory("graftcc").toString
+    Seq((0L, a), (1L, b), (2L, c), (3L, d))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cl = TextOps.neardupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // j(a,c)~0.42 < 0.5: a,c connect only THROUGH b — needs >1 round
+    assert(cl.toSeq == Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 3L, 1L)))
+  }
+
+  test("repetition stats: degenerate text scores high, varied text low") {
+    import spark.implicits._
+    val looped = ("spam ham " * 20).trim                     // 2 distinct tokens
+    val varied = (1 to 40).map(i => s"u$i").mkString(" ")    // all distinct
+    val dir = java.nio.file.Files.createTempDirectory("graftrep").toString
+    Seq((0L, looped), (1L, varied))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.repetitionStats(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // looped doc, n=2: 39 bigram occurrences, 2 distinct ("spam ham"/"ham spam")
+    assert(rows((0L, 2)) == ((39L, 2L, 1.0 - 2.0 / 39.0, 20.0 / 39.0)))
+    // varied doc: every gram unique → dup_frac 0, top_frac 1/total
+    assert(rows((1L, 2)) == ((39L, 39L, 0.0, 1.0 / 39.0)))
+    assert(rows((1L, 3)) == ((38L, 38L, 0.0, 1.0 / 38.0)))
+    assert(rows((0L, 3))._3 > 0.9)                           // 3-grams also degenerate
+  }
+
+  test("contamination: planted benchmark overlap found, clean docs absent") {
+    import spark.implicits._
+    val bench = (1 to 30).map(i => s"b$i").mkString(" ")     // doc 7 ≡ benchmark slice
+    val leak = "z1 z2 " + (1 to 10).map(i => s"b$i").mkString(" ") // 10-token overlap
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftcont").toString
+    Seq((7L, bench), (1L, leak), (2L, clean))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.contamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // leak shares b1..b10 → six distinct 5-grams (b1..b5 … b6..b10)
+    assert(got.toSeq == Seq((1L, 7L, 6L)))
+  }
+
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
