@@ -784,31 +784,80 @@ object TextOps {
     * variant (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") drops rounds to O(log² n) — same join/agg building
     * blocks, noted here as the documented escalation path. */
-  def neardupClusters(spark: SparkSession, d: String,
-                      threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(spark, d, threshold).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "node").persist()
-    var labels = Tables.documents(spark, d)
-      .select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
-    labels.count()
-    var changed = 1L
-    while (changed > 0) {
+  def neardupClusters(spark: SparkSession, d: String, threshold: Double = 0.5,
+                      maxDriverPairs: Long = 1L << 20): DataFrame = {
+    val pairs = minhashLsh(spark, d, threshold)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = pairs.count()
+    // cost-based strategy pick, same pattern as [[chooseJaccardStrategy]]:
+    // the pair set is already LSH-banded AND exact-verified, so it is a
+    // sliver of the corpus — when it fits the driver comfortably, a
+    // local union-find replaces the whole iterative job graph (the
+    // collect is of a bounded aggregate, not of corpus data). Past the
+    // cap, distributed min-label propagation takes over.
+    val clustered =
+      if (nPairs <= maxDriverPairs) driverUnionFind(spark, pairs)
+      else propagateLabels(pairs)
+    val out = Tables.documents(spark, d).select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    pairs.unpersist()
+    out.select(col("doc_id"), col("cluster_id"),
+      (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+  }
+
+  /** Small-graph branch: path-compressed union-find on the driver with
+    * min-id roots; returns (doc_id, cluster_id) for edge endpoints
+    * only (singletons are filled by the caller's left join). */
+  private def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val se = spark; import se.implicits._
+    broadcast(nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id"))
+  }
+
+  /** Scale branch: Pregel-style min-label propagation over edge
+    * endpoints only — per round ONE equality join + ONE map-side-
+    * combined min-agg; rounds = component diameter (near-dup graphs:
+    * tiny stars/cliques). Convergence is probed join-free via the
+    * exact decimal label sum, which is strictly monotone decreasing
+    * and stalls exactly at the fixpoint. For adversarial diameters the
+    * large-star/small-star variant (Kiveris et al.) is the documented
+    * O(log² n)-round escalation. */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("node")),
+        struct(col("doc_b").as("src"), col("doc_a").as("node")))).as("e"))
+      .select(col("e.src"), col("e.node")).persist()
+    var labels = edges.select(col("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("node"), col("label"))
       val next = labels.union(msgs).groupBy("node")
         .agg(min(col("label")).as("label")).persist()
-      // materialize next + count strictly-improved labels in one action;
-      // persist caps lineage so round k doesn't replay rounds 1..k-1
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      val s = labelSum(next) // materializes next; persist caps lineage
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
-      (col("node") === col("label")).cast("long").as("is_canonical"))
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** DuckDB twin of [[neardupClusters]]: the [[minhashLshSql]] pair

@@ -86,6 +86,10 @@ class TextOpsSpec extends AnyFunSuite {
       assert(canon == (if (doc == cl) 1L else 0L))
     }
     assert(pairs.nonEmpty)                              // graph is non-trivial
+    // the distributed min-label branch must agree with the driver branch
+    val viaPregel = TextOps.neardupClusters(spark, sf, 0.5, maxDriverPairs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaPregel.sortBy(_._1).toSeq == clusters.sortBy(_._1).toSeq)
   }
 
   test("neardup clusters propagate across a chain (A~B~C, A!~C)") {
