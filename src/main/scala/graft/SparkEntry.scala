@@ -68,6 +68,11 @@ object SparkEntry {
     "quality_filter"     -> ((s, d) => DataPipeline.qualityFilter(s, d)),
     "stratified_sample"  -> ((s, d) => DataPipeline.stratifiedSample(s, d, SampleMix)),
     "pack_documents"     -> ((s, d) => DataPipeline.packDocuments(s, d)),
+    // corpus curation: keywords, sub-doc dedup chunks, PII, JSON paths
+    "tfidf_topk"         -> ((s, d) => Corpus.tfidfTopK(s, d)),
+    "cdc_chunks"         -> ((s, d) => Corpus.cdcChunks(s, d)),
+    "pii_scrub"          -> ((s, d) => Corpus.piiScrub(s, d)),
+    "props_json_agg"     -> ((s, d) => EventAnalytics.propsJsonAgg(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -118,5 +123,9 @@ object SparkEntry {
     "quality_filter"     -> DataPipeline.qualityFilterSql(),
     "stratified_sample"  -> DataPipeline.stratifiedSampleSql(SampleMix),
     "pack_documents"     -> DataPipeline.packDocumentsSql(),
+    "tfidf_topk"         -> Corpus.tfidfTopKSql(),
+    "cdc_chunks"         -> Corpus.cdcChunksSql(),
+    "pii_scrub"          -> Corpus.piiScrubSql,
+    "props_json_agg"     -> EventAnalytics.propsJsonAggSql,
   )
 }

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.ColumnFunctions.{hash64, HashPrime}
+
+/** Corpus-level curation operators (builder brief: "the operations a
+  * large-scale training-data pipeline would need") that sit between
+  * [[TextOps]] (dedup family) and [[DataPipeline]] (mixing/packing):
+  *
+  *  - [[tfidfTopK]]: per-document top-k terms by TF-IDF — keyword
+  *    extraction / domain tagging for data mixing.
+  *  - [[cdcChunks]]: content-defined chunking (rolling-hash
+  *    breakpoints) — the sub-document dedup granularity: a paragraph
+  *    shared by two documents yields bit-identical chunks even when
+  *    its byte offset differs, because chunk boundaries depend only on
+  *    content, not position (Muthitacharoen et al., LBFS, SOSP'01 —
+  *    public technique).
+  *  - [[piiScrub]]: regex PII redaction (emails / IPv4 / phone
+  *    numbers) with per-document match counts — the compliance pass
+  *    every pretraining corpus runs.
+  *
+  * All three are engine-portable (md5 hash family, integer/double
+  * arithmetic with fixed operation order) so the DuckDB oracle
+  * recomputes them bit-for-bit.
+  *
+  * Scale shapes: tfidfTopK is two map-side-combined aggregations plus
+  * one term-keyed join (high-df terms fan out 1:1 per (doc,term) row —
+  * no skew blowup) and a per-doc WindowGroupLimit. cdcChunks windows
+  * inside a document (bounded state) and aggregates per (doc, chunk).
+  * piiScrub is a pure per-row projection — zero shuffle.
+  */
+object Corpus {
+
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+
+  // ---- TF-IDF keyword extraction --------------------------------------
+
+  /** Per-document top-k terms by TF-IDF. The score is the RATIONAL form
+    * tf · N / df (not the log form): same ranking for fixed N, but every
+    * value is an exact small-integer product/quotient in IEEE double, so
+    * Spark and the oracle agree bit-for-bit — ln() last-ulp differences
+    * would break hash parity for zero ranking benefit.
+    *
+    * Two shuffles (doc,term grouping; term-keyed df join reuses the
+    * term hash partitioning) + a per-doc top-k WindowGroupLimit. The
+    * total-doc count N rides in as a broadcast scalar, not a driver
+    * action, so the whole plan stays lazy. */
+  def tfidfTopK(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tf = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+
+  def tfidfTopKSql(k: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM t
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |)
+       |SELECT doc_id, term, tf, df, score, rank FROM (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+       |               term) AS rank
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |) WHERE rank <= $k""".stripMargin
+
+  // ---- content-defined chunking (sub-document dedup) ------------------
+
+  /** Content-defined chunks: a boundary falls AFTER token t whenever
+    * hash64(t) ≡ 0 (mod `modB`) — expected chunk length `modB` tokens.
+    * chunk_id is the running boundary count before the token (a
+    * per-document ordered window, bounded state), chunk_hash the
+    * portable hash of the space-joined chunk text, and dup_count how
+    * many chunks corpus-wide share that hash — sub-document dedup at
+    * paragraph granularity: identical passages chunk identically
+    * regardless of their position in the host document.
+    *
+    * Scale: the cumulative window partitions by doc_id (bounded by
+    * document length, never corpus length), the chunk aggregate is
+    * map-side combined, and dup_count is one chunk_hash-keyed window —
+    * three bounded shuffles, no quadratic anywhere. */
+  def cdcChunks(spark: SparkSession, d: String, modB: Int = 8): DataFrame = {
+    require(modB >= 1, "modB must be >= 1")
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+      .withColumn("bnd",
+        when(pmod(hash64(col("tok"), 2), lit(modB.toLong)) === 0, 1L).otherwise(0L))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("chunk_id", coalesce(sum(col("bnd")).over(wRun), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))")
+          .as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        hash64(col("chunk_text"), 0).as("chunk_hash"))
+    chunks.withColumn("dup_count",
+      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+  }
+
+  def cdcChunksSql(modB: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |), p AS (
+       |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM t
+       |), tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+       |    CASE WHEN (md5_number_lower('2:' || toks[i]) % ${HashPrime}::UBIGINT)::BIGINT
+       |              % $modB = 0 THEN 1 ELSE 0 END AS bnd
+       |  FROM p
+       |), c AS (
+       |  SELECT doc_id, pos, tok,
+       |    CAST(COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+       |  FROM tok
+       |), g AS (
+       |  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    (md5_number_lower('0:' || string_agg(tok, ' ' ORDER BY pos))
+       |      % ${HashPrime}::UBIGINT)::BIGINT AS chunk_hash
+       |  FROM c GROUP BY 1, 2
+       |)
+       |SELECT doc_id, chunk_id, n_tokens, chunk_hash,
+       |  CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS dup_count
+       |FROM g""".stripMargin
+
+  // ---- PII scrubbing ---------------------------------------------------
+
+  // Patterns kept inside the Java-regex ∩ RE2 common dialect (no
+  // lookaround, no backrefs) so Spark and DuckDB match identically.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+\\d[\\d-]{6,14}\\d"
+
+  /** PII scrub over any (id, text) relation: per-row match counts for
+    * emails / IPv4s / phone numbers plus the redacted text (matches
+    * replaced by <EMAIL>/<IP>/<PHONE>, in that fixed order so the
+    * engines agree on overlaps). Pure per-row regex projection — zero
+    * shuffle, embarrassingly parallel at any scale; Spark's codegen'd
+    * RegExpReplace/RegExpExtractAll keep it inside whole-stage codegen. */
+  def piiScrubOn(rows: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    rows.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** Deterministic PII-bearing log lines derived from the events table.
+    * The driver corpus is PII-free by construction (zero digits or '@'
+    * in any document), so — same pattern as late_events' simulated
+    * arrival — the registered query synthesizes its input
+    * deterministically from real table columns; the oracle builds the
+    * identical lines, and the scrubber does real, varying work
+    * ('error' events carry a second IP, so counts differ by row). */
+  private def logLines(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).select(col("event_id"),
+      concat(
+        lit("uid="), col("user_id").cast("string"),
+        lit(" email=user"), col("user_id").cast("string"), lit("@example.com"),
+        lit(" ip=10.0."), pmod(col("user_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("event_id"), lit(256L)).cast("string"),
+        lit(" phone=+1-555-"), lpad(pmod(col("event_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" type="), col("event_type"),
+        when(col("event_type") === "error",
+          concat(lit(" peer=192.168.1."), pmod(col("user_id"), lit(200L)).cast("string")))
+          .otherwise(lit(""))).as("line"))
+
+  /** Driver-contract PII scrub (events-derived log lines). */
+  def piiScrub(spark: SparkSession, d: String): DataFrame =
+    piiScrubOn(logLines(spark, d), "event_id", "line")
+
+  def piiScrubSql: String =
+    s"""WITH lines AS (
+       |  SELECT event_id,
+       |    'uid=' || user_id || ' email=user' || user_id || '@example.com ip=10.0.' ||
+       |    (user_id % 256) || '.' || (event_id % 256) ||
+       |    ' phone=+1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' type=' || event_type ||
+       |    CASE WHEN event_type = 'error'
+       |         THEN ' peer=192.168.1.' || (user_id % 200) ELSE '' END AS line
+       |  FROM events
+       |)
+       |SELECT event_id,
+       |  CAST(len(regexp_extract_all(line, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(line, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(line, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(line, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM lines""".stripMargin
+}

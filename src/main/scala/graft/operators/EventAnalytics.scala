@@ -223,4 +223,25 @@ object EventAnalytics {
        |FROM events WHERE event_type = 'click'
        |GROUP BY 1, 2
        |HAVING count(*) > $threshold""".stripMargin
+
+  /** Semi-structured extraction: JSON-path field pull from the props
+    * column (get_json_object — Catalyst's native JsonPath evaluator,
+    * not a regex) aggregated per event type. The JSON-parse runs
+    * map-side inside whole-stage codegen; the aggregate is one
+    * map-side-combined shuffle on a 5-value key. All-integer outputs —
+    * exact in any engine. */
+  def propsJsonAgg(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), sum(col("k")).as("k_sum"))
+
+  val propsJsonAggSql: String =
+    """SELECT event_type, count(k) AS n, min(k) AS k_min, max(k) AS k_max,
+      |       CAST(sum(k) AS BIGINT) AS k_sum
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
 }

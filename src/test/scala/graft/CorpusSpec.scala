@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Corpus curation operators: TF-IDF ranking on a hand-checked corpus,
+  * CDC chunk re-synchronization under prefix insertion (the property
+  * that makes content-defined chunking a sub-document dedup tool), and
+  * PII scrub counts/redaction on crafted text. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcorpus").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("tfidfTopK ranks a doc-specific term above corpus-wide terms") {
+    // "apple" appears in all 3 docs (df=3); "zebra" only in doc 0 (df=1).
+    // doc 0: tf(zebra)=2 -> score 2*3/1=6; tf(apple)=1 -> 1*3/3=1.
+    val dir = docsDir(Seq(
+      (0L, "apple zebra zebra"),
+      (1L, "apple pear pear"),
+      (2L, "apple plum")))
+    val top = Corpus.tfidfTopK(spark, dir, k = 1)
+      .select("doc_id", "term", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(top == Set((0L, "zebra", 6.0), (1L, "pear", 6.0), (2L, "plum", 3.0)))
+  }
+
+  test("cdcChunks: identical docs share all chunk hashes; prefix insertion re-syncs") {
+    val body = (1 to 60).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, body),
+      (1L, body), // exact duplicate: every chunk shared
+      (2L, "intro tokens added here " + body))) // shifted copy: interior chunks re-sync
+    val chunks = Corpus.cdcChunks(spark, dir)
+      .select("doc_id", "chunk_id", "chunk_hash", "n_tokens").collect()
+    def hashes(id: Long) = chunks.filter(_.getLong(0) == id).map(_.getLong(2)).toSet
+    assert(hashes(0L) == hashes(1L), "exact duplicate must chunk identically")
+    // content-defined boundaries re-synchronize after the first boundary
+    // inside the shared body, so doc 2 shares most interior chunks
+    val shared = hashes(0L).intersect(hashes(2L))
+    assert(shared.nonEmpty, "shifted copy must still share interior chunks")
+    // per-doc token counts must partition the document exactly
+    val tokSum = chunks.filter(_.getLong(0) == 0L).map(_.getLong(3)).sum
+    assert(tokSum == 60L)
+    // dup_count: chunks shared by docs 0 and 1 appear >= 2 times
+    val dup = Corpus.cdcChunks(spark, dir)
+      .filter(col("doc_id") === 0L).select("dup_count").collect().map(_.getLong(0))
+    assert(dup.forall(_ >= 2L))
+  }
+
+  test("piiScrubOn counts and redacts emails, IPs, phone numbers") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact bob.smith+x@corp.example.org from 192.168.0.17 or +1-650-555-0199 now"),
+      (2L, "no pii here at all"))
+      .toDF("id", "text")
+    val got = Corpus.piiScrubOn(rows, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1L, 1L,
+      "contact <EMAIL> from <IP> or <PHONE> now")))
+    assert(got(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+  }
+
+  test("pii_scrub driver query: error events carry exactly one extra IP") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Corpus.piiScrub(spark, sf)
+    val byIps = out.groupBy("n_ips").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byIps.keySet == Set(1L, 2L), s"expected ip counts {1,2}, got $byIps")
+    assert(out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    assert(out.filter(col("redacted").contains("@")).count() == 0)
+  }
+}
