@@ -44,17 +44,21 @@ object Corpus {
     * Spark and the oracle agree bit-for-bit — ln() last-ulp differences
     * would break hash parity for zero ranking benefit.
     *
-    * Two shuffles (doc,term grouping; term-keyed df join reuses the
-    * term hash partitioning) + a per-doc top-k WindowGroupLimit. The
-    * total-doc count N rides in as a broadcast scalar, not a driver
-    * action, so the whole plan stays lazy. */
+    * ONE scan: df is a window count over the tf relation (count of
+    * (doc,term) rows per term), not a join against a second
+    * scan+explode of the corpus — at 100 TB that second tokenization
+    * pass is the cost that matters. Three bounded shuffles ((doc,term)
+    * agg → term window → per-doc WindowGroupLimit); the total-doc
+    * count N rides in as a broadcast scalar (footer-only count-star
+    * scan), not a driver action, so the whole plan stays lazy. */
   def tfidfTopK(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, d)
     val tf = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(total))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -69,8 +73,8 @@ object Corpus {
        |  SELECT doc_id, unnest(toks) AS term FROM t
        |), tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-       |), df AS (
-       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), tfdf AS (
+       |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
        |), n AS (
        |  SELECT count(*) AS n_docs FROM documents
        |)
@@ -80,7 +84,7 @@ object Corpus {
        |    row_number() OVER (PARTITION BY doc_id
        |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
        |               term) AS rank
-       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |  FROM tfdf CROSS JOIN n
        |) WHERE rank <= $k""".stripMargin
 
   // ---- content-defined chunking (sub-document dedup) ------------------
