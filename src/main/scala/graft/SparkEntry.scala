@@ -73,6 +73,8 @@ object SparkEntry {
     "cdc_chunks"         -> ((s, d) => Corpus.cdcChunks(s, d)),
     "pii_scrub"          -> ((s, d) => Corpus.piiScrub(s, d)),
     "props_json_agg"     -> ((s, d) => EventAnalytics.propsJsonAgg(s, d)),
+    "session_windows"    -> ((s, d) => EventAnalytics.sessionWindows(s, d)),
+    "event_cube"         -> ((s, d) => EventAnalytics.eventCube(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -127,5 +129,7 @@ object SparkEntry {
     "cdc_chunks"         -> Corpus.cdcChunksSql(),
     "pii_scrub"          -> Corpus.piiScrubSql,
     "props_json_agg"     -> EventAnalytics.propsJsonAggSql,
+    "session_windows"    -> EventAnalytics.sessionWindowsSql(),
+    "event_cube"         -> EventAnalytics.eventCubeSql,
   )
 }

@@ -224,6 +224,71 @@ object EventAnalytics {
        |GROUP BY 1, 2
        |HAVING count(*) > $threshold""".stripMargin
 
+  /** Per-user session windows (30-min inactivity gap) — the one
+    * event-time window type the tumbling/sliding family doesn't cover:
+    * Spark's native `session_window` merges events whose gap to the
+    * running session end is < gap, closing the session at
+    * last-event + gap. Works identically in Structured Streaming
+    * (with a watermark bounding session state) — see the
+    * StreamingSpec parity test. One (user, merged-window) aggregation
+    * shuffle; session state is bounded per user, never corpus-wide.
+    * Output times are epoch MICROSECONDS (exact integers — the ts
+    * column carries sub-second precision, and the reference convention
+    * of epoch seconds would truncate real session boundaries). */
+  def sessionWindows(spark: SparkSession, d: String, gap: String = "30 minutes"): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        graft.functions.ColumnFunctions.epochMicros(col("session_window.start")).as("session_start"),
+        graft.functions.ColumnFunctions.epochMicros(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
+  /** DuckDB twin of [[sessionWindows]]: the classic gaps-and-islands
+    * form — a break flag where the gap to the previous event is >= gap
+    * (Spark merges strictly-less-than; [ts, ts+gap) intervals touching
+    * at a point do NOT merge), a running break-count as session id,
+    * then per-(user, session) min/max/count. */
+  def sessionWindowsSql(gapMicros: Long = 1800000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, us,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+       |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= $gapMicros
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, us,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM b
+       |)
+       |SELECT user_id, min(us) AS session_start,
+       |       max(us) + $gapMicros AS session_end, count(*) AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Multi-dimensional rollup: CUBE over (event_type, hour) — all four
+    * grouping sets in ONE pass (Catalyst expands the cube map-side and
+    * the partial aggregate combines before the single shuffle; no
+    * union-of-four-queries). gid disambiguates subtotal rows from
+    * genuine NULL keys, same bit convention (first column = high bit)
+    * in Spark and DuckDB/Postgres. */
+  def eventCube(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .withColumn("hour", (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long"))
+      .cube(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+
+  val eventCubeSql: String =
+    """SELECT event_type,
+      |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour,
+      |       count(*) AS cnt,
+      |       CAST(GROUPING(event_type,
+      |                     CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY CUBE (1, 2)""".stripMargin
+
   /** Semi-structured extraction: JSON-path field pull from the props
     * column (get_json_object — Catalyst's native JsonPath evaluator,
     * not a regex) aggregated per event type. The JSON-parse runs

@@ -141,6 +141,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == tagged.count())
   }
 
+  test("streaming session windows (append mode) == batch session windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 3 users, bursts separated by > / < the 10-minute gap; delivered in
+    // event-time order (the 0-second watermark drops anything behind it)
+    val evs = (for (u <- 0L until 3L; i <- 0 until 20) yield
+      (u, (i * 137 + u * 7 + (if (i % 5 == 0) 900 else 0) * (i / 5)).toLong))
+      .sortBy(_._2)
+    val input = MemoryStream[(Long, Long)]
+    val streamDf = input.toDF().toDF("user_id", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"))
+    val q = Sinks.memory(streamDf, "sess_append", "append")
+    try {
+      input.addData(evs.take(30))
+      q.processAllAvailable()
+      input.addData(evs.drop(30))
+      q.processAllAvailable()
+      // sentinel far in the future closes every open session
+      input.addData(Seq((-1L, 10000000L)))
+      q.processAllAvailable()
+      val streaming = spark.table("sess_append").filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+        .toSet
+      val batch = evs.toDF("user_id", "secs")
+        .withColumn("ts", timestamp_seconds(col("secs")))
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+        .toSet
+      assert(streaming == batch)
+      assert(batch.exists(_._4 > 1), "crafted bursts must merge into multi-event sessions")
+    } finally q.stop()
+  }
+
   test("streaming router delivers each tag to its own sink") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
