@@ -248,10 +248,16 @@ object Similarity {
       .select(col("list_id"), col("embedding").cast("array<double>").as("cemb"))
     var assign: DataFrame = null
     for (it <- 1 to iters) {
+      // two-phase argmin (see pqAssign): double-distance prune within
+      // 1e-6 of the per-vector minimum, exact decimal fold on survivors
+      val wKey = Window.partitionBy(col("vec_id"))
       val scored = e.join(broadcast(cent))
+        .withColumn("dd", doubleSqDist(col("embedding"), col("cemb")))
+        .withColumn("mind", min(col("dd")).over(wKey))
+        .filter(col("dd") <= col("mind") + 1e-6)
         .select(col("vec_id"), col("list_id"),
           exactSqDist("embedding", "cemb").as("dist"))
-      val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("list_id"))
+      val wa = wKey.orderBy(col("dist"), col("list_id"))
       assign = scored.withColumn("rn", row_number().over(wa))
         .filter(col("rn") === 1).select(col("vec_id"), col("list_id"))
       if (it < iters)
@@ -374,14 +380,33 @@ object Similarity {
     cent
   }
 
+  /** All-double squared-L2 — the codegen'd prerank twin of
+    * [[exactSqDist]] (fold order element-order; |double − exact| ≲
+    * 1e-12 at these magnitudes, dwarfed by the 1e-6 prune margin). */
+  private def doubleSqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Nearest code word per (vec_id, sub_id) — exact decimal squared-L2
-    * argmin, (dist, code) tie-break. */
+    * argmin, (dist, code) tie-break. Two-phase (same identity argument
+    * as [[annCosineTopK]]'s prerank): the cheap all-double distance
+    * prunes to candidates within 1e-6 of the per-key double minimum —
+    * the true exact argmin always survives (its double distance sits
+    * within ~1e-12 of its exact one) — and only survivors (≈1 per key
+    * off tie points) pay the decimal fold. The min-window and the
+    * argmin window share (vec_id, sub_id) partitioning, so the prune
+    * adds no exchange. */
   private def pqAssign(sv: DataFrame, cent: DataFrame): DataFrame = {
-    val scored = sv.join(broadcast(cent), "sub_id")
-      .select(col("vec_id"), col("sub_id"), col("code"),
-        exactSqDist("sv", "cemb").as("dist"))
-    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-      .orderBy(col("dist"), col("code"))
+    val wKey = Window.partitionBy(col("vec_id"), col("sub_id"))
+    val pruned = sv.join(broadcast(cent), "sub_id")
+      .withColumn("dd", doubleSqDist(col("sv"), col("cemb")))
+      .withColumn("mind", min(col("dd")).over(wKey))
+      .filter(col("dd") <= col("mind") + 1e-6)
+    val scored = pruned.select(col("vec_id"), col("sub_id"), col("code"),
+      exactSqDist("sv", "cemb").as("dist"))
+    val w = wKey.orderBy(col("dist"), col("code"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("sub_id"), col("code"))
   }
