@@ -75,6 +75,7 @@ object SparkEntry {
     "props_json_agg"     -> ((s, d) => EventAnalytics.propsJsonAgg(s, d)),
     "session_windows"    -> ((s, d) => EventAnalytics.sessionWindows(s, d)),
     "event_cube"         -> ((s, d) => EventAnalytics.eventCube(s, d)),
+    "corpus_coverage"    -> ((s, d) => Corpus.corpusCoverage(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -131,5 +132,6 @@ object SparkEntry {
     "props_json_agg"     -> EventAnalytics.propsJsonAggSql,
     "session_windows"    -> EventAnalytics.sessionWindowsSql(),
     "event_cube"         -> EventAnalytics.eventCubeSql,
+    "corpus_coverage"    -> Corpus.corpusCoverageSql(),
   )
 }

@@ -147,6 +147,73 @@ object Corpus {
        |  CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS dup_count
        |FROM g""".stripMargin
 
+  // ---- incremental-ingestion coverage (anti/semi-join dedup) ----------
+
+  /** Default "new batch" partition for the driver query: the first five
+    * source shards; everything else is the already-ingested corpus. */
+  private val NewSources = (0 to 4).map(i => s"src$i")
+
+  /** Redundancy of a NEW ingestion batch against the SEEN corpus: per
+    * new-batch document, the fraction of its distinct word 3-gram
+    * shingles already present anywhere in the seen corpus, plus a
+    * `redundant` flag at ≥ `redundantAt`. The incremental-ingestion
+    * question ("is this crawl snapshot mostly content we already
+    * have?") — coverage is content-based, so it catches re-crawls and
+    * near-copies exact-hash dedup misses.
+    *
+    * Scale: seen-side distinct is map-side combined; the LEFT SEMI
+    * join on the shingle key has no fanout (each new-side row matches
+    * at most once, hot Zipf shingles included); per-doc counts are one
+    * bounded agg. No all-pairs anything. */
+  def corpusCoverage(spark: SparkSession, d: String,
+                     newSources: Seq[String] = NewSources,
+                     redundantAt: Double = 0.8): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("source"),
+        explode(expr(TextOps.shinglesExpr(3))).as("s"))
+    val isNew = col("source").isin(newSources: _*)
+    val newSh = sh.filter(isNew).select("doc_id", "s").distinct()
+    val seen = sh.filter(!isNew).select("s").distinct()
+    val covered = newSh.join(seen, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    newSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("redundant", col("coverage") >= redundantAt)
+  }
+
+  def corpusCoverageSql(newSources: Seq[String] = NewSources,
+                        redundantAt: Double = 0.8): String = {
+    val list = newSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM t
+       |), newsh AS (
+       |  SELECT DISTINCT doc_id, s FROM sh WHERE source IN ($list)
+       |), seen AS (
+       |  SELECT DISTINCT s FROM sh WHERE source NOT IN ($list)
+       |), cov AS (
+       |  SELECT doc_id, count(*) AS n_covered FROM newsh
+       |  WHERE s IN (SELECT s FROM seen) GROUP BY 1
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM newsh GROUP BY 1
+       |)
+       |SELECT tot.doc_id, n_shingles,
+       |  CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+       |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS coverage,
+       |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+       |    >= $redundantAt AS redundant
+       |FROM tot LEFT JOIN cov USING (doc_id)""".stripMargin
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
 
   // Patterns kept inside the Java-regex ∩ RE2 common dialect (no

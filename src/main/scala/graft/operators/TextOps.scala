@@ -36,7 +36,7 @@ object TextOps {
     Tables.documents(spark, d).withColumn("toks", expr(toksExpr))
 
   /** Word n-gram shingles, SQL-expression form (Spark arrays 0-based). */
-  private def shinglesExpr(k: Int): String = {
+  private[graft] def shinglesExpr(k: Int): String = {
     val parts = (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
       .mkString(" || ' ' || ")
     s"transform(sequence(0, size(toks)-$k), i -> $parts)"

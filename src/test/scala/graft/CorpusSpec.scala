@@ -56,6 +56,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(dup.forall(_ >= 2L))
   }
 
+  test("corpusCoverage flags a re-crawled doc as redundant, novel content as not") {
+    import spark.implicits._
+    val seenText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftcov").toString
+    Seq(
+      (0L, seenText, "en", "src0", seenText.length.toLong), // new: exact re-crawl
+      (1L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "src1", 0L), // new: novel
+      (2L, seenText, "en", "src9", seenText.length.toLong)) // seen corpus
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.corpusCoverage(spark, dir)
+      .select("doc_id", "coverage", "redundant").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got(0) == ((0L, 1.0, true)), s"re-crawl must be fully covered: ${got(0)}")
+    assert(got(1) == ((1L, 0.0, false)), s"novel doc must be uncovered: ${got(1)}")
+    assert(got.length == 2, "seen-corpus docs are not scored")
+  }
+
   test("piiScrubOn counts and redacts emails, IPs, phone numbers") {
     import spark.implicits._
     val rows = Seq(
