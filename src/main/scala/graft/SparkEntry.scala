@@ -76,6 +76,8 @@ object SparkEntry {
     "session_windows"    -> ((s, d) => EventAnalytics.sessionWindows(s, d)),
     "event_cube"         -> ((s, d) => EventAnalytics.eventCube(s, d)),
     "corpus_coverage"    -> ((s, d) => Corpus.corpusCoverage(s, d)),
+    "rolling_hour_stats" -> ((s, d) => EventAnalytics.rollingHourStats(s, d)),
+    "click_no_purchase"  -> ((s, d) => EventAnalytics.clickNoPurchase(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -133,5 +135,7 @@ object SparkEntry {
     "session_windows"    -> EventAnalytics.sessionWindowsSql(),
     "event_cube"         -> EventAnalytics.eventCubeSql,
     "corpus_coverage"    -> Corpus.corpusCoverageSql(),
+    "rolling_hour_stats" -> EventAnalytics.rollingHourStatsSql,
+    "click_no_purchase"  -> EventAnalytics.clickNoPurchaseSql,
   )
 }

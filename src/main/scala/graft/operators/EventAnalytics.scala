@@ -289,6 +289,55 @@ object EventAnalytics {
       |FROM events
       |GROUP BY CUBE (1, 2)""".stripMargin
 
+  /** Range-frame rolling aggregate: per event, count and exact sum of
+    * the same user's `value` over the PRECEDING HOUR (event-time range
+    * frame, ties-as-peers). The OVER-frame capability the
+    * window()/session_window() group-by family can't express — running
+    * per-event context features (rate limits, velocity checks,
+    * per-user activity features for training data). One exchange on
+    * user_id + an in-partition range-frame scan; frame state is
+    * bounded by one user's events-per-hour. The sum routes through
+    * DECIMAL ([[graft.functions.ColumnFunctions.moneySum]] recipe) so
+    * the frame sum is order-free and oracle-exact. */
+  def rollingHourStats(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d).select(col("event_id"), col("user_id"),
+      epochSeconds(col("ts")).as("ts_s"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600, 0)
+    e.select(col("event_id"), col("user_id"), col("ts_s"),
+      count(lit(1)).over(w).as("n_hour"),
+      sum(col("value").cast("decimal(28,10)")).over(w).cast("double").as("sum_hour"))
+  }
+
+  val rollingHourStatsSql: String =
+    """SELECT event_id, user_id, ts_s,
+      |  count(*) OVER w AS n_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sum_hour
+      |FROM (SELECT event_id, user_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Set-operation surface (SURVEY §2.10: the reference has none;
+    * Spark's EXCEPT comes free with the relational core): (user, hour)
+    * cells with click activity but NO purchase — the churn-funnel set
+    * difference at the granularity where it's non-trivial (every user
+    * eventually purchases; most click-hours convert nothing). Compiles
+    * to distinct + LeftAnti hash join, both map-side combined. */
+  def clickNoPurchase(spark: SparkSession, d: String): DataFrame = {
+    def cells(t: String) = events(spark, d).filter(col("event_type") === t)
+      .select(col("user_id"),
+        (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long").as("hour"))
+    cells("click").except(cells("purchase"))
+  }
+
+  val clickNoPurchaseSql: String =
+    """SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour
+      |FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   /** Semi-structured extraction: JSON-path field pull from the props
     * column (get_json_object — Catalyst's native JsonPath evaluator,
     * not a regex) aggregated per event type. The JSON-parse runs
