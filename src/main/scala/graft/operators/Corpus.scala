@@ -161,10 +161,12 @@ object Corpus {
     * have?") — coverage is content-based, so it catches re-crawls and
     * near-copies exact-hash dedup misses.
     *
-    * Scale: seen-side distinct is map-side combined; the LEFT SEMI
-    * join on the shingle key has no fanout (each new-side row matches
-    * at most once, hot Zipf shingles included); per-doc counts are one
-    * bounded agg. No all-pairs anything. */
+    * Scale: seen-side distinct is map-side combined; the LEFT join on
+    * the shingle key has no fanout (the seen side is distinct, so each
+    * new-side row matches at most once, hot Zipf shingles included);
+    * total and covered counts come from ONE pass over the joined
+    * relation (count(*) vs count(hit)), so the new batch is
+    * tokenized/deduped once, not twice. No all-pairs anything. */
   def corpusCoverage(spark: SparkSession, d: String,
                      newSources: Seq[String] = NewSources,
                      redundantAt: Double = 0.8): DataFrame = {
@@ -174,12 +176,10 @@ object Corpus {
         explode(expr(TextOps.shinglesExpr(3))).as("s"))
     val isNew = col("source").isin(newSources: _*)
     val newSh = sh.filter(isNew).select("doc_id", "s").distinct()
-    val seen = sh.filter(!isNew).select("s").distinct()
-    val covered = newSh.join(seen, Seq("s"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
-    newSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      .join(covered, Seq("doc_id"), "left")
-      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+    val seen = sh.filter(!isNew).select("s").distinct().withColumn("hit", lit(1))
+    newSh.join(seen, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_covered"))
       .withColumn("coverage",
         col("n_covered").cast("double") / col("n_shingles").cast("double"))
       .withColumn("redundant", col("coverage") >= redundantAt)
@@ -199,19 +199,16 @@ object Corpus {
        |), newsh AS (
        |  SELECT DISTINCT doc_id, s FROM sh WHERE source IN ($list)
        |), seen AS (
-       |  SELECT DISTINCT s FROM sh WHERE source NOT IN ($list)
-       |), cov AS (
-       |  SELECT doc_id, count(*) AS n_covered FROM newsh
-       |  WHERE s IN (SELECT s FROM seen) GROUP BY 1
-       |), tot AS (
-       |  SELECT doc_id, count(*) AS n_shingles FROM newsh GROUP BY 1
+       |  SELECT DISTINCT s, 1 AS hit FROM sh WHERE source NOT IN ($list)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_shingles, count(hit) AS n_covered
+       |  FROM newsh LEFT JOIN seen USING (s) GROUP BY 1
        |)
-       |SELECT tot.doc_id, n_shingles,
-       |  CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
-       |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS coverage,
-       |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+       |SELECT doc_id, n_shingles, n_covered,
+       |  CAST(n_covered AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS coverage,
+       |  CAST(n_covered AS DOUBLE) / CAST(n_shingles AS DOUBLE)
        |    >= $redundantAt AS redundant
-       |FROM tot LEFT JOIN cov USING (doc_id)""".stripMargin
+       |FROM agg""".stripMargin
   }
 
   // ---- PII scrubbing ---------------------------------------------------
