@@ -149,6 +149,76 @@ object Multimodal {
        |  CAST(md5_number_lower(text) % ${HashPrime}::UBIGINT AS BIGINT) AS phash
        |FROM documents""".stripMargin
 
+  case class Thumb(doc_id: Long, src_width: Int, src_height: Int,
+                   thumb_width: Int, thumb_height: Int, thumb: Array[Byte])
+
+  /** Box-resample resize: each target pixel is the per-channel integer
+    * mean of its source box (same box geometry as [[dHash64]]'s grid).
+    * Pure integer arithmetic over getRGB — deterministic across JVMs
+    * for the same decoded pixels. */
+  private[graft] def resizeBox(img: java.awt.image.BufferedImage,
+                               tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw; val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        val y0 = ty * h / th; val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out.setRGB(tx, ty,
+          ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** REAL thumbnail transform (brief: "decode / feature-extract /
+    * resize / frame-sample"): PNG payloads are decoded, box-resized to
+    * fit (maxW, maxH) preserving aspect ratio, and re-encoded as PNG
+    * bytes; non-image payloads emit a (-1, …, null) row so the caller
+    * can route them. Same mapPartitions batch shape as
+    * [[mediaFeaturesFromPayload]] — per-partition decoder init, binary
+    * in / binary out, the lake-side thumbnailing pass a multimodal
+    * training pipeline runs at ingest. */
+  def thumbnails(spark: SparkSession, payloads: DataFrame,
+                 maxW: Int = 32, maxH: Int = 32): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = if (isPng(r.payload))
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          else null
+          if (img == null) Thumb(r.doc_id, -1, -1, -1, -1, null)
+          else {
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            val tw = math.max(1, math.floor(img.getWidth * scale).toInt)
+            val th = math.max(1, math.floor(img.getHeight * scale).toInt)
+            val t = resizeBox(img, tw, th)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(t, "png", baos)
+            Thumb(r.doc_id, img.getWidth, img.getHeight, tw, th, baos.toByteArray)
+          }
+        }
+      }.toDF()
+  }
+
   /** ??? STUB frame sampler ??? — production: demux + decode n frames
     * per video payload; stub: n deterministic per-frame hashes. The
     * output shape (one row per sampled frame, frame index + features)

@@ -63,6 +63,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(mirror) != Multimodal.dHash64(img))
   }
 
+  test("thumbnails: aspect-preserving box resize through the Spark pipeline") {
+    import spark.implicits._
+    val rows = Seq((7L, fixtureBytes), (8L, "not a png".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.thumbnails(spark, rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val t = got(7L)
+    assert(t.getAs[Int]("src_width") == 64 && t.getAs[Int]("src_height") == 48)
+    assert(t.getAs[Int]("thumb_width") == 32 && t.getAs[Int]("thumb_height") == 24)
+    // the emitted bytes are a real PNG of the stated size whose global
+    // mean luminance tracks the source (box means preserve the mean up
+    // to per-pixel floor rounding)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t.getAs[Array[Byte]]("thumb")))
+    assert(dec.getWidth == 32 && dec.getHeight == 24)
+    def meanLum(img: BufferedImage): Double = {
+      val vals = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield {
+        val p = img.getRGB(x, y)
+        0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+      }
+      vals.sum / vals.size
+    }
+    assert(math.abs(meanLum(dec) - meanLum(fixtureImage)) < 2.0)
+    // non-image payloads route out with sentinel dims and no bytes
+    val miss = got(8L)
+    assert(miss.getAs[Int]("src_width") == -1 && miss.getAs[Array[Byte]]("thumb") == null)
+  }
+
   test("non-image payloads take the hash-stub branch") {
     import spark.implicits._
     val payload = "not a png".getBytes("UTF-8")
