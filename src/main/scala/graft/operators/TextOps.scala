@@ -35,11 +35,17 @@ object TextOps {
   private def docs(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d).withColumn("toks", expr(toksExpr))
 
-  /** Word n-gram shingles, SQL-expression form (Spark arrays 0-based). */
+  /** Word n-gram shingles, SQL-expression form (Spark arrays 0-based).
+    * Docs with fewer than k tokens yield an EMPTY array: without the
+    * guard, sequence(0, negative) runs DESCENDING and the negative
+    * indices throw INVALID_ARRAY_INDEX under Spark 4's strict array
+    * access — and the oracle's range(1, len-k+1) is empty for short
+    * docs, so empty is also the parity-correct answer. */
   private[graft] def shinglesExpr(k: Int): String = {
     val parts = (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
       .mkString(" || ' ' || ")
-    s"transform(sequence(0, size(toks)-$k), i -> $parts)"
+    s"CASE WHEN size(toks) >= $k THEN transform(sequence(0, size(toks)-$k), i -> $parts) " +
+      s"ELSE array() END"
   }
 
   // ---- exact dedup ---------------------------------------------------

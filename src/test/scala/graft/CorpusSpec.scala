@@ -74,6 +74,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.length == 2, "seen-corpus docs are not scored")
   }
 
+  test("corpusCoverage omits shingle-less (<3-token) docs, matching the oracle") {
+    val dir = docsDir(Seq(
+      (0L, "only two"), // new batch, no 3-gram shingles
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")))) // seen corpus
+      // doc 0 is src0 (new), doc 1 is src1... docsDir uses source "s";
+      // with no seen-side split both docs land in "new" → rebuild below
+    import spark.implicits._
+    Seq((0L, "only two", "en", "src0", 8L),
+        (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "src9", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.corpusCoverage(spark, dir).collect()
+    assert(got.isEmpty, s"a 2-token doc has no 3-gram shingles to score: ${got.toSeq}")
+  }
+
   test("piiScrubOn counts and redacts emails, IPs, phone numbers") {
     import spark.implicits._
     val rows = Seq(
