@@ -184,7 +184,7 @@ object Jobs {
     * the caller to update mode + watermark so finalized windows leave
     * the state store, and fold the per-batch deltas in the sink. */
   def hotItemsStream(spark: SparkSession, dir: String, n: Int = 5,
-                     maxFilesPerTrigger: Int = 1)
+                     maxFilesPerTrigger: Int = 0) // 0 = unthrottled (tests pass 1 to force one batch per dropped file)
                     (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val pv = graft.sources.StreamSources.userBehaviorStream(spark, dir, maxFilesPerTrigger)
       .filter(col("behavior") === "pv")

@@ -34,7 +34,8 @@ import graft.functions.ColumnFunctions.{hash64, HashPrime}
   */
 object Corpus {
 
-  private val toksExpr = "split(trim(text), '\\\\s+')"
+  /** Shared tokenizer — ONE definition for all parity-critical ops. */
+  private def toksExpr = TextOps.toksExpr
 
   // ---- TF-IDF keyword extraction --------------------------------------
 

@@ -16,7 +16,8 @@ import graft.sources.Tables
   */
 object DataPipeline {
 
-  private val toksExpr = "split(trim(text), '\\\\s+')"
+  /** Shared tokenizer — ONE definition for all parity-critical ops. */
+  private def toksExpr = TextOps.toksExpr
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
   // ---- heuristic quality filter (C4/Gopher-style rules) ---------------

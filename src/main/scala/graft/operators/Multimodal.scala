@@ -95,14 +95,29 @@ object Multimodal {
     bits
   }
 
+  /** Decode bytes to pixels, or null for non-image / CORRUPT payloads.
+    * A magic-matching but truncated/corrupt body makes ImageIO THROW
+    * (not return null) — routing that to the fallback row instead of
+    * letting the task die is what keeps a lake-scale ingest job alive
+    * (corrupt images are routine at 100 TB). Also disables ImageIO's
+    * default disk-backed stream cache once per JVM: the payload is
+    * already fully in memory, and the default writes+deletes a temp
+    * file per decoded row in the executor hot path. */
+  private[graft] def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    if (!isPng(payload)) null
+    else try {
+      MemCacheInit // one-time setUseCache(false)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private lazy val MemCacheInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Real decode for images; stub for everything else. PNG payloads go
     * through `javax.imageio` (headless-JDK builtin): width/height are
     * the decoded pixel dimensions and phash is [[dHash64]] over the
     * pixels. */
   private[graft] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
-    val img = if (isPng(payload))
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    else null
+    val img = readImage(payload)
     if (img != null)
       MediaFeatures(docId, payload.length.toLong, img.getWidth, img.getHeight,
         dHash64(img))
@@ -201,9 +216,7 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val img = if (isPng(r.payload))
-            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          else null
+          val img = readImage(r.payload) // null on non-image AND corrupt
           if (img == null) Thumb(r.doc_id, -1, -1, -1, -1, null)
           else {
             val scale = math.min(1.0,

@@ -29,8 +29,11 @@ import graft.functions.ColumnFunctions.{hash64, HashPrime}
   */
 object TextOps {
 
-  /** Whitespace tokens of the trimmed text (0-based SQL array). */
-  private val toksExpr = "split(trim(text), '\\\\s+')"
+  /** Whitespace tokens of the trimmed text (0-based SQL array) — THE
+    * tokenizer every parity-critical operator shares (Corpus and
+    * DataPipeline reuse this definition; the DuckDB twins all assume
+    * string_split_regex(trim(text), '\s+')). */
+  private[graft] val toksExpr = "split(trim(text), '\\\\s+')"
 
   private def docs(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d).withColumn("toks", expr(toksExpr))
@@ -337,11 +340,18 @@ object TextOps {
     * pass must not be a second full scan). Both aggregates (shingle-df
     * rollup and distinct-doc count) are fused into one job via a
     * 1-row × 1-row cross join — one action, one stage graph. */
+  /** Deterministic doc-level sample shared by every stats estimator:
+    * keep a doc iff hash64(doc_id, seed 7) mod 1e6 falls under the
+    * fraction. jaccardStats and prefixJoinRows MUST draw from the same
+    * sample (same seed, same modulus) for their estimates to be
+    * comparable — hence one definition. */
+  private def sampleDocs(sets: DataFrame, fraction: Double): (DataFrame, Double) =
+    if (fraction >= 1.0) (sets, 1.0)
+    else (sets.filter(pmod(hash64(col("doc_id"), 7), lit(1000000L)) <
+      math.round(fraction * 1000000L)), fraction)
+
   private[graft] def jaccardStats(sets: DataFrame, sampleFraction: Double = 1.0): JaccardStats = {
-    val (s, f) =
-      if (sampleFraction >= 1.0) (sets, 1.0)
-      else (sets.filter(pmod(hash64(col("doc_id"), 7), lit(1000000L)) <
-        math.round(sampleFraction * 1000000L)), sampleFraction)
+    val (s, f) = sampleDocs(sets, sampleFraction)
     val shingleAgg = s.groupBy("sh").agg(count(lit(1)).as("df"))
       .agg(count(lit(1)).as("vocab"),
         coalesce(sum(col("df")), lit(0L)).cast("long").as("rows"),
@@ -360,10 +370,7 @@ object TextOps {
     * estimate drives only the choice, never the result). */
   private[graft] def prefixJoinRows(sets: DataFrame, threshold: Double,
                                     sampleFraction: Double = 1.0): Long = {
-    val (s, f) =
-      if (sampleFraction >= 1.0) (sets, 1.0)
-      else (sets.filter(pmod(hash64(col("doc_id"), 7), lit(1000000L)) <
-        math.round(sampleFraction * 1000000L)), sampleFraction)
+    val (s, f) = sampleDocs(sets, sampleFraction)
     val raw = prefixRelation(s, threshold)
       .groupBy("sh").agg(count(lit(1)).as("pdf"))
       .agg(coalesce(sum(col("pdf") * (col("pdf") - 1)), lit(0L)).cast("long"))
@@ -819,9 +826,15 @@ object TextOps {
   private def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find: min-id union (no rank) can build chains linear in
+    // the component size, and at the 2^20-pair cap a recursive walk
+    // would overflow the driver thread stack before compression kicks in
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
     }
     es.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

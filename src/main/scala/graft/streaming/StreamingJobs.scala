@@ -77,12 +77,6 @@ object StreamingJobs {
           s"$rTime >= $lTime + INTERVAL '$loSecs' SECOND AND " +
           s"$rTime <= $lTime + INTERVAL '$hiSecs' SECOND"))
 
-  /** Per-window Top-N over a windowed-count frame (HotItems rank stage).
-    * Batch: plain window function (Catalyst turns the rn<=n filter into
-    * WindowGroupLimit). Streaming: apply inside foreachBatch on the
-    * update/complete output of [[windowedCounts]] — ranking is not an
-    * incremental operator, same reason the reference re-keys by
-    * windowEnd into a separate process function (HotItems.scala:81). */
   /** Streaming exact dedup — the streaming face of TextOps.dedupExact
     * for a live ingestion pipeline: emit the FIRST arrival of each
     * content hash, drop every later copy (arrival order replaces the
@@ -96,6 +90,12 @@ object StreamingJobs {
       .withWatermark("ts", wmDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Per-window Top-N over a windowed-count frame (HotItems rank stage).
+    * Batch: plain window function (Catalyst turns the rn<=n filter into
+    * WindowGroupLimit). Streaming: apply inside foreachBatch on the
+    * update/complete output of [[windowedCounts]] — ranking is not an
+    * incremental operator, same reason the reference re-keys by
+    * windowEnd into a separate process function (HotItems.scala:81). */
   def topNPerWindow(counts: DataFrame, n: Int, keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_end")).orderBy(col("cnt").desc, col(keyCol))

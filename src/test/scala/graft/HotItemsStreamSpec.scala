@@ -39,7 +39,7 @@ class HotItemsStreamSpec extends AnyFunSuite {
     }.toSet
 
     drop(0)
-    val q = Jobs.hotItemsStream(spark, dir, n = 5) { (topn, _) =>
+    val q = Jobs.hotItemsStream(spark, dir, n = 5, maxFilesPerTrigger = 1) { (topn, _) =>
       latest = keyed(topn.collect())
       nBatches.incrementAndGet()
     }

@@ -91,6 +91,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(miss.getAs[Int]("src_width") == -1 && miss.getAs[Array[Byte]]("thumb") == null)
   }
 
+  test("corrupt PNG (magic matches, body truncated) routes to fallback, not a crash") {
+    import spark.implicits._
+    val corrupt = fixtureBytes.take(40) // valid signature + mangled body
+    val feats = Multimodal.mediaFeaturesFromPayload(
+      spark, Seq((9L, corrupt)).toDF("doc_id", "payload")).collect().head
+    // stub branch: dimensions derive from the content hash, job survives
+    assert(feats.getAs[Long]("n_bytes") == 40L)
+    assert(feats.getAs[Int]("width") < 1920 && feats.getAs[Int]("height") < 1080)
+    val thumb = Multimodal.thumbnails(
+      spark, Seq((9L, corrupt)).toDF("doc_id", "payload")).collect().head
+    assert(thumb.getAs[Int]("src_width") == -1 && thumb.getAs[Array[Byte]]("thumb") == null)
+  }
+
   test("non-image payloads take the hash-stub branch") {
     import spark.implicits._
     val payload = "not a png".getBytes("UTF-8")
