@@ -861,7 +861,7 @@ object TextOps {
     var labels = edges.select(col("node")).distinct()
       .withColumn("label", col("node")).persist()
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
