@@ -35,6 +35,7 @@ object SparkEntry {
     "order_timeout"      -> ((s, d) => Stateful.orderTimeout(s, d)),
     "tx_match"           -> ((s, d) => Stateful.txMatch(s, d)),
     "tx_match_join"      -> ((s, d) => Stateful.txMatchJoin(s, d)),
+    "attribution_asof"   -> ((s, d) => Stateful.attributionAsof(s, d)),
     "blacklist_stateful" -> ((s, d) => Stateful.blacklistStateful(s, d)),
     // simulated-arrival replay: the fixtures are time-sorted, so only a
     // deterministic arrival permutation exercises the late path (>0 rows)
@@ -101,6 +102,7 @@ object SparkEntry {
     "order_timeout"      -> Stateful.orderTimeoutSql(),
     "tx_match"           -> Stateful.txMatchSql(),
     "tx_match_join"      -> Stateful.txMatchJoinSql(),
+    "attribution_asof"   -> Stateful.attributionAsofSql,
     "blacklist_stateful" -> Stateful.blacklistStatefulSql(),
     "late_events"        -> Stateful.lateEventsSql(simulateArrival = true),
     "dedup_exact"        -> TextOps.dedupExactSql,

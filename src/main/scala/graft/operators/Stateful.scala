@@ -229,6 +229,56 @@ object Stateful {
        |  AND epoch_us(b.ts) >= epoch_us(a.ts) + ${loSecs * US}
        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + ${hiSecs * US}""".stripMargin
 
+  /** AS-OF join (builder prompt's canonical "operator Spark lacks"):
+    * every purchase attributed to the SAME USER's most recent click at
+    * or before it — the attribution/feature-store join. Composed
+    * Spark-first instead of a range join: union the two tagged event
+    * sets, then one per-user ordered window where the running
+    * max(click ts) over the prefix IS the most recent click (the sort
+    * key is the timestamp, so prefix-max ≡ last — the classic
+    * merge-join formulation of as-of). ONE shuffle on user_id, O(1)
+    * state per row; a range-join formulation would explode on hot
+    * users and an equality+filter join can't express "most recent".
+    * Ties (click and purchase at the same microsecond) resolve
+    * click-first via the tag sort key, matching DuckDB's native
+    * `ASOF JOIN` at-or-before (>=) semantics; the oracle mirrors the
+    * window form verbatim so tie behavior is identical by
+    * construction. Null last_click/latency = purchase with no prior
+    * click. */
+  def attributionAsof(spark: SparkSession, d: String): DataFrame = {
+    val tagged = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        epochMicros(col("ts")).as("ts_us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_click_us",
+        max(when(col("tag") === 0, col("ts_us"))).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("last_click_us"),
+        (col("ts_us") - col("last_click_us")).as("latency_us"))
+  }
+
+  def attributionAsofSql: String =
+    """WITH tagged AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), scanned AS (
+      |  SELECT *,
+      |    max(CASE WHEN tag = 0 THEN ts_us END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM tagged
+      |)
+      |SELECT event_id, user_id, ts_us AS purchase_us, last_click_us,
+      |       ts_us - last_click_us AS latency_us
+      |FROM scanned WHERE tag = 1""".stripMargin
+
   /** Stateful click-fraud blacklist — the full reference semantics
     * (market/z_FilterBlackListUser.scala:8-43): warn exactly once per
     * (user, ad, day) when the count crosses the threshold, suppress the

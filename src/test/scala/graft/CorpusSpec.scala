@@ -89,6 +89,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.isEmpty, s"a 2-token doc has no 3-gram shingles to score: ${got.toSeq}")
   }
 
+  test("attributionAsof: at-or-before click per purchase, ties click-first, no-click null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftasof").toString
+    def ev(id: Long, us: Long, u: Long, t: String) =
+      (id, new java.sql.Timestamp(us / 1000), u, t, 0.0, "{}")
+    // user 1: click@10s, purchase@20s (attributed to 10s), click@30s,
+    //         purchase@30s (TIE: attributed to the same-instant click)
+    // user 2: purchase@5s with no prior click -> null
+    Seq(ev(0, 10000000L, 1, "click"), ev(1, 20000000L, 1, "purchase"),
+        ev(2, 30000000L, 1, "click"), ev(3, 30000000L, 1, "purchase"),
+        ev(4, 5000000L, 2, "purchase"), ev(5, 6000000L, 2, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Stateful.attributionAsof(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some(10000000L), Some(10000000L)),
+      (3L, Some(30000000L), Some(0L)),
+      (4L, None, None)))
+  }
+
   test("piiScrubOn counts and redacts emails, IPs, phone numbers") {
     import spark.implicits._
     val rows = Seq(
