@@ -79,6 +79,14 @@ object SparkEntry {
     "corpus_coverage"    -> ((s, d) => Corpus.corpusCoverage(s, d)),
     "rolling_hour_stats" -> ((s, d) => EventAnalytics.rollingHourStats(s, d)),
     "click_no_purchase"  -> ((s, d) => EventAnalytics.clickNoPurchase(s, d)),
+    // round 5: representative selection, edit-distance verify,
+    // distributed exact quantiles, vocabulary head, pivot/rollup
+    "cluster_reps"       -> ((s, d) => TextOps.clusterReps(s, d)),
+    "edit_distance_pairs" -> ((s, d) => TextOps.editDistancePairs(s, d)),
+    "doc_quantiles"      -> ((s, d) => TextOps.docQuantiles(s, d)),
+    "token_topk"         -> ((s, d) => TextOps.tokenTopK(s, d)),
+    "event_pivot"        -> ((s, d) => EventAnalytics.eventPivot(s, d)),
+    "event_rollup"       -> ((s, d) => EventAnalytics.eventRollup(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -139,5 +147,11 @@ object SparkEntry {
     "corpus_coverage"    -> Corpus.corpusCoverageSql(),
     "rolling_hour_stats" -> EventAnalytics.rollingHourStatsSql,
     "click_no_purchase"  -> EventAnalytics.clickNoPurchaseSql,
+    "cluster_reps"       -> TextOps.clusterRepsSql(),
+    "edit_distance_pairs" -> TextOps.editDistancePairsSql(),
+    "doc_quantiles"      -> TextOps.docQuantilesSql(),
+    "token_topk"         -> TextOps.tokenTopKSql(),
+    "event_pivot"        -> EventAnalytics.eventPivotSql,
+    "event_rollup"       -> EventAnalytics.eventRollupSql,
   )
 }

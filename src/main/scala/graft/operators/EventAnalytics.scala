@@ -289,6 +289,59 @@ object EventAnalytics {
       |FROM events
       |GROUP BY CUBE (1, 2)""".stripMargin
 
+  /** Event types pivoted to columns: one row per hour, one count column
+    * per event type — the wide-format report shape (cross-tab). The
+    * type list is STATIC (passed in, not discovered), which kills the
+    * extra distinct-collect job Spark's `pivot(col)` otherwise runs
+    * and keeps the plan a single map-side-combined aggregate whose
+    * width is |types|, independent of data volume. */
+  def eventPivot(spark: SparkSession, d: String,
+                 types: Seq[String] = EventTypes): DataFrame =
+    events(spark, d)
+      .withColumn("hour", (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long"))
+      .groupBy("hour")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+
+  /** The five event types of the synthetic `events` table (TESTDATA.md;
+    * pinned so pivot plans and oracles agree on column order). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val eventPivotSql: String =
+    """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour,
+      |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** ROLLUP along the (event_type → hour) hierarchy: per-type-per-hour,
+    * per-type, and grand-total rows in one pass — the drill-down
+    * companion to [[eventCube]]'s full cross-product. Same scale shape
+    * as any groupBy: grouping-set expansion happens inside the partial
+    * aggregate, the shuffle carries only per-set partials. The measure
+    * set adds an exact distinct-user count (one extra expand), which
+    * cube deliberately omits. */
+  def eventRollup(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .withColumn("hour", (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long"))
+      .rollup(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("users"),
+        grouping_id().cast("long").as("gid"))
+
+  val eventRollupSql: String =
+    """SELECT event_type,
+      |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour,
+      |       count(*) AS cnt,
+      |       count(DISTINCT user_id) AS users,
+      |       CAST(GROUPING(event_type,
+      |                     CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY ROLLUP (1, 2)""".stripMargin
+
   /** Range-frame rolling aggregate: per event, count and exact sum of
     * the same user's `value` over the PRECEDING HOUR (event-time range
     * frame, ties-as-peers). The OVER-frame capability the

@@ -899,4 +899,174 @@ object TextOps {
        |SELECT node AS doc_id, min(r) AS cluster_id,
        |       CAST(node = min(r) AS BIGINT) AS is_canonical
        |FROM reach GROUP BY node""".stripMargin
+
+  // ---- canonical-representative selection ----------------------------
+
+  /** Per near-dup cluster, the document to KEEP — longest text wins,
+    * ties to the lowest doc_id (the usual "best representative"
+    * curation policy after fuzzy dedup; cf. the keep-lowest-id rule of
+    * [[dedupExact]]). Only non-singleton clusters surface: singletons
+    * need no decision and would dominate the output at scale.
+    *
+    * Scale: clusters come from [[neardupClusters]] (LSH-bounded pair
+    * stream, never all-pairs); the ranking window partitions by
+    * cluster_id whose size is bounded by the dup-cluster size, not the
+    * corpus. One extra exchange on cluster_id. */
+  def clusterReps(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = neardupClusters(spark, d, threshold)
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("n_chars")), "doc_id")
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    sized
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1 && col("n_docs") >= 2)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"), col("n_docs"))
+  }
+
+  def clusterRepsSql(threshold: Double = 0.5): String =
+    s"""WITH sized AS (
+       |  SELECT c.cluster_id, d.doc_id, d.n_chars
+       |  FROM (
+       |${neardupClustersSql(threshold)}
+       |  ) c JOIN documents d USING (doc_id)
+       |)
+       |SELECT cluster_id, rep_id, n_docs FROM (
+       |  SELECT cluster_id, doc_id AS rep_id,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM sized
+       |) WHERE rn = 1 AND n_docs >= 2""".stripMargin
+
+  // ---- edit-distance verify over LSH candidates ----------------------
+
+  /** Character-level near-dup pairs: SimHash-band candidates verified
+    * by RELATIVE Levenshtein distance (dist ≤ maxRel · longer-text
+    * length) — the expensive exact metric the hash sketches
+    * approximate, run only where it is affordable. The O(|a|·|b|)
+    * dynamic program never touches the full pair space: candidates
+    * come from [[simhashPairs]]'s 4×15-bit band equality joins, so the
+    * verify cost is O(candidates), not O(n²).
+    *
+    * `levenshtein` is a codegen'd builtin in both engines (identical
+    * classic-DP semantics on this ASCII corpus), so the oracle is
+    * bit-exact. */
+  def editDistancePairs(spark: SparkSession, d: String, maxRel: Double = 0.4,
+                        maxHamming: Int = 12): DataFrame = {
+    val texts = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    simhashPairs(spark, d, maxHamming)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("edit_dist") <= lit(maxRel) * greatest(length(col("ta")), length(col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
+  def editDistancePairsSql(maxRel: Double = 0.4, maxHamming: Int = 12): String =
+    s"""WITH cand AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${simhashPairsSql(maxHamming)}
+       |  ) s
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.doc_a
+       |JOIN documents db ON db.doc_id = c.doc_b
+       |WHERE levenshtein(da.text, db.text)
+       |      <= $maxRel * greatest(length(da.text), length(db.text))""".stripMargin
+
+  // ---- distributed exact quantiles -----------------------------------
+
+  /** Exact per-language document-length quantiles via the rank-and-
+    * interpolate plan — the DISTRIBUTED form of exact quantiles.
+    * Spark's builtin `percentile` aggregate buffers every value of a
+    * group in executor memory (an OpenHashMap per group); at 100 TB a
+    * single language is billions of rows, so instead: rank within
+    * lang (external-sort window, spills), count per lang, compute the
+    * two bracketing ranks per quantile on the tiny (lang × q) side,
+    * and join back — memory per task stays O(1) beyond the sort.
+    *
+    * Quantiles are restricted to quarter fractions (k/4): with integer
+    * data, pos = q·(n−1), frac, and vlo + (vhi−vlo)·frac are all exact
+    * in IEEE double (multiplying by 0.25/0.5/0.75 is exact), so the
+    * linear-interpolation result is bit-identical across engines and
+    * evaluation orders — no float-parity risk in the oracle hash. */
+  def docQuantiles(spark: SparkSession, d: String,
+                   qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.forall(q => (q * 4) == math.rint(q * 4) && q >= 0 && q <= 1),
+      "quarter-fraction quantiles only (exact-arithmetic guarantee)")
+    val base = Tables.documents(spark, d)
+      .select(col("lang"), col("n_chars").cast("double").as("v"))
+    val ranked = base.withColumn("rk",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("v"))) - 1)
+    val qx = base.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("pos", col("q") * (col("n") - 1))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    // renamed projections break the shared-lineage ambiguity of the
+    // double self-join back to `ranked`
+    val loSide = ranked.select(col("lang").as("l_lang"), col("rk").as("l_rk"),
+      col("v").as("v_lo"))
+    val hiSide = ranked.select(col("lang").as("h_lang"), col("rk").as("h_rk"),
+      col("v").as("v_hi"))
+    loSide
+      .join(broadcast(qx), col("l_lang") === col("lang") && col("l_rk") === col("lo"))
+      .join(hiSide, col("h_lang") === col("lang") && col("h_rk") === col("hi"))
+      .select(col("lang"), col("q"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - col("lo")))
+          .as("quantile"))
+  }
+
+  def docQuantilesSql(qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): String = {
+    val vals = qs.map(q => s"($q)").mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rk
+       |  FROM documents
+       |), qx AS (
+       |  SELECT lang, count(*) AS n, CAST(q AS DOUBLE) AS q
+       |  FROM documents, (VALUES $vals) AS qs(q)
+       |  GROUP BY lang, q
+       |), pts AS (
+       |  SELECT lang, q, q * (n - 1) AS pos,
+       |         CAST(floor(q * (n - 1)) AS BIGINT) AS lo,
+       |         CAST(ceil(q * (n - 1)) AS BIGINT) AS hi
+       |  FROM qx
+       |)
+       |SELECT p.lang, p.q,
+       |       vlo.v + (vhi.v - vlo.v) * (p.pos - p.lo) AS quantile
+       |FROM pts p
+       |JOIN ranked vlo ON vlo.lang = p.lang AND vlo.rk = p.lo
+       |JOIN ranked vhi ON vhi.lang = p.lang AND vhi.rk = p.hi""".stripMargin
+  }
+
+  // ---- corpus heavy hitters ------------------------------------------
+
+  /** Top-k most frequent tokens corpus-wide (vocabulary head — stopword
+    * discovery, tokenizer sanity, Zipf-fit checks). Explode → one
+    * map-side-combined count shuffle on token → TakeOrdered top-k
+    * (orderBy+limit never global-sorts: each partition keeps a k-heap
+    * and the driver merges k·p rows). Ties break on the token string
+    * so the cut is deterministic. */
+  def tokenTopK(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+    docs(spark, d)
+      .select(explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  def tokenTopKSql(k: Int = 20): String =
+    s"""SELECT token, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents
+       |) WHERE length(token) > 0
+       |GROUP BY token
+       |ORDER BY cnt DESC, token
+       |LIMIT $k""".stripMargin
 }

@@ -84,6 +84,42 @@ class SurfaceSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("hamming64"))
   }
 
+  test("eventPivot rows sum to per-hour totals; eventRollup hierarchy is consistent") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val nTotal = events.count()
+    val hourTotals = events
+      // raw parquet ts is epoch-NANOS int64 (Tables.events converts);
+      // derive the hour bucket independently of the operator's path
+      .select((floor(col("ts") / (3600L * 1000 * 1000 * 1000)) * 3600)
+        .cast("long").as("hour"))
+      .groupBy("hour").count().collect()
+      .map(r => r.getAs[Long]("hour") -> r.getAs[Long]("count")).toMap
+    val piv = EventAnalytics.eventPivot(spark, sf).collect()
+    assert(piv.map(_.getAs[Long]("hour")).toSet == hourTotals.keySet)
+    piv.foreach { r =>
+      val rowSum = types.map(t => r.getAs[Long](t)).sum
+      assert(rowSum == hourTotals(r.getAs[Long]("hour")))
+    }
+    val roll = EventAnalytics.eventRollup(spark, sf).collect()
+    val grand = roll.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("cnt") == nTotal)
+    val perType = roll.filter(_.getAs[Long]("gid") == 1L)
+    assert(perType.map(_.getAs[Long]("cnt")).sum == nTotal)
+    val detail = roll.filter(_.getAs[Long]("gid") == 0L)
+    assert(detail.map(_.getAs[Long]("cnt")).sum == nTotal)
+    // rollup ⊂ cube: every (type, hour) detail row appears in the cube
+    // with the same count
+    val cube = EventAnalytics.eventCube(spark, sf).collect()
+      .filter(_.getAs[Long]("gid") == 0L)
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")) ->
+        r.getAs[Long]("cnt")).toMap
+    detail.foreach { r =>
+      assert(cube((r.getAs[String]("event_type"), r.getAs[Long]("hour")))
+        == r.getAs[Long]("cnt"))
+    }
+  }
+
   test("frame sampler emits n deterministic rows per payload") {
     val frames = Multimodal.sampleFrames(spark, sf, nFrames = 3)
     val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet

@@ -279,4 +279,78 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)))
     assert(ham(h(0L), h(2L)) <= 12) // 1/30 tokens changed: few bits flip
   }
+
+  test("docQuantiles equals Spark's builtin percentile per (lang, q)") {
+    val got = TextOps.docQuantiles(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("q")) ->
+        r.getAs[Double]("quantile")).toMap
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val exp = Seq(0.25, 0.5, 0.75).flatMap { q =>
+      base.groupBy("lang")
+        .agg(percentile(col("n_chars"), lit(q)).as("p")).collect()
+        .map(r => (r.getAs[String]("lang"), q) -> r.getAs[Double]("p"))
+    }.toMap
+    assert(got.keySet == exp.keySet)
+    // the rank-interpolate plan must agree with the buffering builtin
+    // EXACTLY (quarter-fraction arithmetic is exact in double)
+    got.foreach { case (k, v) => assert(v == exp(k), s"$k: $v != ${exp(k)}") }
+  }
+
+  test("tokenTopK is the head of the full token-frequency table") {
+    val top = TextOps.tokenTopK(spark, sf, 10).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+    assert(top.length == 10)
+    assert(top.map(_._2).sliding(2).forall(s => s.head >= s.last))
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").count().collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("count")).toMap
+    top.foreach { case (t, c) => assert(full(t) == c) }
+    // the cut is correct: nothing outside the top-10 beats the 10th
+    val floor10 = top.last._2
+    assert(full.count { case (_, c) => c > floor10 } <= 9)
+  }
+
+  test("clusterReps keeps the longest member of each multi-doc cluster") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs5").toString
+    Seq((0L, text, "en", "s", 10L), (1L, text, "en", "s", 20L),
+        (2L, "completely different words entirely", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reps = TextOps.clusterReps(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("n_docs")))
+    // one non-singleton cluster {0,1}; rep = doc 1 (longer n_chars);
+    // the singleton doc 2 is suppressed
+    assert(reps.toSeq == Seq((0L, 1L, 2L)))
+  }
+
+  test("editDistancePairs verifies simhash candidates with exact distances") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7", "tok99")
+    val far = (1 to 30).map(i => s"other$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs6").toString
+    Seq((0L, base, "en", "s", 1L), (1L, base, "en", "s", 1L),
+        (2L, near, "en", "s", 1L), (3L, far, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.editDistancePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("edit_dist")).toMap
+    // the exact-dup pair always survives banding (identical simhash)
+    assert(got.get((0L, 1L)).contains(0L))
+    // every reported distance equals an independent recomputation
+    val texts = Map(0L -> base, 1L -> base, 2L -> near, 3L -> far)
+    got.foreach { case ((a, b), dist) =>
+      val exp = spark.sql(
+        s"SELECT levenshtein('${texts(a)}', '${texts(b)}')").head().getInt(0)
+      assert(dist == exp, s"pair ($a,$b)")
+    }
+    // the far doc shares no tokens — it must never verify at 0.4·len
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
