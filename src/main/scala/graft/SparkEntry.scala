@@ -87,6 +87,10 @@ object SparkEntry {
     "token_topk"         -> ((s, d) => TextOps.tokenTopK(s, d)),
     "event_pivot"        -> ((s, d) => EventAnalytics.eventPivot(s, d)),
     "event_rollup"       -> ((s, d) => EventAnalytics.eventRollup(s, d)),
+    "funnel"             -> ((s, d) => EventAnalytics.funnel(s, d)),
+    "latest_snapshot"    -> ((s, d) => EventAnalytics.latestSnapshot(s, d)),
+    "token_freq_hist"    -> ((s, d) => Corpus.tokenFreqHist(s, d)),
+    "pmi_bigrams"        -> ((s, d) => Corpus.pmiBigrams(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -153,5 +157,9 @@ object SparkEntry {
     "token_topk"         -> TextOps.tokenTopKSql(),
     "event_pivot"        -> EventAnalytics.eventPivotSql,
     "event_rollup"       -> EventAnalytics.eventRollupSql,
+    "funnel"             -> EventAnalytics.funnelSql,
+    "latest_snapshot"    -> EventAnalytics.latestSnapshotSql,
+    "token_freq_hist"    -> Corpus.tokenFreqHistSql,
+    "pmi_bigrams"        -> Corpus.pmiBigramsSql(),
   )
 }

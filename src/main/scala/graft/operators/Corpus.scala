@@ -284,4 +284,107 @@ object Corpus {
        |      '$Ipv4Re', '<IP>', 'g'),
        |    '$PhoneRe', '<PHONE>', 'g') AS redacted
        |FROM lines""".stripMargin
+
+  // ---- token frequency histogram (Zipf QA) ---------------------------
+
+  /** Frequency-of-frequencies: for each occurrence count, how many
+    * distinct tokens occur exactly that often. THE corpus-health
+    * fingerprint — a natural corpus follows Zipf (hapax-heavy, long
+    * tail); machine-generated or template text shows mass spikes at
+    * specific counts. Two map-side-combined aggregations, each output
+    * strictly smaller than the last; nothing scales with corpus size
+    * except the scan. */
+  def tokenFreqHist(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(expr(toksExpr)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences").agg(count(lit(1)).as("n_tokens"))
+
+  def tokenFreqHistSql: String =
+    """SELECT occurrences, count(*) AS n_tokens FROM (
+      |  SELECT token, count(*) AS occurrences FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |    FROM documents
+      |  ) WHERE length(token) > 0
+      |  GROUP BY token
+      |) GROUP BY occurrences""".stripMargin
+
+  // ---- PMI collocations ----------------------------------------------
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * phrase mining for tokenizer vocab construction and boilerplate
+    * discovery. The score is the RATIONAL PMI form (the [[tfidfTopK]]
+    * trick): p(xy)/(p(x)p(y)) = c_xy·N²/(B·c_x·c_y) with N = token
+    * instances, B = bigram instances — identical ranking to log-PMI,
+    * but every factor is an exact integer-valued double and the whole
+    * expression is one fixed-shape multiply/divide chain, so the
+    * oracle hash matches bit-for-bit (ln() last-ulp drift would break
+    * it for zero ranking benefit).
+    *
+    * Scale: unigram and bigram counts are separate map-side-combined
+    * aggregations of the same scan lineage; the corpus totals ride a
+    * 1-row broadcast; the two unigram joins are broadcast-able (vocab
+    * ≪ corpus) or plain shuffles at worst; the final top-k is
+    * TakeOrdered. `minCount` prunes the hapax noise PMI is notorious
+    * for BEFORE the joins. */
+  def pmiBigrams(spark: SparkSession, d: String, k: Int = 30,
+                 minCount: Long = 5): DataFrame = {
+    val toks = Tables.documents(spark, d).withColumn("toks", expr(toksExpr))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+        "i -> struct(toks[i] AS x, toks[i+1] AS y)) ELSE array() END")).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    // B must count ALL bigram instances, not just the kept ones — derive
+    // from unigram totals: B = Σ_doc (len-1) = N - n_docs(with ≥1 token)
+    val docsWithToks = toks
+      .filter(length(col("toks")(0)) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val nb = uni.agg(sum(col("c")).as("n_uni")).crossJoin(docsWithToks)
+      .select(col("n_uni"), (col("n_uni") - col("n_docs")).as("n_bi"))
+    bi
+      .join(uni.select(col("token").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("token").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(nb))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c_xy"),
+        ((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("c_x") * col("c_y"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def pmiBigramsSql(k: Int = 30, minCount: Long = 5): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), uni AS (
+       |  SELECT token, count(*) AS c FROM (
+       |    SELECT unnest(toks) AS token FROM t
+       |  ) WHERE length(token) > 0 GROUP BY token
+       |), bi AS (
+       |  SELECT x, y, count(*) AS c_xy FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS x,
+       |           unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS y
+       |    FROM t
+       |  ) GROUP BY x, y HAVING count(*) >= $minCount
+       |), nb AS (
+       |  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+       |         (SELECT sum(c) FROM uni) -
+       |         (SELECT count(*) FROM t WHERE len(toks) >= 1 AND length(toks[1]) > 0) AS n_bi
+       |)
+       |SELECT x || ' ' || y AS bigram, c_xy,
+       |       (CAST(c_xy AS DOUBLE) * n_uni * n_uni) /
+       |       (CAST(n_bi AS DOUBLE) * cx.c * cy.c) AS pmi_ratio
+       |FROM bi
+       |JOIN uni cx ON cx.token = bi.x
+       |JOIN uni cy ON cy.token = bi.y
+       |CROSS JOIN nb
+       |ORDER BY pmi_ratio DESC, bigram
+       |LIMIT $k""".stripMargin
 }

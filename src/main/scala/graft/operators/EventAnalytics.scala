@@ -342,6 +342,82 @@ object EventAnalytics {
       |FROM events
       |GROUP BY ROLLUP (1, 2)""".stripMargin
 
+  /** Three-stage conversion funnel with ORDERED semantics: a user
+    * converts at stage 2 only if some click follows their FIRST view,
+    * and at stage 3 only if some purchase follows that first
+    * qualifying click (strictly later timestamps at each hop — the
+    * standard product-analytics funnel, not the mere set-intersection
+    * count). Output: one row per stage with the surviving user count.
+    *
+    * Scale: three aggregations keyed on user_id plus two user_id
+    * equi-joins — AQE co-partitions the chain on the shared key, and
+    * each stage's input is a filtered sliver of the one before. No
+    * per-user event buffering anywhere (the collect-and-scan form
+    * would hold a user's whole history in one task). */
+  def funnel(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d).select(col("user_id"), col("event_type"),
+      epochSeconds(col("ts")).as("ts_s"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_s") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_s")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_s") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts_s")).as("t3"))
+    v.agg(count(lit(1)).as("n")).select(lit(1L).as("stage"), lit("view").as("event_type"), col("n"))
+      .unionAll(c.agg(count(lit(1)).as("n")).select(lit(2L).as("stage"), lit("click").as("event_type"), col("n")))
+      .unionAll(p.agg(count(lit(1)).as("n")).select(lit(3L).as("stage"), lit("purchase").as("event_type"), col("n")))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+      |), v AS (
+      |  SELECT user_id, min(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(ts_s) AS t2 FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ts_s > t1 GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(ts_s) AS t3 FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY 1
+      |)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, (SELECT count(*) FROM v) AS n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM c)
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM p)""".stripMargin
+
+  /** Latest event per user — CDC/upsert compaction: collapse an event
+    * log to its most recent state per key (the materialization step of
+    * every incremental-ingestion pipeline; ties broken by event_id so
+    * the survivor is unique). row_number + filter lets Catalyst plan a
+    * WindowGroupLimit: each partition keeps only its per-key max
+    * before the rank exchange — the shuffle carries one candidate row
+    * per (partition, key), NOT the full log. */
+  def latestSnapshot(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s").desc, col("event_id").desc)
+    events(spark, d)
+      .select(col("user_id"), col("event_id"), epochSeconds(col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  val latestSnapshotSql: String =
+    """SELECT user_id, event_id, ts_s, event_type, value FROM (
+      |  SELECT user_id, event_id, ts_s, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts_s DESC, event_id DESC) AS rn
+      |  FROM (SELECT user_id, event_id,
+      |          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value
+      |        FROM events)
+      |) WHERE rn = 1""".stripMargin
+
   /** Range-frame rolling aggregate: per event, count and exact sum of
     * the same user's `value` over the PRECEDING HOUR (event-time range
     * frame, ties-as-peers). The OVER-frame capability the

@@ -20,6 +20,39 @@ class CorpusSpec extends AnyFunSuite {
     dir
   }
 
+  test("tokenFreqHist conserves token instances and vocabulary size") {
+    val sf = "/root/testdata/sf0.001"
+    val hist = Corpus.tokenFreqHist(spark, sf).collect()
+      .map(r => (r.getAs[Long]("occurrences"), r.getAs[Long]("n_tokens")))
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val nInstances = toks.count()
+    val nVocab = toks.distinct().count()
+    // Σ occ·n_tokens = every token instance; Σ n_tokens = the vocabulary
+    assert(hist.map { case (o, n) => o * n }.sum == nInstances)
+    assert(hist.map(_._2).sum == nVocab)
+    assert(hist.map(_._1).distinct.length == hist.length)
+  }
+
+  test("pmiBigrams: collocated pair scores over independent pair, exact ratio") {
+    // "ice cream" always collocates; "milk" and "tea" co-occur only by
+    // chance next to fillers. PMI(ice,cream) = c_xy*N^2/(B*c_x*c_y).
+    val dir = docsDir(Seq(
+      (0L, "ice cream milk a tea b ice cream a milk"),
+      (1L, "tea a ice cream b milk a b tea a"),
+      (2L, "ice cream a b milk tea a ice cream b")))
+    val rows = Corpus.pmiBigrams(spark, dir, k = 5, minCount = 2).collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("c_xy"),
+        r.getAs[Double]("pmi_ratio")))
+    val ic = rows.find(_._1 == "ice cream").get
+    // hand counts: c_xy=5, c_ice=5, c_cream=5, N=30 tokens, B=27 bigrams
+    assert(ic._2 == 5L)
+    assert(ic._3 == (5.0 * 30 * 30) / (27.0 * 5 * 5))
+    // the perfect collocation outranks every other surviving bigram
+    assert(rows.forall(r => r._1 == "ice cream" || r._3 <= ic._3))
+  }
+
   test("tfidfTopK ranks a doc-specific term above corpus-wide terms") {
     // "apple" appears in all 3 docs (df=3); "zebra" only in doc 0 (df=1).
     // doc 0: tf(zebra)=2 -> score 2*3/1=6; tf(apple)=1 -> 1*3/3=1.

@@ -120,6 +120,48 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel and latestSnapshot match a brute-force replay of the log") {
+    // independent oracle: collect the raw log once, replay it in Scala
+    val log = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        ColumnFunctions.epochSeconds(col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_s"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val byUser = log.groupBy(_._1)
+    // funnel: first view, first click strictly after it, first purchase
+    // strictly after that
+    def firstAfter(evts: Array[(Long, Long, Long, String, Double)],
+                   tpe: String, after: Long): Option[Long] = {
+      val ts = evts.collect { case (_, _, t, `tpe`, _) if t > after => t }
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { evts =>
+      val views = evts.collect { case (_, _, t, "view", _) => t }
+      if (views.nonEmpty) {
+        nv += 1
+        firstAfter(evts, "click", views.min).foreach { t2 =>
+          nc += 1
+          if (firstAfter(evts, "purchase", t2).nonEmpty) np += 1
+        }
+      }
+    }
+    val funnel = EventAnalytics.funnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n")).toMap
+    assert(funnel == Map(1L -> nv, 2L -> nc, 3L -> np))
+    // latestSnapshot: per user the (ts_s, event_id)-max row survives
+    val expected = byUser.view.mapValues(_.maxBy(e => (e._3, e._2))).toMap
+    val snap = EventAnalytics.latestSnapshot(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("ts_s"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toMap
+    assert(snap == expected)
+  }
+
   test("frame sampler emits n deterministic rows per payload") {
     val frames = Multimodal.sampleFrames(spark, sf, nFrames = 3)
     val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
