@@ -12,6 +12,11 @@ object Verify {
     // optional 3rd arg (dev iteration only; the driver passes 2): comma-
     // separated query names — verify just those, skip the other ~55
     val only = args.lift(2).map(_.split(',').toSet)
+    // a typoed name would otherwise filter to nothing and "pass"
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val spark = GraftSession("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

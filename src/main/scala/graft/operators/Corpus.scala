@@ -295,20 +295,16 @@ object Corpus {
     * strictly smaller than the last; nothing scales with corpus size
     * except the scan. */
   def tokenFreqHist(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
-      .select(explode(expr(toksExpr)).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("occurrences"))
+    TextOps.tokenCounts(spark, d)
+      .select(col("cnt").as("occurrences"))
       .groupBy("occurrences").agg(count(lit(1)).as("n_tokens"))
 
   def tokenFreqHistSql: String =
-    """SELECT occurrences, count(*) AS n_tokens FROM (
-      |  SELECT token, count(*) AS occurrences FROM (
-      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-      |    FROM documents
-      |  ) WHERE length(token) > 0
-      |  GROUP BY token
-      |) GROUP BY occurrences""".stripMargin
+    s"""SELECT occurrences, count(*) AS n_tokens FROM (
+       |  SELECT cnt AS occurrences FROM (
+       |  ${TextOps.tokenCountsSql}
+       |  )
+       |) GROUP BY occurrences""".stripMargin
 
   // ---- PMI collocations ----------------------------------------------
 
@@ -330,10 +326,14 @@ object Corpus {
     * for BEFORE the joins. */
   def pmiBigrams(spark: SparkSession, d: String, k: Int = 30,
                  minCount: Long = 5): DataFrame = {
-    val toks = Tables.documents(spark, d).withColumn("toks", expr(toksExpr))
-    val uni = toks.select(explode(col("toks")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("c"))
+    // pair over the EMPTY-FILTERED token sequence: split('\s+') emits an
+    // empty first/last element for docs with leading/trailing non-space
+    // whitespace (trim strips spaces only), and pairing the raw array
+    // would then credit such docs with phantom bigrams in B
+    val toks = Tables.documents(spark, d)
+      .withColumn("toks", expr(s"filter($toksExpr, t -> length(t) > 0)"))
+    val uni = TextOps.tokenCounts(spark, d)
+      .select(col("token"), col("cnt").as("c"))
     val bi = toks.select(explode(expr(
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
         "i -> struct(toks[i] AS x, toks[i+1] AS y)) ELSE array() END")).as("bg"))
@@ -341,9 +341,10 @@ object Corpus {
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     // B must count ALL bigram instances, not just the kept ones — derive
-    // from unigram totals: B = Σ_doc (len-1) = N - n_docs(with ≥1 token)
+    // from unigram totals: B = Σ_doc (len-1) = N - n_docs(with ≥1 token),
+    // exact because `toks` is already empty-filtered
     val docsWithToks = toks
-      .filter(length(col("toks")(0)) > 0)
+      .filter(size(col("toks")) >= 1)
       .agg(count(lit(1)).as("n_docs"))
     val nb = uni.agg(sum(col("c")).as("n_uni")).crossJoin(docsWithToks)
       .select(col("n_uni"), (col("n_uni") - col("n_docs")).as("n_bi"))
@@ -361,12 +362,13 @@ object Corpus {
 
   def pmiBigramsSql(k: Int = 30, minCount: Long = 5): String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |                             tok -> length(tok) > 0) AS toks
        |  FROM documents
        |), uni AS (
-       |  SELECT token, count(*) AS c FROM (
-       |    SELECT unnest(toks) AS token FROM t
-       |  ) WHERE length(token) > 0 GROUP BY token
+       |  SELECT token, cnt AS c FROM (
+       |  ${TextOps.tokenCountsSql}
+       |  )
        |), bi AS (
        |  SELECT x, y, count(*) AS c_xy FROM (
        |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS x,
@@ -376,7 +378,7 @@ object Corpus {
        |), nb AS (
        |  SELECT (SELECT sum(c) FROM uni) AS n_uni,
        |         (SELECT sum(c) FROM uni) -
-       |         (SELECT count(*) FROM t WHERE len(toks) >= 1 AND length(toks[1]) > 0) AS n_bi
+       |         (SELECT count(*) FROM t WHERE len(toks) >= 1) AS n_bi
        |)
        |SELECT x || ' ' || y AS bigram, c_xy,
        |       (CAST(c_xy AS DOUBLE) * n_uni * n_uni) /

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -274,18 +274,28 @@ object EventAnalytics {
     * union-of-four-queries). gid disambiguates subtotal rows from
     * genuine NULL keys, same bit convention (first column = high bit)
     * in Spark and DuckDB/Postgres. */
+  /** Epoch-second hour bucket of the event time — ONE definition for
+    * every hour-granular operator (cube/pivot/rollup/click_no_purchase)
+    * and its SQL twin [[HourBucketSql]], so truncation semantics can
+    * never drift between copies. */
+  private def hourBucket: Column =
+    (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long")
+
+  /** DuckDB twin of [[hourBucket]]. */
+  private val HourBucketSql = "CAST(floor(epoch(ts)/3600) AS BIGINT)*3600"
+
   def eventCube(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
-      .withColumn("hour", (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long"))
+      .withColumn("hour", hourBucket)
       .cube(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
 
   val eventCubeSql: String =
-    """SELECT event_type,
-      |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour,
+    s"""SELECT event_type,
+      |       $HourBucketSql AS hour,
       |       count(*) AS cnt,
       |       CAST(GROUPING(event_type,
-      |                     CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS BIGINT) AS gid
+      |                     $HourBucketSql) AS BIGINT) AS gid
       |FROM events
       |GROUP BY CUBE (1, 2)""".stripMargin
 
@@ -298,7 +308,7 @@ object EventAnalytics {
   def eventPivot(spark: SparkSession, d: String,
                  types: Seq[String] = EventTypes): DataFrame =
     events(spark, d)
-      .withColumn("hour", (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long"))
+      .withColumn("hour", hourBucket)
       .groupBy("hour")
       .pivot("event_type", types)
       .agg(count(lit(1)))
@@ -309,7 +319,7 @@ object EventAnalytics {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   val eventPivotSql: String =
-    """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour,
+    s"""SELECT $HourBucketSql AS hour,
       |       count(*) FILTER (WHERE event_type = 'click')    AS click,
       |       count(*) FILTER (WHERE event_type = 'error')    AS error,
       |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
@@ -326,19 +336,19 @@ object EventAnalytics {
     * cube deliberately omits. */
   def eventRollup(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
-      .withColumn("hour", (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long"))
+      .withColumn("hour", hourBucket)
       .rollup(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("user_id")).as("users"),
         grouping_id().cast("long").as("gid"))
 
   val eventRollupSql: String =
-    """SELECT event_type,
-      |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour,
+    s"""SELECT event_type,
+      |       $HourBucketSql AS hour,
       |       count(*) AS cnt,
       |       count(DISTINCT user_id) AS users,
       |       CAST(GROUPING(event_type,
-      |                     CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS BIGINT) AS gid
+      |                     $HourBucketSql) AS BIGINT) AS gid
       |FROM events
       |GROUP BY ROLLUP (1, 2)""".stripMargin
 
@@ -456,15 +466,15 @@ object EventAnalytics {
   def clickNoPurchase(spark: SparkSession, d: String): DataFrame = {
     def cells(t: String) = events(spark, d).filter(col("event_type") === t)
       .select(col("user_id"),
-        (floor(epochSeconds(col("ts")) / 3600) * 3600).cast("long").as("hour"))
+        hourBucket.as("hour"))
     cells("click").except(cells("purchase"))
   }
 
   val clickNoPurchaseSql: String =
-    """SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour
+    s"""SELECT user_id, $HourBucketSql AS hour
       |FROM events WHERE event_type = 'click'
       |EXCEPT
-      |SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS hour
+      |SELECT user_id, $HourBucketSql AS hour
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
   /** Semi-structured extraction: JSON-path field pull from the props

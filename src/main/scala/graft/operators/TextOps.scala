@@ -909,19 +909,26 @@ object TextOps {
     * need no decision and would dominate the output at scale.
     *
     * Scale: clusters come from [[neardupClusters]] (LSH-bounded pair
-    * stream, never all-pairs); the ranking window partitions by
-    * cluster_id whose size is bounded by the dup-cluster size, not the
-    * corpus. One extra exchange on cluster_id. */
+    * stream, never all-pairs). Cluster sizes are a map-side-combined
+    * groupBy (NOT an unordered count window — that shape would force
+    * the whole corpus through one exchange just to discard
+    * singletons), and the keep-longest rank compiles to Partial+Final
+    * WindowGroupLimit, so each map task emits one candidate per
+    * cluster before its shuffle. The final inner join against the
+    * ≥2-sized clusters drops singletons and is broadcast-able: true
+    * dup clusters are a sliver of the corpus. */
   def clusterReps(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = neardupClusters(spark, d, threshold)
+    val clusters = neardupClusters(spark, d, threshold)
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val winners = clusters
       .join(Tables.documents(spark, d).select(col("doc_id"), col("n_chars")), "doc_id")
-    val byCluster = Window.partitionBy(col("cluster_id"))
-    sized
-      .withColumn("n_docs", count(lit(1)).over(byCluster))
-      .withColumn("rn", row_number().over(
-        byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
-      .filter(col("rn") === 1 && col("n_docs") >= 2)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+    winners.join(sizes, "cluster_id")
       .select(col("cluster_id"), col("doc_id").as("rep_id"), col("n_docs"))
   }
 
@@ -969,14 +976,18 @@ object TextOps {
        |  SELECT doc_a, doc_b FROM (
        |${simhashPairsSql(maxHamming)}
        |  ) s
+       |), scored AS (
+       |  -- one levenshtein DP per candidate: score in a subquery, filter
+       |  -- on the alias (projection+WHERE would run the O(|a|·|b|) DP twice)
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       |         greatest(length(da.text), length(db.text)) AS max_len
+       |  FROM cand c
+       |  JOIN documents da ON da.doc_id = c.doc_a
+       |  JOIN documents db ON db.doc_id = c.doc_b
        |)
-       |SELECT c.doc_a, c.doc_b,
-       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
-       |FROM cand c
-       |JOIN documents da ON da.doc_id = c.doc_a
-       |JOIN documents db ON db.doc_id = c.doc_b
-       |WHERE levenshtein(da.text, db.text)
-       |      <= $maxRel * greatest(length(da.text), length(db.text))""".stripMargin
+       |SELECT doc_a, doc_b, edit_dist FROM scored
+       |WHERE edit_dist <= $maxRel * max_len""".stripMargin
 
   // ---- distributed exact quantiles -----------------------------------
 
@@ -1047,26 +1058,39 @@ object TextOps {
 
   // ---- corpus heavy hitters ------------------------------------------
 
-  /** Top-k most frequent tokens corpus-wide (vocabulary head — stopword
-    * discovery, tokenizer sanity, Zipf-fit checks). Explode → one
-    * map-side-combined count shuffle on token → TakeOrdered top-k
-    * (orderBy+limit never global-sorts: each partition keeps a k-heap
-    * and the driver merges k·p rows). Ties break on the token string
-    * so the cut is deterministic. */
-  def tokenTopK(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+  /** The (token, cnt) occurrence relation — THE corpus token-frequency
+    * table every vocabulary-level operator shares (tokenTopK here;
+    * Corpus.tokenFreqHist and Corpus.pmiBigrams' unigram side), so the
+    * empty-token convention lives in exactly one place. One explode +
+    * one map-side-combined count shuffle. */
+  private[graft] def tokenCounts(spark: SparkSession, d: String): DataFrame =
     docs(spark, d)
       .select(explode(col("toks")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** DuckDB twin of [[tokenCounts]] — splice as a CTE/subquery. */
+  private[graft] val tokenCountsSql: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |    FROM documents
+      |  ) WHERE length(token) > 0
+      |  GROUP BY token""".stripMargin
+
+  /** Top-k most frequent tokens corpus-wide (vocabulary head — stopword
+    * discovery, tokenizer sanity, Zipf-fit checks). [[tokenCounts]] →
+    * TakeOrdered top-k (orderBy+limit never global-sorts: each
+    * partition keeps a k-heap and the driver merges k·p rows). Ties
+    * break on the token string so the cut is deterministic. */
+  def tokenTopK(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+    tokenCounts(spark, d)
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
   def tokenTopKSql(k: Int = 20): String =
-    s"""SELECT token, count(*) AS cnt FROM (
-       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
-       |  FROM documents
-       |) WHERE length(token) > 0
-       |GROUP BY token
+    s"""SELECT token, cnt FROM (
+       |  $tokenCountsSql
+       |)
        |ORDER BY cnt DESC, token
        |LIMIT $k""".stripMargin
 }
