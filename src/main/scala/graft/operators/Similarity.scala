@@ -46,9 +46,7 @@ object Similarity {
     * pipelines. (Not the oracle-parity form: fold order is
     * element-order, fine for ranking, not for bit-compare.) */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x.cast("array<double>"), y.cast("array<double>"), (p, q) => p * q),
-      lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column) = graft.plans.GraftFunctions.dotF64(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -112,10 +110,7 @@ object Similarity {
     // so it sits above (double k-th − 2e-13) > cutoff; every excluded
     // pair's exact score is below the exact k-th, so survivor ranks ≤ k
     // equal the global exact ranks.
-    val approxDot = aggregate(
-      zip_with(col("qe").cast("array<double>"), col("ce").cast("array<double>"),
-        (p, x) => p * x),
-      lit(0.0), (acc, v) => acc + v)
+    val approxDot = graft.plans.GraftFunctions.dotF64(col("qe"), col("ce"))
     val pre = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", approxDot / (col("qn") * col("cn")))
     val wPre = Window.partitionBy(col("query_id")).orderBy(col("approx").desc)
@@ -384,10 +379,7 @@ object Similarity {
     * [[exactSqDist]] (fold order element-order; |double − exact| ≲
     * 1e-12 at these magnitudes, dwarfed by the 1e-6 prune margin). */
   private def doubleSqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.GraftFunctions.sqDistF64(a, b)
 
   /** Nearest code word per (vec_id, sub_id) — exact decimal squared-L2
     * argmin, (dist, code) tie-break. Two-phase (same identity argument
@@ -567,9 +559,7 @@ object Similarity {
   private def signBits(nBits: Int, dim: Int = 64): Column =
     (0 until nBits).map { j =>
       val plane = typedLit(hyperplane(j, dim))
-      val ad = aggregate(
-        zip_with(col("embedding").cast("array<double>"), plane, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val ad = graft.plans.GraftFunctions.dotF64(col("embedding"), plane)
       val dot = when(abs(ad) > 1e-6, ad).otherwise(exactDotCols(col("embedding"), plane))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -582,10 +572,7 @@ object Similarity {
       col("embedding").as("ea"), col("norm").as("na"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("norm").as("nb"))
-    val approxDot = aggregate(
-      zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
-        (p, q) => p * q),
-      lit(0.0), (acc, v) => acc + v)
+    val approxDot = graft.plans.GraftFunctions.dotF64(col("ea"), col("eb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(approxDot / (col("na") * col("nb")) >= threshold - 1e-6)
@@ -646,10 +633,7 @@ object Similarity {
       col("embedding").as("ea") :+ col("norm").as("na")): _*)
     val b = e.select((cellCols.map(col) :+ col("vec_id").as("vec_b") :+
       col("embedding").as("eb") :+ col("norm").as("nb")): _*)
-    val approxDot = aggregate(
-      zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
-        (p, q) => p * q),
-      lit(0.0), (acc, v) => acc + v)
+    val approxDot = graft.plans.GraftFunctions.dotF64(col("ea"), col("eb"))
     a.join(b, cellCols)
       .filter(col("vec_a") < col("vec_b"))
       .filter(approxDot / (col("na") * col("nb")) >= threshold - 1e-6)
@@ -715,10 +699,7 @@ object Similarity {
           col("norm").as("na")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("norm").as("nb")), "vec_b")
-      val approxDot = aggregate(
-        zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
-          (p, q) => p * q),
-        lit(0.0), (acc, v) => acc + v)
+      val approxDot = graft.plans.GraftFunctions.dotF64(col("ea"), col("eb"))
       withVecs
         .filter(approxDot / (col("na") * col("nb")) >= threshold - 1e-6)
         .select(col("vec_a"), col("vec_b"),

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Hamming distance of two 64-bit fingerprints — a native Catalyst
   * expression with full codegen (brief path (b): "a native Catalyst
@@ -34,6 +35,142 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product of two float/double array columns, accumulated in
+  * double in ELEMENT ORDER — a native Catalyst expression with full
+  * codegen for the similarity hot loops (ann prerank, near-dup
+  * prefilter). Bit-identical to the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`
+  * (same products, same fold order, null/length-mismatch → null), but
+  * higher-order functions run INTERPRETED with a per-pair array
+  * allocation and per-element lambda boxing — this is one fused
+  * primitive loop inside whole-stage codegen, zero allocation. */
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_f64"
+
+  private def floatElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_f64 requires (ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lf, rf) = (floatElems(left), floatElems(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, idx: String, isFloat: Boolean) =
+        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, i, floatElems(left))} * ${get(b, i, floatElems(right))};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF64 =
+    copy(left = l, right = r)
+}
+
+/** Squared-L2 distance of two float/double array columns — the
+  * [[DotF64]] pattern for the PQ/IVF preranks: Σ (aᵢ−bᵢ)² accumulated
+  * in double in element order, bit-identical to the zip_with HOF form,
+  * one codegen'd loop. */
+case class SqDistF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sqdist_f64"
+
+  private def floatElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sqdist_f64 requires (ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lf, rf) = (floatElems(left), floatElems(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val dd = xv - yv
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      def get(arr: String, idx: String, isFloat: Boolean) =
+        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $dd = ${get(a, i, floatElems(left))} - ${get(b, i, floatElems(right))};
+         |    $acc += $dd * $dd;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistF64 =
+    copy(left = l, right = r)
+}
+
 /** Engine extensions, installed via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (wired in
   * GraftSession) — the SparkSessionExtensions registration path the
@@ -52,6 +189,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         Hamming64(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`dot_f64`", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        DotF64(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sqdist_f64"),
+      new ExpressionInfo(classOf[SqDistF64].getName, "sqdist_f64"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`sqdist_f64`", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        SqDistF64(children.head, children(1))
+      }))
   }
 }
 
@@ -60,4 +221,12 @@ object GraftFunctions {
   /** Column wrapper for the native expression (works without SQL registration). */
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("hamming64", a, b)
+
+  /** Column wrapper for [[DotF64]] — the codegen'd similarity hot-loop dot. */
+  def dotF64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_f64", a, b)
+
+  /** Column wrapper for [[SqDistF64]] — the codegen'd squared-L2. */
+  def sqDistF64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sqdist_f64", a, b)
 }

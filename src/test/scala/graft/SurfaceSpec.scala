@@ -84,6 +84,41 @@ class SurfaceSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("hamming64"))
   }
 
+  test("dot_f64 / sqdist_f64 are bit-identical to the zip_with HOF forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(50)(i =>
+      (Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat())))
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val hofSq = aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (p, q) => (p - q) * (p - q)), lit(0.0), (acc, v) => acc + v)
+    val got = df.select(
+      graft.plans.GraftFunctions.dotF64(col("a"), col("b")).as("d"),
+      hofDot.as("dh"),
+      graft.plans.GraftFunctions.sqDistF64(col("a"), col("b")).as("s"),
+      hofSq.as("sh")).collect()
+    got.foreach { r =>
+      // same products, same fold order => exact equality, not approximate
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // SQL registration + interpreted path agree with codegen
+    df.createOrReplaceTempView("dx")
+    val sqlGot = spark.sql("SELECT dot_f64(a, b), sqdist_f64(a, b) FROM dx").collect()
+    assert(sqlGot.map(_.getDouble(0)).toSeq == got.map(_.getDouble(0)).toSeq)
+    assert(sqlGot.map(_.getDouble(1)).toSeq == got.map(_.getDouble(2)).toSeq)
+    // length mismatch -> null (the zip_with null-pad convention)
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(graft.plans.GraftFunctions.dotF64(col("a"), col("b"))).collect()
+    assert(mm.head.isNullAt(0))
+    // type check rejects non-array args
+    intercept[Exception] { spark.sql("SELECT dot_f64(1, 2)").collect() }
+  }
+
   test("eventPivot rows sum to per-hour totals; eventRollup hierarchy is consistent") {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val events = spark.read.parquet(s"$sf/events.parquet")
