@@ -90,6 +90,19 @@ object StreamingJobs {
       .withWatermark("ts", wmDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming face of EventAnalytics.latestSnapshot — CDC/upsert
+    * materialization as an incremental update-mode aggregate: one
+    * `max_by` state row per key, re-emitted whenever a later event
+    * (strict total order via the `ord` struct) arrives. No watermark:
+    * the state is the materialized table itself — bounded by |keys|,
+    * not by time, which is exactly the CDC-compaction contract. Batch
+    * runs of the same plan produce the batch snapshot. */
+  def latestState(events: DataFrame, key: String,
+                  ord: Seq[Column], payload: Seq[String]): DataFrame =
+    events.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), struct(ord: _*)).as("latest"))
+      .select(col(key) +: payload.map(p => col(s"latest.$p").as(p)): _*)
+
   /** Per-window Top-N over a windowed-count frame (HotItems rank stage).
     * Batch: plain window function (Catalyst turns the rn<=n filter into
     * WindowGroupLimit). Streaming: apply inside foreachBatch on the

@@ -44,4 +44,35 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(after.contains((7L, "alpha")))
     } finally q.stop()
   }
+
+  test("streaming latestState upserts across batches and matches the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("user_id", "event_id", "ts_s", "event_type")
+    val latest = StreamingJobs.latestState(df, "user_id",
+      Seq(col("ts_s"), col("event_id")),
+      Seq("event_id", "ts_s", "event_type"))
+    val q = Sinks.memory(latest, "latest_state", "complete")
+    try {
+      input.addData(Seq((1L, 10L, 100L, "view"), (2L, 11L, 105L, "click")))
+      q.processAllAvailable()
+      // batch 2: a LATER event for user 1 overwrites; an EARLIER
+      // (out-of-order) event for user 2 must NOT
+      input.addData(Seq((1L, 12L, 200L, "purchase"), (2L, 13L, 50L, "view")))
+      q.processAllAvailable()
+      val got = spark.table("latest_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == Set((1L, 12L, 200L, "purchase"), (2L, 11L, 105L, "click")))
+      // same plan over the union of all data as a BATCH frame agrees
+      val batch = StreamingJobs.latestState(
+        Seq((1L, 10L, 100L, "view"), (2L, 11L, 105L, "click"),
+          (1L, 12L, 200L, "purchase"), (2L, 13L, 50L, "view"))
+          .toDF("user_id", "event_id", "ts_s", "event_type"),
+        "user_id", Seq(col("ts_s"), col("event_id")),
+        Seq("event_id", "ts_s", "event_type")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
