@@ -268,12 +268,6 @@ object EventAnalytics {
        |       max(us) + $gapMicros AS session_end, count(*) AS n_events
        |FROM s GROUP BY user_id, sid""".stripMargin
 
-  /** Multi-dimensional rollup: CUBE over (event_type, hour) — all four
-    * grouping sets in ONE pass (Catalyst expands the cube map-side and
-    * the partial aggregate combines before the single shuffle; no
-    * union-of-four-queries). gid disambiguates subtotal rows from
-    * genuine NULL keys, same bit convention (first column = high bit)
-    * in Spark and DuckDB/Postgres. */
   /** Epoch-second hour bucket of the event time — ONE definition for
     * every hour-granular operator (cube/pivot/rollup/click_no_purchase)
     * and its SQL twin [[HourBucketSql]], so truncation semantics can
@@ -284,6 +278,12 @@ object EventAnalytics {
   /** DuckDB twin of [[hourBucket]]. */
   private val HourBucketSql = "CAST(floor(epoch(ts)/3600) AS BIGINT)*3600"
 
+  /** Multi-dimensional rollup: CUBE over (event_type, hour) — all four
+    * grouping sets in ONE pass (Catalyst expands the cube map-side and
+    * the partial aggregate combines before the single shuffle; no
+    * union-of-four-queries). gid disambiguates subtotal rows from
+    * genuine NULL keys, same bit convention (first column = high bit)
+    * in Spark and DuckDB/Postgres. */
   def eventCube(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
       .withColumn("hour", hourBucket)

@@ -35,29 +35,50 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Dot product of two float/double array columns, accumulated in
-  * double in ELEMENT ORDER — a native Catalyst expression with full
-  * codegen for the similarity hot loops (ann prerank, near-dup
-  * prefilter). Bit-identical to the HOF form
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`
-  * (same products, same fold order, null/length-mismatch → null), but
-  * higher-order functions run INTERPRETED with a per-pair array
-  * allocation and per-element lambda boxing — this is one fused
-  * primitive loop inside whole-stage codegen, zero allocation. */
-case class DotF64(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** Shared scaffold for the float/double-array fold kernels
+  * ([[DotF64]], [[SqDistF64]]): element-order double accumulation with
+  * full codegen, bit-identical to the corresponding
+  * `aggregate(zip_with(a, b, combine), 0d, (acc,v) -> acc+v)` HOF form
+  * (same per-element values, same fold order, null element or length
+  * mismatch → null) — but higher-order functions run INTERPRETED with
+  * a per-pair array allocation and per-element lambda boxing, while
+  * this is one fused primitive loop inside whole-stage codegen, zero
+  * allocation — every fixed-width numeric element type reads natively,
+  * converted to double exactly as the HOF's explicit
+  * `.cast("array<double>")` did. */
+abstract class ArrayF64Fold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def prettyName: String = "dot_f64"
 
-  private def floatElems(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** Per-element contribution added to the accumulator (eval path). */
+  protected def combine(x: Double, y: Double): Double
+  /** Java source of the per-element contribution (codegen path). */
+  protected def combineCode(x: String, y: String): String
+
+  // every fixed-width numeric element type reads natively — (double) of
+  // an int/long/float element is exactly what the HOF's explicit
+  // .cast("array<double>") produced, without the per-row array copy
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private val supported: Set[DataType] = Set(
+    DoubleType, FloatType, LongType, IntegerType,
+    org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+    case (ArrayType(l, _), ArrayType(r, _)) if supported(l) && supported(r) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"dot_f64 requires (ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>), got ($l, $r)")
+      s"$prettyName requires two arrays of fixed-width numeric elements, got ($l, $r)")
+  }
+
+  private def getDouble(arr: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case org.apache.spark.sql.types.ShortType => arr.getShort(i).toDouble
+    case _ => arr.getByte(i).toDouble
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -65,14 +86,12 @@ case class DotF64(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val (lf, rf) = (floatElems(left), floatElems(right))
+    val (lt, rt) = (elemType(left), elemType(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += combine(getDouble(x, lt, i), getDouble(y, rt, i))
       i += 1
     }
     acc
@@ -83,8 +102,16 @@ case class DotF64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      def get(arr: String, idx: String, isFloat: Boolean) =
-        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      def get(arr: String, idx: String, dt: DataType) = dt match {
+        case DoubleType => s"$arr.getDouble($idx)"
+        case FloatType => s"(double) $arr.getFloat($idx)"
+        case LongType => s"(double) $arr.getLong($idx)"
+        case IntegerType => s"(double) $arr.getInt($idx)"
+        case org.apache.spark.sql.types.ShortType => s"(double) $arr.getShort($idx)"
+        case _ => s"(double) $arr.getByte($idx)"
+      }
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -93,80 +120,32 @@ case class DotF64(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += ${get(a, i, floatElems(left))} * ${get(b, i, floatElems(right))};
+         |    final double $xv = ${get(a, i, elemType(left))};
+         |    final double $yv = ${get(b, i, elemType(right))};
+         |    $acc += ${combineCode(xv, yv)};
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
+}
 
+/** Dot product: Σ aᵢ·bᵢ — the ANN-prerank / near-dup-prefilter /
+  * sign-LSH hot-loop kernel. */
+case class DotF64(left: Expression, right: Expression) extends ArrayF64Fold {
+  override def prettyName: String = "dot_f64"
+  override protected def combine(x: Double, y: Double): Double = x * y
+  override protected def combineCode(x: String, y: String): String = s"$x * $y"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF64 =
     copy(left = l, right = r)
 }
 
-/** Squared-L2 distance of two float/double array columns — the
-  * [[DotF64]] pattern for the PQ/IVF preranks: Σ (aᵢ−bᵢ)² accumulated
-  * in double in element order, bit-identical to the zip_with HOF form,
-  * one codegen'd loop. */
-case class SqDistF64(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
+/** Squared-L2 distance: Σ (aᵢ−bᵢ)² — the PQ/IVF prerank kernel. */
+case class SqDistF64(left: Expression, right: Expression) extends ArrayF64Fold {
   override def prettyName: String = "sqdist_f64"
-
-  private def floatElems(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"sqdist_f64 requires (ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>), got ($l, $r)")
-  }
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    val (lf, rf) = (floatElems(left), floatElems(right))
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      val dd = xv - yv
-      acc += dd * dd
-      i += 1
-    }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val dd = ctx.freshName("dd")
-      def get(arr: String, idx: String, isFloat: Boolean) =
-        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
-      s"""
-         |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $dd = ${get(a, i, floatElems(left))} - ${get(b, i, floatElems(right))};
-         |    $acc += $dd * $dd;
-         |  }
-         |  if (!${ev.isNull}) ${ev.value} = $acc;
-         |}
-       """.stripMargin
-    })
-
+  override protected def combine(x: Double, y: Double): Double = { val d = x - y; d * d }
+  override protected def combineCode(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistF64 =
     copy(left = l, right = r)
 }
@@ -176,43 +155,30 @@ case class SqDistF64(left: Expression, right: Expression)
   * GraftSession) — the SparkSessionExtensions registration path the
   * brief reserves for semantics the built-ins can't express. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Register a binary expression under `name` with a proper
+    * AnalysisException on wrong arity (not an IndexOutOfBounds during
+    * analysis — ADVICE r2). */
+  private def inject2(ext: SparkSessionExtensions, name: String,
+                      className: String,
+                      make: (Expression, Expression) => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> s"`$name`", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        make(children.head, children(1))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("hamming64"),
-      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
-      (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            Map("functionName" -> "`hamming64`", "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        Hamming64(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("dot_f64"),
-      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
-      (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            Map("functionName" -> "`dot_f64`", "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        DotF64(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("sqdist_f64"),
-      new ExpressionInfo(classOf[SqDistF64].getName, "sqdist_f64"),
-      (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            Map("functionName" -> "`sqdist_f64`", "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        SqDistF64(children.head, children(1))
-      }))
+    inject2(ext, "hamming64", classOf[Hamming64].getName, Hamming64(_, _))
+    inject2(ext, "dot_f64", classOf[DotF64].getName, DotF64(_, _))
+    inject2(ext, "sqdist_f64", classOf[SqDistF64].getName, SqDistF64(_, _))
   }
 }
 

@@ -115,6 +115,21 @@ class SurfaceSpec extends AnyFunSuite {
     val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
       .select(graft.plans.GraftFunctions.dotF64(col("a"), col("b"))).collect()
     assert(mm.head.isNullAt(0))
+    // null ELEMENT -> null, on both codegen and interpreted paths
+    // (null * x = null poisons the HOF fold; the kernels must agree)
+    val withNullElem = spark.sql(
+      "SELECT dot_f64(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS d, " +
+      "       sqdist_f64(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS s")
+      .collect().head
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+    // other numeric arrays coerce like the HOF's explicit array<double>
+    // cast did (int arrays worked before the native kernels; still must)
+    val intGot = spark.sql("SELECT dot_f64(array(1, 2, 3), array(4, 5, 6))")
+      .collect().head.getDouble(0)
+    assert(intGot == 32.0)
+    assert(Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+      .select(graft.operators.Similarity.cosine(col("a"), col("b")))
+      .collect().head.getDouble(0) > 0.97)
     // type check rejects non-array args
     intercept[Exception] { spark.sql("SELECT dot_f64(1, 2)").collect() }
   }
