@@ -35,4 +35,30 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("lang-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    Sinks.parquet(Tables.documents(spark, sf), s"$dir/docs", partitionBy = Seq("lang"))
+    val read = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    // execute THIS plan (count() would build a separate queryExecution
+    // whose metrics the assertions below couldn't see)
+    val n = read.collect().length.toLong
+    // correct content: exactly the en docs survive
+    assert(n == Tables.documents(spark, sf).filter(col("lang") === "en").count())
+    // and the predicate prunes at the FILE level, not post-scan: the
+    // scan's partition filter carries lang=en, so at 100 TB only the
+    // en directory is listed/read
+    val scan = read.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected lang partition filter in scan:\n$scan")
+    // files actually touched after pruning: the en partition only
+    // (inputFiles is pre-pruning; the scan's numFiles metric is not)
+    val numFiles = read.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    val totalLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(numFiles >= 1 && numFiles < totalLangs,
+      s"expected pruned scan (< $totalLangs partition files), read $numFiles")
+  }
 }
