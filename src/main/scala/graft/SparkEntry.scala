@@ -91,6 +91,7 @@ object SparkEntry {
     "latest_snapshot"    -> ((s, d) => EventAnalytics.latestSnapshot(s, d)),
     "token_freq_hist"    -> ((s, d) => Corpus.tokenFreqHist(s, d)),
     "pmi_bigrams"        -> ((s, d) => Corpus.pmiBigrams(s, d)),
+    "curation_pipeline"  -> ((s, d) => DataPipeline.curationPipeline(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -161,5 +162,6 @@ object SparkEntry {
     "latest_snapshot"    -> EventAnalytics.latestSnapshotSql,
     "token_freq_hist"    -> Corpus.tokenFreqHistSql,
     "pmi_bigrams"        -> Corpus.pmiBigramsSql(),
+    "curation_pipeline"  -> DataPipeline.curationPipelineSql(),
   )
 }

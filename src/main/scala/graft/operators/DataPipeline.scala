@@ -169,4 +169,97 @@ object DataPipeline {
        |  CAST(tokens_before // $budget AS BIGINT) AS pack_id,
        |  CAST(tokens_before % $budget AS BIGINT) AS offset
        |FROM c""".stripMargin
+
+  // ---- end-to-end curation pipeline -----------------------------------
+
+  /** The whole curation flow as ONE query — per document, the final
+    * keep/drop decision with its reason, applying the stages in cost
+    * order exactly as a 100 TB run would:
+    *
+    *  1. quality gate ([[qualityFilter]], per-row, zero shuffle) — a
+    *     failing doc drops with its first failing rule as the reason;
+    *  2. exact dedup among quality survivors — non-keepers (lowest
+    *     doc_id per sha-256 wins) drop as 'exact_dup';
+    *  3. near-dup representative selection among the remaining docs —
+    *     within each [[TextOps.neardupClusters]] cluster the longest
+    *     survivor (tie: lowest doc_id) stays, the rest drop as
+    *     'near_dup'.
+    *
+    * Cluster structure is content-based, so it is computed once on the
+    * full corpus (the LSH-bounded pair stream); only REPRESENTATIVE
+    * selection is restricted to stage-1/2 survivors — the kept doc is
+    * always itself a quality-passing, exact-unique document. Every
+    * stage joins on doc_id/hash/cluster keys: broadcastable slivers at
+    * the tail, map-side-combined aggregates elsewhere. */
+  def curationPipeline(spark: SparkSession, d: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val q = qualityFilter(spark, d).select(col("doc_id"), col("verdict"))
+    val hashed = Tables.documents(spark, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"), col("n_chars"))
+    val qKeep = q.filter(col("verdict") === "keep").select(col("doc_id"))
+    val keepers = hashed.join(qKeep, "doc_id")
+      .groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val clusters = TextOps.neardupClusters(spark, d, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val survivors = hashed.join(qKeep, "doc_id").join(keepers, "h")
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("n_chars"))
+    val reps = survivors.join(clusters, "doc_id")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep"))
+    q.join(hashed, "doc_id")
+      .join(keepers, Seq("h"), "left")
+      .join(clusters, "doc_id")
+      .join(reps, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        when(col("verdict") =!= "keep", col("verdict"))
+          .when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
+          .when(col("doc_id") =!= col("rep"), lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"))
+      .withColumn("kept", (col("decision") === "kept").cast("long"))
+  }
+
+  def curationPipelineSql(threshold: Double = 0.5): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, verdict FROM (
+       |${qualityFilterSql()}
+       |  )
+       |), hashed AS (
+       |  SELECT doc_id, sha256(text) AS h, n_chars FROM documents
+       |), keepers AS (
+       |  SELECT h, min(hashed.doc_id) AS keeper
+       |  FROM hashed JOIN q USING (doc_id)
+       |  WHERE q.verdict = 'keep' GROUP BY h
+       |), cl AS (
+       |  SELECT doc_id, cluster_id FROM (
+       |${TextOps.neardupClustersSql(threshold)}
+       |  )
+       |), survivors AS (
+       |  SELECT hashed.doc_id, hashed.n_chars
+       |  FROM hashed JOIN q USING (doc_id) JOIN keepers USING (h)
+       |  WHERE q.verdict = 'keep' AND hashed.doc_id = keepers.keeper
+       |), reps AS (
+       |  SELECT cluster_id, doc_id AS rep FROM (
+       |    SELECT c.cluster_id, s.doc_id,
+       |           row_number() OVER (PARTITION BY c.cluster_id
+       |                              ORDER BY s.n_chars DESC, s.doc_id) AS rn
+       |    FROM survivors s JOIN cl c USING (doc_id)
+       |  ) WHERE rn = 1
+       |)
+       |SELECT q.doc_id,
+       |  CASE WHEN q.verdict <> 'keep' THEN q.verdict
+       |       WHEN q.doc_id <> keepers.keeper THEN 'exact_dup'
+       |       WHEN q.doc_id <> reps.rep THEN 'near_dup'
+       |       ELSE 'kept' END AS decision,
+       |  CAST(CASE WHEN q.verdict <> 'keep' THEN q.verdict
+       |            WHEN q.doc_id <> keepers.keeper THEN 'exact_dup'
+       |            WHEN q.doc_id <> reps.rep THEN 'near_dup'
+       |            ELSE 'kept' END = 'kept' AS BIGINT) AS kept
+       |FROM q
+       |JOIN hashed USING (doc_id)
+       |LEFT JOIN keepers USING (h)
+       |JOIN cl USING (doc_id)
+       |LEFT JOIN reps USING (cluster_id)""".stripMargin
 }

@@ -77,4 +77,23 @@ class DataPipelineSpec extends AnyFunSuite {
     // every doc packed exactly once
     assert(packed.map(_._1).distinct.length == packed.length)
   }
+
+  test("curationPipeline: each decision path fires on its crafted document") {
+    val base = "the quick brown fox " + (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7", "zz") // near-dup of base, shorter
+    val dir = docsDir(Seq(
+      0L -> base,   // kept: passes quality, exact keeper, cluster rep
+      1L -> base,   // exact_dup: same content, higher doc_id
+      2L -> near,   // near_dup: survives quality+exact, loses rep choice
+      3L -> "tiny") // too_short: quality gate fires first
+    )
+    val got = DataPipeline.curationPipeline(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"), r.getAs[Long]("kept"))).toMap
+    assert(got == Map(
+      0L -> ("kept", 1L),
+      1L -> ("exact_dup", 0L),
+      2L -> ("near_dup", 0L),
+      3L -> ("too_short", 0L)))
+  }
 }
