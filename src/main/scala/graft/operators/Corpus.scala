@@ -308,8 +308,10 @@ object Corpus {
 
   // ---- PMI collocations ----------------------------------------------
 
-  /** Top-k bigram collocations by pointwise mutual information —
-    * phrase mining for tokenizer vocab construction and boilerplate
+  /** Top-k bigram collocations by pointwise mutual information
+    * (Church & Hanks 1990, "Word association norms, mutual
+    * information, and lexicography" — public technique) — phrase
+    * mining for tokenizer vocab construction and boilerplate
     * discovery. The score is the RATIONAL PMI form (the [[tfidfTopK]]
     * trick): p(xy)/(p(x)p(y)) = c_xy·N²/(B·c_x·c_y) with N = token
     * instances, B = bigram instances — identical ranking to log-PMI,
