@@ -35,6 +35,34 @@ object Machines {
       (s, Nil, None)
   }
 
+  /** A staged funnel event (kind: 1=view, 2=click, 3=purchase). */
+  case class Staged(tsUs: Long, kind: Int)
+
+  /** One funnel advancement: the key reached `stage` at `tsUs`. */
+  case class StageAdvance(stage: Int, tsUs: Long)
+
+  /** Ordered conversion funnel per key — the streaming face of
+    * EventAnalytics.funnel (view → click → purchase, each hop STRICTLY
+    * later than the previous advancement). Time-sorted processing
+    * makes the first qualifying event of each stage exactly the batch
+    * form's min, so per-stage counts are identical; ties at the same
+    * timestamp resolve identically in any processing order (an
+    * equal-time hop never qualifies under strict >). Event-driven, no
+    * timers; state is (stage, advancement time) — O(1) per key. */
+  final class FunnelMachine
+      extends EventTimeStateMachine[Staged, (Int, Long), StageAdvance] {
+    def zero: (Int, Long) = (0, 0L)
+    def eventTime(e: Staged): Long = e.tsUs
+    def onEvent(s: (Int, Long), e: Staged): ((Int, Long), Seq[StageAdvance], Option[Long]) = {
+      val (stage, since) = s
+      if (e.kind == stage + 1 && (stage == 0 || e.tsUs > since))
+        ((stage + 1, e.tsUs), Seq(StageAdvance(stage + 1, e.tsUs)), None)
+      else (s, Nil, None)
+    }
+    def onTimer(s: (Int, Long), t: Long): ((Int, Long), Seq[StageAdvance], Option[Long]) =
+      (s, Nil, None)
+  }
+
   /** Outcome of one create event: paid in time or timed out. */
   case class OrderOutcome(createUs: Long, resultUs: Long, status: String)
 

@@ -34,6 +34,52 @@ class StreamingStatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel machine == batch funnel counts on real events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val kinds = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        graft.functions.ColumnFunctions.epochSeconds(col("ts")).as("ts_s"),
+        col("event_type"))
+      .collect()
+      .flatMap(r => kinds.get(r.getAs[String]("event_type"))
+        .map(k => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_s"), k)))
+      .toSeq
+    val split = evs.map(_._2).sorted.apply(evs.length / 2)
+    val m = new FunnelMachine
+    val input = MemoryStream[(Long, Long, Int)]
+    val withTs = input.toDF().toDF("k", "ts_s", "kind")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", "0 seconds")
+      .select("k", "ts_s", "kind", "ts")
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+    // machine event time carries SECONDS here: the batch funnel compares
+    // truncated epoch seconds, and parity needs the same granularity
+    val out = StatefulStreams.runStreaming(withTs.groupByKey(_._1), m)(
+      r => Staged(r._2, r._3))((k, o) => (k, o.stage))
+    val name = s"funnel_${System.nanoTime()}"
+    val q = out.toDF("k", "stage").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    val streaming = try {
+      val (b1, b2) = evs.partition(_._2 < split)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      spark.table(name).collect()
+        .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+    } finally q.stop()
+    val batch = graft.operators.EventAnalytics.funnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage").toInt -> r.getAs[Long]("n")).toMap
+    assert(streaming == batch, s"streaming=$streaming batch=$batch")
+    // and the batch secondary-sort runner agrees too
+    val runner = evs.groupBy(_._1).values.flatMap { es =>
+      StateMachineRunner.runSorted(m,
+        es.sortBy(_._2).map(e => Staged(e._2, e._3)).iterator)
+    }.toSeq.groupBy(_.stage).view.mapValues(_.length.toLong).toMap
+    assert(runner == batch)
+  }
+
   test("streaming blacklist machine == batch machine (warn once, suppress, reset)") {
     import spark.implicits._
     val m = new BlacklistMachine(2, 10L * US) // "day" = 10s for the test
