@@ -92,6 +92,8 @@ object SparkEntry {
     "token_freq_hist"    -> ((s, d) => Corpus.tokenFreqHist(s, d)),
     "pmi_bigrams"        -> ((s, d) => Corpus.pmiBigrams(s, d)),
     "curation_pipeline"  -> ((s, d) => DataPipeline.curationPipeline(s, d)),
+    "source_mix_report"  -> ((s, d) => Corpus.sourceMixReport(s, d)),
+    "dup_rate_by_source" -> ((s, d) => Corpus.dupRateBySource(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -163,5 +165,7 @@ object SparkEntry {
     "token_freq_hist"    -> Corpus.tokenFreqHistSql,
     "pmi_bigrams"        -> Corpus.pmiBigramsSql(),
     "curation_pipeline"  -> DataPipeline.curationPipelineSql(),
+    "source_mix_report"  -> Corpus.sourceMixReportSql,
+    "dup_rate_by_source" -> Corpus.dupRateBySourceSql,
   )
 }

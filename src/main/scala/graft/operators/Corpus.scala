@@ -306,6 +306,62 @@ object Corpus {
        |  )
        |) GROUP BY occurrences""".stripMargin
 
+  // ---- data-mixing reports -------------------------------------------
+
+  /** Per (source, lang) mixing report: document count, token volume,
+    * and mean document length — the numbers a data-mixing decision
+    * reads before setting [[DataPipeline.stratifiedSample]] fractions.
+    * One map-side-combined aggregate over a per-row tokenization;
+    * the mean routes through exact integer sums (sum/count division,
+    * one double op — engine-identical). */
+  def sourceMixReport(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("n_toks",
+        size(expr(s"filter($toksExpr, t -> length(t) > 0)")).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+
+  val sourceMixReportSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                tok -> length(tok) > 0))) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM documents
+      |GROUP BY source, lang""".stripMargin
+
+  /** Per-source duplicate rate: the fraction of a source's documents
+    * whose exact content already exists under a lower doc_id — the
+    * first quantity a crawl-quality review asks for. Reuses the
+    * [[TextOps.dedupExact]] keeper rule; one hash aggregate + one
+    * source aggregate, both map-side combined. The rate is a single
+    * long/long double division — engine-identical. */
+  def dupRateBySource(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    val keepers = docs.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    docs.join(keepers, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("keeper")).cast("long")).as("n_dups"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs"))
+  }
+
+  val dupRateBySourceSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, source, sha256(text) AS h FROM documents
+      |), keepers AS (
+      |  SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS dup_rate
+      |FROM hashed JOIN keepers USING (h)
+      |GROUP BY source""".stripMargin
+
   // ---- PMI collocations ----------------------------------------------
 
   /** Top-k bigram collocations by pointwise mutual information

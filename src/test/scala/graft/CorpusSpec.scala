@@ -53,6 +53,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.forall(r => r._1 == "ice cream" || r._3 <= ic._3))
   }
 
+  test("mix report and dup rate agree with independent totals") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mix = Corpus.sourceMixReport(spark, sf).collect()
+    assert(mix.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // duplicate totals across sources == corpus docs - distinct contents
+    val dup = Corpus.dupRateBySource(spark, sf).collect()
+    val nDistinct = docs.select(sha2(col("text"), 256)).distinct().count()
+    assert(dup.map(_.getAs[Long]("n_dups")).sum == docs.count() - nDistinct)
+    dup.foreach { r =>
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate == r.getAs[Long]("n_dups").toDouble / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("tfidfTopK ranks a doc-specific term above corpus-wide terms") {
     // "apple" appears in all 3 docs (df=3); "zebra" only in doc 0 (df=1).
     // doc 0: tf(zebra)=2 -> score 2*3/1=6; tf(apple)=1 -> 1*3/3=1.
