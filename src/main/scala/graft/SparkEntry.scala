@@ -94,6 +94,7 @@ object SparkEntry {
     "curation_pipeline"  -> ((s, d) => DataPipeline.curationPipeline(s, d)),
     "source_mix_report"  -> ((s, d) => Corpus.sourceMixReport(s, d)),
     "dup_rate_by_source" -> ((s, d) => Corpus.dupRateBySource(s, d)),
+    "audio_windows"      -> ((s, d) => Multimodal.audioWindows(s, d)),
   )
 
   /** Mixing fractions for the registered stratified_sample query. */
@@ -167,5 +168,6 @@ object SparkEntry {
     "curation_pipeline"  -> DataPipeline.curationPipelineSql(),
     "source_mix_report"  -> Corpus.sourceMixReportSql,
     "dup_rate_by_source" -> Corpus.dupRateBySourceSql,
+    "audio_windows"      -> Multimodal.audioWindowsSql(),
   )
 }

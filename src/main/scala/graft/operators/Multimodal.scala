@@ -250,4 +250,56 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "frame_hash")
   }
+
+  case class AudioFrame(doc_id: Long, frame_idx: Long, n_bytes: Long, energy: Long)
+
+  /** Fixed-size signal windowing over an opaque binary payload — the
+    * audio-shaped member of the multimodal family: frames of
+    * `frameBytes` samples, each with its EXACT integer energy
+    * Σ (bᵢ − 128)², interpreting the payload as headerless unsigned
+    * 8-bit PCM. Unlike [[hashFeaturesStub]], the arithmetic here is
+    * REAL — it runs over the actual payload bytes (silence detection,
+    * loudness bucketing, VAD-style gating all start from exactly this
+    * per-frame energy); only the PCM-format assumption stands in for a
+    * demuxer (headless JDKs ship no audio codec). Integer energy keeps
+    * the oracle bit-exact — no float RMS in the contract.
+    *
+    * Scale: mapPartitions batching over the payload partition, zero
+    * shuffle; output is |payload|/frameBytes rows per doc, each O(1).
+    * A real decoder drops into the same per-partition batch boundary. */
+  def audioWindows(spark: SparkSession, d: String, frameBytes: Int = 256): DataFrame = {
+    import spark.implicits._
+    withPayload(Tables.documents(spark, d))
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          r.payload.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+            var e = 0L
+            var j = 0
+            while (j < frame.length) {
+              val v = (frame(j) & 0xFF) - 128
+              e += v.toLong * v
+              j += 1
+            }
+            AudioFrame(r.doc_id, i.toLong, frame.length.toLong, e)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB twin of [[audioWindows]]: the payload is the utf-8 text
+    * bytes and the corpus is pure ASCII (verified per-SF), so byte
+    * values == code points and the per-frame sums replay exactly. */
+  def audioWindowsSql(frameBytes: Int = 256): String =
+    s"""WITH bytes AS (
+       |  SELECT doc_id, i - 1 AS pos, unicode(substr(text, CAST(i AS INT), 1)) AS b
+       |  FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS t(i)
+       |)
+       |SELECT doc_id, CAST(pos // $frameBytes AS BIGINT) AS frame_idx,
+       |       count(*) AS n_bytes,
+       |       CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS energy
+       |FROM bytes
+       |GROUP BY doc_id, pos // $frameBytes""".stripMargin
 }

@@ -125,4 +125,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("width") == 64)
     assert(out(2L).getAs[Long]("phash") == Multimodal.md5Lower64Mod(txt))
   }
+
+  test("audioWindows: exact per-frame energy, frame split, silence is zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftaudio").toString
+    // ASCII fixtures (like the corpus): 'H' = 72 -> (72-128)^2 = 3136
+    val text0 = "HH"            // one frame of 2 bytes: 2*3136 = 6272
+    val text1 = "A" * 5         // frameBytes=4 -> frames of 4 and 1
+    Seq((0L, text0, "en", "s", 2L), (1L, text1, "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Multimodal.audioWindows(spark, dir, frameBytes = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("energy"))).toMap
+    val eA = (65L - 128) * (65L - 128) // 'A' = 65 -> 3969
+    val eH = (72L - 128) * (72L - 128) // 'H' = 72 -> 3136
+    assert(got == Map(
+      (0L, 0L) -> (2L, 2 * eH),
+      (1L, 0L) -> (4L, 4 * eA),
+      (1L, 1L) -> (1L, eA)))
+  }
 }
