@@ -22,16 +22,21 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-explain")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val full = args.contains("-full")
+    val names = if (args.length > 1) args.drop(1).filterNot(_ == "-full").toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val q = SparkEntry.queries.get(n).orElse(audits.get(n)).get(spark, d)
       if (n == "ngram_jaccard")
         println(s"-- chooser pick at $d: ${operators.TextOps.chosenStrategy(spark, d)}")
       q.collect() // materialize so AQE finalizes the plan
       println(s"===== $n")
-      println(q.queryExecution.executedPlan.toString.linesIterator
+      val plan = q.queryExecution.executedPlan.toString
+      if (full) println(plan)
+      else println(plan.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("FileScan") || l.contains("WindowGroupLimit"))
+          l.contains("FileScan") || l.contains("WindowGroupLimit") ||
+          l.contains("Reused") || l.contains("== "))
         .mkString("\n"))
     }
     spark.stop()

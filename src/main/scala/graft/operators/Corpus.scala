@@ -45,20 +45,37 @@ object Corpus {
     * Spark and the oracle agree bit-for-bit — ln() last-ulp differences
     * would break hash parity for zero ranking benefit.
     *
-    * ONE scan: df is a window count over the tf relation (count of
-    * (doc,term) rows per term), not a join against a second
-    * scan+explode of the corpus — at 100 TB that second tokenization
-    * pass is the cost that matters. Three bounded shuffles ((doc,term)
-    * agg → term window → per-doc WindowGroupLimit); the total-doc
+    * ONE scan: df (docs containing the term = tf rows per term) is a
+    * map-side-combined `groupBy(term).count()` over the tf relation,
+    * joined back on term — NOT a `count(*) OVER (PARTITION BY term)`
+    * window. The window form is a skew wall: a stopword's partition
+    * holds df ≈ nDocs rows and ONE task drags the stage at 100×; the
+    * groupBy moves only (term, partial-count) per map partition, and
+    * the join-back skew is splittable by AQE's skew-join (impossible
+    * for a window). Still a single tokenization pass: both branches
+    * (tf→join probe, tf→df agg) share the identical
+    * scan→explode→partial-agg→exchange(doc_id,term) subtree, so
+    * ReuseExchange materializes that shuffle once. The total-doc
     * count N rides in as a broadcast scalar (footer-only count-star
     * scan), not a driver action, so the whole plan stays lazy. */
   def tfidfTopK(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, d)
     val tf = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // count(CASE WHEN tf > 0 THEN 1 END), not count(*): tf >= 1 always, so
+    // the value is identical — but a plain count(*) (or count of any
+    // provably-non-null function of tf) lets Catalyst prune tf's count
+    // buffer from this branch's inner aggregate, making its
+    // exchange(doc_id,term) subtree canonically DIFFERENT from the probe
+    // branch's and defeating ReuseExchange (two tokenization scans). The
+    // nullable, non-foldable dependency keeps both branches' partial
+    // aggregates bit-identical, so the tokenization shuffle materializes
+    // once and is read by both.
+    val dfByTerm = tf.groupBy("term")
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(dfByTerm, Seq("term"))
       .crossJoin(broadcast(total))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))

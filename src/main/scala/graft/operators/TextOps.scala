@@ -991,14 +991,35 @@ object TextOps {
 
   // ---- distributed exact quantiles -----------------------------------
 
-  /** Exact per-language document-length quantiles via the rank-and-
-    * interpolate plan — the DISTRIBUTED form of exact quantiles.
+  /** Exact per-language document-length quantiles via RANGE-PARTITIONED
+    * order statistics — the DISTRIBUTED form of exact quantiles.
     * Spark's builtin `percentile` aggregate buffers every value of a
-    * group in executor memory (an OpenHashMap per group); at 100 TB a
-    * single language is billions of rows, so instead: rank within
-    * lang (external-sort window, spills), count per lang, compute the
-    * two bracketing ranks per quantile on the tiny (lang × q) side,
-    * and join back — memory per task stays O(1) beyond the sort.
+    * group in executor memory (an OpenHashMap per group), and the naive
+    * `row_number() OVER (PARTITION BY lang ORDER BY v)` pushes an
+    * entire language through ONE task's external sort; at 100 TB a
+    * single language is billions of rows, so neither survives. Instead:
+    *
+    *  1. bucket each value into a fixed-width value range
+    *     (`b = floor(v / W)` — order-preserving, so every rank in
+    *     bucket b is ≥ every rank in bucket b−1, and ties of equal v
+    *     land in the same bucket);
+    *  2. count per (lang, bucket) — ONE map-side-combined shuffle of
+    *     the full data, emitting only (lang, bucket, cnt) slivers;
+    *  3. on that tiny relation, prefix-sum the counts per lang to get
+    *     each bucket's global start rank, and per-lang totals n → the
+    *     two bracketing ranks lo/hi per quantile;
+    *  4. semi-join the data back to ONLY the buckets that contain a
+    *     bracketing rank (broadcast — ≤ 2·|qs| buckets per lang) and
+    *     rank inside those buckets: `row_number() OVER (PARTITION BY
+    *     lang, b ORDER BY v) − 1 + start` = the exact global rank.
+    *
+    * No task ever sorts more than one bucket (~n/B rows); the plan has
+    * >1 task per language by construction. Bucket boundaries are
+    * static (no sampling pass) because the domain here is a document
+    * length; for an unbounded/skewed domain, sample-derived boundaries
+    * (RangePartitioner-style) slot into step 1 without touching the
+    * rank arithmetic — balance affects only performance, never the
+    * answer.
     *
     * Quantiles are restricted to quarter fractions (k/4): with integer
     * data, pos = q·(n−1), frac, and vlo + (vhi−vlo)·frac are all exact
@@ -1010,15 +1031,34 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     require(qs.forall(q => (q * 4) == math.rint(q * 4) && q >= 0 && q <= 1),
       "quarter-fraction quantiles only (exact-arithmetic guarantee)")
+    val bucketWidth = 64.0d
     val base = Tables.documents(spark, d)
       .select(col("lang"), col("n_chars").cast("double").as("v"))
-    val ranked = base.withColumn("rk",
-      row_number().over(Window.partitionBy(col("lang")).orderBy(col("v"))) - 1)
-    val qx = base.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    // (lang, bucket) → cnt: the only full-data shuffle, map-side combined
+    val bCounts = base.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+    // tiny relation from here on: prefix-sum per lang → bucket start rank
+    val wStart = Window.partitionBy(col("lang")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withStart = bCounts.withColumn("start",
+      coalesce(sum(col("cnt")).over(wStart), lit(0L)))
+    val qx = bCounts.groupBy("lang").agg(sum(col("cnt")).as("n"))
       .select(col("lang"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
       .withColumn("pos", col("q") * (col("n") - 1))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
+    // buckets that contain a bracketing rank: start <= r < start + cnt
+    val needed = withStart.as("bk")
+      .join(qx.as("t"), col("bk.lang") === col("t.lang") &&
+        ((col("t.lo") >= col("bk.start") && col("t.lo") < col("bk.start") + col("bk.cnt")) ||
+         (col("t.hi") >= col("bk.start") && col("t.hi") < col("bk.start") + col("bk.cnt"))))
+      .select(col("bk.lang").as("lang"), col("bk.b").as("b"), col("bk.start").as("start"))
+      .distinct()
+    // rank only inside the bracketing buckets — each (lang, b) its own task
+    val ranked = base.join(broadcast(needed), Seq("lang", "b"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("lang"), col("b")).orderBy(col("v")))
+          - 1 + col("start"))
     // renamed projections break the shared-lineage ambiguity of the
     // double self-join back to `ranked`
     val loSide = ranked.select(col("lang").as("l_lang"), col("rk").as("l_rk"),
