@@ -793,10 +793,11 @@ object TextOps {
     * closure is ever materialized. The per-round driver action is one
     * count() on changed labels (a scalar, not a collect). At 100 TB the
     * same loop holds (edges ≪ docs after LSH banding); for adversarial
-    * high-diameter graphs the alternating large-star/small-star
-    * variant (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond") drops rounds to O(log² n) — same join/agg building
-    * blocks, noted here as the documented escalation path. */
+    * high-diameter graphs [[propagateLabels]] escalates automatically
+    * to the alternating large-star/small-star variant
+    * ([[largeStarSmallStar]], Kiveris et al.) after a bounded round
+    * cap — O(log n) rounds regardless of diameter, equivalence-tested
+    * against union-find on a diameter-32 path (ClusterResolutionSpec). */
   def neardupClusters(spark: SparkSession, d: String, threshold: Double = 0.5,
                       maxDriverPairs: Long = 1L << 20): DataFrame = {
     val pairs = minhashLsh(spark, d, threshold)
@@ -823,7 +824,7 @@ object TextOps {
   /** Small-graph branch: path-compressed union-find on the driver with
     * min-id roots; returns (doc_id, cluster_id) for edge endpoints
     * only (singletons are filled by the caller's left join). */
-  private def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  private[graft] def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     // iterative find: min-id union (no rank) can build chains linear in
@@ -850,10 +851,15 @@ object TextOps {
     * combined min-agg; rounds = component diameter (near-dup graphs:
     * tiny stars/cliques). Convergence is probed join-free via the
     * exact decimal label sum, which is strictly monotone decreasing
-    * and stalls exactly at the fixpoint. For adversarial diameters the
-    * large-star/small-star variant (Kiveris et al.) is the documented
-    * O(log² n)-round escalation. */
-  private def propagateLabels(pairs: DataFrame): DataFrame = {
+    * and stalls exactly at the fixpoint. Diameter-many rounds is the
+    * right cost for the star/clique components LSH produces, but an
+    * adversarial chain-shaped component would make it linear — so past
+    * `maxRounds` un-converged rounds the loop hands the SAME pair set
+    * to [[largeStarSmallStar]] (Kiveris et al.), whose alternating
+    * contractions finish in O(log n) rounds regardless of diameter.
+    * The wasted prefix is `maxRounds` bounded shuffles of an
+    * LSH-verified sliver — a constant, not a scale term. */
+  private[graft] def propagateLabels(pairs: DataFrame, maxRounds: Int = 8): DataFrame = {
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("node")),
         struct(col("doc_b").as("src"), col("doc_a").as("node")))).as("e"))
@@ -864,19 +870,85 @@ object TextOps {
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("node"), col("label"))
+      // localCheckpoint (eager), not persist: persist caps recompute but
+      // the LOGICAL plan still nests every prior round, and Catalyst
+      // re-analysis goes super-linear with depth — the classic iterative-
+      // algorithm trap. Checkpointing rebases each round on a LogicalRDD,
+      // keeping per-round planning cost constant.
       val next = labels.union(msgs).groupBy("node")
-        .agg(min(col("label")).as("label")).persist()
-      val s = labelSum(next) // materializes next; persist caps lineage
+        .agg(min(col("label")).as("label")).localCheckpoint(true)
+      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next
+      rounds += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      labels.unpersist()
+      largeStarSmallStar(pairs)
+    } else
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Adversarial-diameter escalation: alternating large-star/small-star
+    * connected components (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public algorithm). Each round is
+    * two (groupBy-min + equality-join) passes over the edge sliver:
+    *
+    *  - large-star(u): link every neighbor v > u to m = min(Γ(u) ∪ {u});
+    *  - small-star(u): over larger→smaller directed edges, link u and
+    *    all its smaller neighbors to their minimum.
+    *
+    * Both preserve connectivity; the composition halves component
+    * height per round, so a diameter-D chain finishes in O(log D)
+    * rounds where min-label propagation needs D. Fixpoint = every
+    * component a star centered at its minimum id; the final directed
+    * (larger → smaller) edge list IS the (doc_id, cluster_id) map for
+    * non-center nodes (centers/singletons are filled by the caller's
+    * left-join-coalesce, same contract as [[driverUnionFind]]). */
+  private[graft] def largeStarSmallStar(pairs: DataFrame): DataFrame = {
+    // canonical directed form: (a, b) with a > b, self-loops dropped
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("a"), col("b")).as("a"),
+                least(col("a"), col("b")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .persist()
+    var nEdges = edges.count()
+    var done = nEdges == 0L
+    while (!done) {
+      // large-star: symmetrize, m(u) = min(Γ(u) ∪ {u}), link v>u to m
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mLarge = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = canon(
+        sym.join(mLarge, "u").where(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))).persist()
+      // small-star: directed a>b; per center a link {b…, a} to min(b…)
+      val mSmall = afterLarge.groupBy("a").agg(min(col("b")).as("m"))
+      // localCheckpoint, not persist: the loop-carried edge set must not
+      // nest every prior round's plan (see propagateLabels)
+      val next = canon(
+        afterLarge.join(mSmall, "a")
+          .select(explode(array(
+            struct(col("b").as("x"), col("m").as("y")),
+            struct(col("a").as("x"), col("m").as("y")))).as("e"))
+          .select(col("e.x").as("a"), col("e.y").as("b"))).localCheckpoint(true)
+      val nNext = next.count()
+      done = nNext == nEdges && next.except(edges).isEmpty
+      afterLarge.unpersist()
+      edges.unpersist()
+      edges = next
+      nEdges = nNext
+    }
+    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
   }
 
   /** DuckDB twin of [[neardupClusters]]: the [[minhashLshSql]] pair
