@@ -63,6 +63,7 @@ object SparkEntry {
     // SQL-text surface + UDx aggregators + multimodal plumbing
     "hot_users_topn_sql" -> ((s, d) => SqlSurface.hotUsersTopNSql(s, d)),
     "uv_udaf"            -> ((s, d) => EventAnalytics.uniqueVisitorsUdaf(s, d)),
+    "uv_bitmap"          -> ((s, d) => EventAnalytics.uniqueVisitorsBitmap(s, d)),
     "avg_value_udaf"     -> ((s, d) => EventAnalytics.avgValueUdaf(s, d)),
     "media_features"     -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     // training-data curation (quality filter / mixing / packing)
@@ -141,6 +142,7 @@ object SparkEntry {
     "embedding_lsh_neardup" -> Similarity.embeddingLshNearDupSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),
     "uv_udaf"            -> EventAnalytics.uniqueVisitorsSql,
+    "uv_bitmap"          -> EventAnalytics.uniqueVisitorsSql,
     "avg_value_udaf"     -> EventAnalytics.avgValueUdafSql,
     "media_features"     -> Multimodal.mediaFeaturesSql,
     "quality_filter"     -> DataPipeline.qualityFilterSql(),

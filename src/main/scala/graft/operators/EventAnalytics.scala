@@ -109,6 +109,19 @@ object EventAnalytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(epochSeconds(col("window.end")).as("window_end"), col("uv_approx"))
 
+  /** Exact UV via the fixed-size-bitmap TypedImperativeAggregate
+    * ([[graft.plans.BitmapDistinct]]) — the faithful form of the
+    * reference's Redis-bitmap UV (UniqueVisitor_03_Bloom.scala:96-176),
+    * with the bit index the id itself (exact for the bounded id
+    * domain) and the bitmap carried in the agg buffer (merge = OR)
+    * instead of an external store. Oracle: identical counts to
+    * [[uniqueVisitors]]. */
+  def uniqueVisitorsBitmap(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.plans.GraftFunctions.bitmapDistinct(col("user_id")).as("uv"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("uv"))
+
   /** Exact UV via the typed Set-buffer Aggregator (reference
     * UvCountAgg, UniqueVisitor_02_Set.scala:53-62) — same results as
     * [[uniqueVisitors]]' builtin count(DISTINCT), exercising the UDx

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -150,6 +151,85 @@ case class SqDistF64(left: Expression, right: Expression) extends ArrayF64Fold {
     copy(left = l, right = r)
 }
 
+/** Exact-distinct count over a FIXED-SIZE bitmap buffer — the faithful
+  * `TypedImperativeAggregate` form of the reference's Redis-bitmap UV
+  * (UniqueVisitor_03_Bloom.scala:96-176: one bit per user in a 2^30-bit
+  * Redis string, bit set ⇒ seen, count incremented on first set). Two
+  * deliberate differences, both documented in SURVEY §7 risk (c):
+  * the bit index is the id ITSELF (not a hash), so for an id domain
+  * bounded by `numBits` the count is EXACT — the reference's hash was
+  * its one source of false positives; and the bitmap lives in the
+  * aggregation buffer (merge = bitwise OR, map-side combinable,
+  * partial buffers serialize as the raw bitmap bytes) instead of in an
+  * external store, so the aggregate distributes like any other.
+  *
+  * Buffer is O(numBits/8) bytes per group REGARDLESS of cardinality —
+  * `java.util.BitSet` allocates lazily up to that cap (the size
+  * assertion lives in UdxSpec). Default 2^20 bits = 128 KiB ceiling
+  * per (window) group, the same shape as the reference's 128 MB /
+  * 10^8-user sizing at this harness's id scale. Ids outside
+  * [0, numBits) fail fast with the contract in the message; the
+  * HLL++ path ([[graft.operators.EventAnalytics.uniqueVisitorsApprox]])
+  * remains the unbounded-domain answer. */
+case class BitmapDistinct(
+    child: Expression,
+    numBits: Int = 1 << 20,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.BitSet]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(numBits > 0, "bitmap_distinct capacity must be positive")
+
+  override def prettyName: String = "bitmap_distinct"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_distinct requires an integral id column, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+
+  override def update(buf: java.util.BitSet,
+                      input: org.apache.spark.sql.catalyst.InternalRow): java.util.BitSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (id < 0 || id >= numBits)
+        throw new IllegalArgumentException(
+          s"bitmap_distinct: id $id outside exact-bitmap domain [0, $numBits) — " +
+            "raise the capacity argument or use approx_count_distinct (HLL++) " +
+            "for unbounded id spaces")
+      buf.set(id.toInt)
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
+    b1.or(b2); b1
+  }
+
+  override def eval(buf: java.util.BitSet): Any = buf.cardinality().toLong
+
+  override def serialize(buf: java.util.BitSet): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
+    java.util.BitSet.valueOf(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapDistinct =
+    copy(child = newChild)
+}
+
 /** Engine extensions, installed via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (wired in
   * GraftSession) — the SparkSessionExtensions registration path the
@@ -179,6 +259,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject2(ext, "hamming64", classOf[Hamming64].getName, Hamming64(_, _))
     inject2(ext, "dot_f64", classOf[DotF64].getName, DotF64(_, _))
     inject2(ext, "sqdist_f64", classOf[SqDistF64].getName, SqDistF64(_, _))
+    // bitmap_distinct(id [, numBits]) — capacity must be a literal so the
+    // buffer size is fixed at plan time
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
+      (children: Seq[Expression]) => children match {
+        case Seq(id) => BitmapDistinct(id)
+        case Seq(id, Literal(bits: Int, IntegerType)) => BitmapDistinct(id, bits)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bitmap_distinct`",
+            "expectedNum" -> "1 (id) or 2 (id, INT literal capacity)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
   }
 }
 
@@ -195,4 +290,8 @@ object GraftFunctions {
   /** Column wrapper for [[SqDistF64]] — the codegen'd squared-L2. */
   def sqDistF64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sqdist_f64", a, b)
+
+  /** Column wrapper for [[BitmapDistinct]] — exact fixed-buffer UV. */
+  def bitmapDistinct(id: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_distinct", id)
 }

@@ -45,6 +45,44 @@ class SurfaceSpec extends AnyFunSuite {
     assert(udaf == builtin && udaf.nonEmpty)
   }
 
+  test("bitmap_distinct: exact vs countDistinct, fixed sketch size, domain guard") {
+    import spark.implicits._
+    // query-level equality with the builtin on real data
+    val viaBitmap = EventAnalytics.uniqueVisitorsBitmap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val builtin = EventAnalytics.uniqueVisitors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBitmap == builtin && viaBitmap.nonEmpty)
+    // SQL registration incl. explicit capacity literal
+    Seq(1L, 2L, 2L, 7L).toDF("id").createOrReplaceTempView("bm_t")
+    assert(spark.sql("SELECT bitmap_distinct(id, 1024) FROM bm_t")
+      .head().getLong(0) == 3L)
+    // sketch-size bound: the serialized buffer is O(numBits/8) bytes
+    // REGARDLESS of cardinality — the fixed-size contract of the
+    // reference's Redis bitmap (UniqueVisitor_03_Bloom)
+    val agg = graft.plans.BitmapDistinct(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false),
+      numBits = 1 << 20)
+    val buf = agg.createAggregationBuffer()
+    (0L until 1000L).foreach { i =>
+      agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(i * 1000L))
+    }
+    assert(agg.eval(buf) == 1000L)
+    assert(agg.serialize(buf).length <= (1 << 20) / 8 + 8)
+    // merge = bitwise OR
+    val other = agg.createAggregationBuffer()
+    agg.update(other, org.apache.spark.sql.catalyst.InternalRow(5L))
+    agg.update(other, org.apache.spark.sql.catalyst.InternalRow(0L))
+    assert(agg.eval(agg.merge(buf, other)) == 1001L) // 0 already set
+    // ids past the capacity fail fast with the contract in the message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT bitmap_distinct(id, 4) FROM bm_t").collect()
+    }
+    assert(e.getMessage.contains("exact-bitmap domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("exact-bitmap domain")))
+  }
+
   test("JVM md5Lower64Mod is bit-identical to the Column-expression hash") {
     import spark.implicits._
     val samples = Seq("abc", "spark graft", "ünïcode ☃", "")
