@@ -255,18 +255,20 @@ object Multimodal {
 
   /** Fixed-size signal windowing over an opaque binary payload — the
     * audio-shaped member of the multimodal family: frames of
-    * `frameBytes` samples, each with its EXACT integer energy
-    * Σ (bᵢ − 128)², interpreting the payload as headerless unsigned
-    * 8-bit PCM. Unlike [[hashFeaturesStub]], the arithmetic here is
-    * REAL — it runs over the actual payload bytes (silence detection,
-    * loudness bucketing, VAD-style gating all start from exactly this
-    * per-frame energy); only the PCM-format assumption stands in for a
-    * demuxer (headless JDKs ship no audio codec). Integer energy keeps
-    * the oracle bit-exact — no float RMS in the contract.
+    * `frameBytes` data bytes, each with its EXACT integer energy.
+    * THE CONTAINER PARSE IS REAL (round 6): payloads that are
+    * well-formed RIFF/WAVE PCM ([[Wav.parse]] — pure JVM header walk,
+    * no codec needed) are windowed over their `data` chunk with the
+    * declared sample width: Σ sᵢ² over signed 16-bit LE samples, or
+    * Σ (bᵢ − 128)² over unsigned 8-bit. Anything else falls back to
+    * the headerless unsigned-8-bit-PCM interpretation of the full
+    * payload (the branch the text-payload oracle covers). Integer
+    * energy keeps the oracle bit-exact — no float RMS in the contract.
     *
     * Scale: mapPartitions batching over the payload partition, zero
     * shuffle; output is |payload|/frameBytes rows per doc, each O(1).
-    * A real decoder drops into the same per-partition batch boundary. */
+    * A compressed-codec decoder drops into the same per-partition
+    * batch boundary in front of [[pcmFrames]]. */
   def audioWindows(spark: SparkSession, d: String, frameBytes: Int = 256): DataFrame = {
     import spark.implicits._
     withPayload(Tables.documents(spark, d))
@@ -274,20 +276,52 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          r.payload.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
-            var e = 0L
-            var j = 0
-            while (j < frame.length) {
-              val v = (frame(j) & 0xFF) - 128
-              e += v.toLong * v
-              j += 1
-            }
-            AudioFrame(r.doc_id, i.toLong, frame.length.toLong, e)
+          pcmFrames(r.payload, frameBytes).map { case (i, n, e) =>
+            AudioFrame(r.doc_id, i, n, e)
           }
         }
       }
       .toDF()
   }
+
+  /** Frame iterator behind [[audioWindows]]: (frame_idx, n_bytes,
+    * energy) per `frameBytes`-sized window — WAV-aware (16-bit signed
+    * LE or 8-bit unsigned over the data chunk), headerless-8-bit
+    * fallback otherwise. A trailing odd byte of a 16-bit stream counts
+    * in n_bytes but carries no energy (a half-sample has no value). */
+  private[graft] def pcmFrames(payload: Array[Byte],
+                               frameBytes: Int): Iterator[(Long, Long, Long)] =
+    Wav.parse(payload) match {
+      case Some(w) =>
+        val data = java.util.Arrays.copyOfRange(
+          payload, w.dataOffset, w.dataOffset + w.dataLen)
+        if (w.bitsPerSample == 16)
+          data.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+            var e = 0L
+            var j = 0
+            while (j + 1 < frame.length) {
+              val s = (frame(j) & 0xFF) | (frame(j + 1) << 8) // hi byte sign-extends
+              e += s.toLong * s
+              j += 2
+            }
+            (i.toLong, frame.length.toLong, e)
+          }
+        else frames8(data, frameBytes)
+      case None => frames8(payload, frameBytes)
+    }
+
+  private def frames8(bytes: Array[Byte],
+                      frameBytes: Int): Iterator[(Long, Long, Long)] =
+    bytes.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+      var e = 0L
+      var j = 0
+      while (j < frame.length) {
+        val v = (frame(j) & 0xFF) - 128
+        e += v.toLong * v
+        j += 1
+      }
+      (i.toLong, frame.length.toLong, e)
+    }
 
   /** DuckDB twin of [[audioWindows]]: the payload is the utf-8 text
     * bytes and the corpus is pure ASCII (verified per-SF), so byte
@@ -302,4 +336,51 @@ object Multimodal {
        |       CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS energy
        |FROM bytes
        |GROUP BY doc_id, pos // $frameBytes""".stripMargin
+}
+
+/** Minimal RIFF/WAVE container parse — pure JVM, no codec: a WAV file
+  * is `RIFF <size> WAVE` followed by word-aligned `<tag><size><body>`
+  * chunks; PCM needs exactly the `fmt ` chunk (format tag 1, channel
+  * count, sample rate, bits per sample at fixed little-endian offsets
+  * — Microsoft/IBM RIFF spec, public) and the `data` chunk (the
+  * sample bytes). Anything malformed, compressed (format ≠ 1), or of
+  * unsupported width parses to None and the caller falls back to the
+  * headerless-PCM interpretation — corrupt media must degrade, not
+  * throw, in a 100 TB scan. */
+private[graft] object Wav {
+  /** PCM stream location + shape inside a parsed container. */
+  case class Info(numChannels: Int, sampleRate: Int, bitsPerSample: Int,
+                  dataOffset: Int, dataLen: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Some(info) iff `b` is a well-formed uncompressed-PCM WAVE with
+    * in-bounds fmt and data chunks and 8- or 16-bit samples. */
+  def parse(b: Array[Byte]): Option[Info] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, len
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((le16(b, off + 8), le16(b, off + 10),
+          le32(b, off + 12), le16(b, off + 22)))
+      else if (id == "data") data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    for {
+      (format, ch, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if format == 1 && ch >= 1 && (bits == 8 || bits == 16)
+    } yield Info(ch, rate, bits, dOff, dLen)
+  }
 }

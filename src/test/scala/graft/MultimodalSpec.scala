@@ -146,4 +146,44 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 0L) -> (4L, 4 * eA),
       (1L, 1L) -> (1L, eA)))
   }
+
+  private def resourceBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("checked-in 16-bit WAV fixture: header parse + exact signed-sample energy") {
+    val wav = resourceBytes("/tone16.wav")
+    val info = graft.operators.Wav.parse(wav).get
+    assert(info == graft.operators.Wav.Info(1, 8000, 16, 44, 2048))
+    // fixture construction: s(n) = ((n*37) % 2048) - 1024, 1024 samples LE
+    val samples = (0 until 1024).map(n => ((n * 37) % 2048) - 1024)
+    val frames = Multimodal.pcmFrames(wav, frameBytes = 256).toSeq
+    assert(frames.map(_._1) == (0L until 8L))  // 2048 data bytes / 256
+    assert(frames.forall(_._2 == 256L))
+    val expect = samples.grouped(128).map(_.map(s => s.toLong * s).sum).toSeq
+    assert(frames.map(_._3) == expect)
+  }
+
+  test("checked-in 8-bit WAV fixture windows over the data chunk, not the header") {
+    val wav = resourceBytes("/tone8.wav")
+    val info = graft.operators.Wav.parse(wav).get
+    assert(info == graft.operators.Wav.Info(1, 8000, 8, 44, 512))
+    val bytes = (0 until 512).map(n => (n * 11) % 256)
+    val frames = Multimodal.pcmFrames(wav, frameBytes = 256).toSeq
+    val expect = bytes.grouped(256)
+      .map(_.map(b => (b - 128).toLong * (b - 128)).sum).toSeq
+    assert(frames.map(_._3) == expect && frames.size == 2)
+  }
+
+  test("non-WAV and corrupt-WAV payloads fall back to headerless 8-bit PCM") {
+    val plain = "HHHH".getBytes("UTF-8")
+    assert(graft.operators.Wav.parse(plain).isEmpty)
+    val viaFallback = Multimodal.pcmFrames(plain, 4).toSeq
+    assert(viaFallback == Seq((0L, 4L, 4 * (72L - 128) * (72L - 128))))
+    // RIFF magic but a chunk size pointing past the buffer: degrade, not throw
+    val corrupt = resourceBytes("/tone16.wav").take(100)
+    assert(graft.operators.Wav.parse(corrupt).isEmpty)
+    assert(Multimodal.pcmFrames(corrupt, 64).map(_._2).sum == 100L)
+  }
 }
