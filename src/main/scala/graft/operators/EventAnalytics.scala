@@ -348,8 +348,16 @@ object EventAnalytics {
     * set adds an exact distinct-user count (one extra expand), which
     * cube deliberately omits. */
   def eventRollup(spark: SparkSession, d: String): DataFrame =
-    events(spark, d)
-      .withColumn("hour", hourBucket)
+    eventRollupFrom(events(spark, d))
+
+  /** Plan builder over an events-shaped relation — the ONE logical
+    * plan behind both the batch query and the foreachBatch streaming
+    * face ([[graft.streaming.StreamingJobs.snapshotUpdate]]): rollup +
+    * exact countDistinct are batch-only aggregates, so the streaming
+    * mode re-applies this same builder to the accumulated snapshot
+    * each micro-batch. */
+  def eventRollupFrom(e: DataFrame): DataFrame =
+    e.withColumn("hour", hourBucket)
       .rollup(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("user_id")).as("users"),
@@ -451,8 +459,14 @@ object EventAnalytics {
     * bounded by one user's events-per-hour. The sum routes through
     * DECIMAL ([[graft.functions.ColumnFunctions.moneySum]] recipe) so
     * the frame sum is order-free and oracle-exact. */
-  def rollingHourStats(spark: SparkSession, d: String): DataFrame = {
-    val e = events(spark, d).select(col("event_id"), col("user_id"),
+  def rollingHourStats(spark: SparkSession, d: String): DataFrame =
+    rollingHourStatsFrom(events(spark, d))
+
+  /** Plan builder over an events-shaped relation — shared by the batch
+    * query and the foreachBatch streaming face (OVER frames are
+    * batch-only; see [[eventRollupFrom]]). */
+  def rollingHourStatsFrom(in: DataFrame): DataFrame = {
+    val e = in.select(col("event_id"), col("user_id"),
       epochSeconds(col("ts")).as("ts_s"), col("value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
       .rangeBetween(-3600, 0)

@@ -114,4 +114,32 @@ object StreamingJobs {
       .partitionBy(col("window_end")).orderBy(col("cnt").desc, col(keyCol))
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
+
+  /** Update-mode streaming face for BATCH-ONLY plans (multi-grouping-set
+    * aggregates with exact countDistinct, OVER frames): accumulate each
+    * micro-batch into a running snapshot, re-apply the shared plan
+    * builder to the snapshot, and hand the refreshed result to
+    * `upsert` (last-write-wins per key — the sink contract of update
+    * mode). This is the documented Spark idiom for analytics the
+    * incremental engine rejects — the one-logical-plan/two-modes story
+    * with the SAME builder function in both modes.
+    *
+    * Each round's snapshot is rebased on an eager localCheckpoint so
+    * per-batch planning cost stays constant (no nested-lineage blowup).
+    * The recompute trade is deliberate and bounded by snapshot size:
+    * at 100 TB/day you'd partition the snapshot by the rollup's
+    * coarsest stable key (e.g. day) and recompute only touched
+    * partitions — same builder, narrower input; the unbounded-history
+    * form belongs in batch. */
+  def snapshotUpdate(stream: DataFrame, plan: DataFrame => DataFrame)
+                    (upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var snapshot: Option[DataFrame] = None
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        snapshot = Some(snapshot
+          .map(_.union(b).localCheckpoint(true)).getOrElse(b))
+        upsert(plan(snapshot.get))
+      }.start()
+  }
 }
