@@ -38,12 +38,21 @@ object Sinks {
   def memory(stream: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
 
+  /** Producer-side projection to the Kafka writer contract (`value`
+    * required; `key`/`topic` optional columns) — shared by
+    * [[kafkaLines]] and the broker-less contract test. */
+  def toKafkaRecords(df: DataFrame): DataFrame =
+    df.select(df("line").cast("string").as("value"))
+
   /** Kafka producer harness (reference hotItems/KafkaProducerUtil
     * .scala:13-34: replay a fixture file into a topic line by line) —
-    * writes the `line` column as record values. Broker reachability is
-    * environment-dependent; construction-only in this repo. */
+    * writes the `line` column as record values. ENVIRONMENT NOTE: no
+    * Kafka connector/broker artifact exists in this sandbox (see
+    * StreamSources.kafkaLines); KafkaContractSpec verifies the
+    * [[toKafkaRecords]] projection and the missing-datasource failure
+    * mode instead of a live produce. */
   def kafkaLines(df: DataFrame, brokers: String, topic: String): Unit =
-    df.select(df("line").cast("string").as("value"))
+    toKafkaRecords(df)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)

@@ -8,18 +8,45 @@ import graft.functions.ColumnFunctions.hash64
   * ready for the transforms in graft.streaming. */
 object StreamSources {
 
+  /** Output contract of Spark's Kafka source (spark-sql-kafka-0-10,
+    * documented in the Structured Streaming Kafka integration guide):
+    * one row per consumer record. The mocked-source contract tests
+    * (KafkaContractSpec) build streams of exactly this shape, so the
+    * downstream pipeline is proven source-agnostic even where no
+    * broker or connector exists. */
+  val kafkaRecordSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+  }
+
+  /** Record → line projection shared by [[kafkaLines]] and any
+    * contract-shaped mock: the consumer-record `value` bytes as a
+    * utf-8 `line`, ready for the CSV parse step. */
+  def kafkaRecordLines(records: DataFrame): DataFrame =
+    records.select(col("value").cast("string").as("line"))
+
   /** Kafka source (reference hotItems/HotItems.scala:33-46:
     * FlinkKafkaConsumer("hot_items")). Emits the value as `line`, ready
-    * for the CSV parse step. Requires a reachable broker — construction
-    * only here; integration is environment-dependent by nature. */
+    * for the CSV parse step. ENVIRONMENT NOTE (round 6): this sandbox
+    * ships neither the spark-sql-kafka-0-10 connector nor any broker
+    * artifact (no kafka jar in /opt/spark/jars or the offline resolver
+    * cache, zero egress), so `.load()` here fails with MISSING
+    * DATASOURCE — KafkaContractSpec probes for exactly that and drives
+    * the identical downstream pipeline from a [[kafkaRecordSchema]]-
+    * shaped mock instead; on a cluster with the connector on the
+    * classpath this function is the only line that changes behavior. */
   def kafkaLines(spark: SparkSession, brokers: String, topic: String,
                  startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(col("value").cast("string").as("line"))
+    kafkaRecordLines(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
 
   /** Socket text source (reference NetworkFlowTopNPage…scala:31:
     * socketTextStream("hadoop203", 7777)). */

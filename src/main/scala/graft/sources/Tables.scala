@@ -155,4 +155,16 @@ object CsvSources {
   /** apache.log parser: space-separated, wall-format timestamp. */
   def readApacheLog(spark: SparkSession, path: String): DataFrame =
     parseApacheLines(spark.read.text(path).select(col("value").as("line")))
+
+  /** UserBehavior CSV-line parse as a frame transform (input: one
+    * string column named `line`) — the parse step the reference runs
+    * on each Kafka record value (hotItems/HotItems.scala:49-56:
+    * split(",") → UserBehavior). Same logical format as
+    * [[readUserBehavior]], lifted to line-shaped sources (Kafka,
+    * socket, generators). */
+  def parseUserBehaviorLines(lines: DataFrame): DataFrame =
+    lines.select(from_csv(col("line"), userBehaviorSchema,
+        Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
 }

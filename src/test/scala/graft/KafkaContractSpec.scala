@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.{CsvSources, Sinks, StreamSources}
+import graft.streaming.StreamingJobs
+
+/** Kafka source/sink contract coverage for a sandbox that cannot host
+  * a broker. ROUND-6 ENVIRONMENT PROBE (documented attempt): this
+  * container has no spark-sql-kafka-0-10 connector and no broker
+  * artifact — `ls /opt/spark/jars | grep -i kafka` is empty, the
+  * offline coursier cache resolves nothing new, and there is zero
+  * network egress — so an embedded-broker E2E is impossible by
+  * construction. What CAN be locked down without a broker, and is
+  * locked down here:
+  *
+  *  1. the failure mode of the real source/sink (missing datasource,
+  *     not a silent wrong answer) — or, if a connector ever appears on
+  *     the classpath, that its output schema equals the contract this
+  *     repo codes against;
+  *  2. the full HotItems pipeline running from a mock stream of
+  *     EXACTLY kafka-record shape through the SAME record→line→parse→
+  *     window transforms the real source feeds, proving every line of
+  *     the pipeline except `.load()` itself;
+  *  3. the producer-side projection to the Kafka writer contract.
+  */
+class KafkaContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("environment probe: kafka connector absent → missing-datasource error " +
+    "(or, if present, the contract schema)") {
+    try {
+      val df = StreamSources.kafkaLines(spark, "localhost:9092", "hot_items")
+      // connector present after all: the projection must already have
+      // applied, and the raw source must carry the documented schema
+      assert(df.schema.fieldNames.toSeq == Seq("line"))
+      val raw = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("subscribe", "hot_items").load()
+      assert(raw.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        StreamSources.kafkaRecordSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    } catch {
+      case e: Exception =>
+        // the sandbox branch: fail fast at plan time with a clear
+        // missing-datasource message, never a silent empty stream
+        val msg = (e.getMessage +: Option(e.getCause).map(_.getMessage).toSeq)
+          .mkString(" | ").toLowerCase
+        assert(msg.contains("kafka"))
+    }
+  }
+
+  test("kafka-shaped mock records drive the HotItems pipeline to batch-exact counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // UserBehavior CSV lines as kafka record values (reference
+    // KafkaProducerUtil replays exactly such lines into the topic)
+    val lines = Seq(
+      "1,100,10,pv,100", "2,100,10,pv,200", "3,200,20,pv,300",
+      "4,100,10,buy,400", "5,200,20,pv,3700", "6,300,30,pv,3800")
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Long, Int)]
+    val records = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "secs", "timestampType")
+      .withColumn("timestamp", timestamp_seconds(col("secs")))
+      .select("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    // the mock IS the contract: same column names and types as the source
+    assert(records.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamSources.kafkaRecordSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // record → line → CSV parse → pv filter → windowed count: every
+    // transform the real kafka source would feed, byte-identical input
+    val parsed = CsvSources.parseUserBehaviorLines(
+        StreamSources.kafkaRecordLines(records))
+      .filter(col("behavior") === "pv")
+    val counts = StreamingJobs.windowedCounts(
+      parsed, "1 hour", None, Seq(col("itemId")))
+    val name = s"kafka_mock_${System.nanoTime()}"
+    val q = Sinks.memory(counts, name, "complete")
+    try {
+      def rec(i: Int, line: String) =
+        (Array.empty[Byte], line.getBytes("UTF-8"), "hot_items", 0, i.toLong, 50L, 0)
+      input.addData(lines.zipWithIndex.take(3).map { case (l, i) => rec(i, l) })
+      q.processAllAvailable()
+      input.addData(lines.zipWithIndex.drop(3).map { case (l, i) => rec(i, l) })
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_end").getTime / 1000,
+          r.getAs[Long]("itemId"), r.getAs[Long]("cnt"))).toSet
+      // batch twin over the same lines through the same parse
+      val batch = CsvSources.parseUserBehaviorLines(lines.toDF("line"))
+        .filter(col("behavior") === "pv")
+        .groupBy(window(col("ts"), "1 hour"), col("itemId"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.end").cast("long").as("we"), col("itemId"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("producer projection emits the kafka writer contract from line frames") {
+    import spark.implicits._
+    val lines = Seq("1,100,10,pv,100", "2,200,20,buy,200").toDF("line")
+    val records = Sinks.toKafkaRecords(lines)
+    assert(records.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("value", "string")))
+    assert(records.collect().map(_.getString(0)).toSeq ==
+      Seq("1,100,10,pv,100", "2,200,20,buy,200"))
+    // the full producer harness fails fast (missing datasource), never
+    // silently drops records
+    val e = intercept[Exception] {
+      Sinks.kafkaLines(lines, "localhost:9092", "hot_items")
+    }
+    val msg = (e.getMessage +: Option(e.getCause).map(_.getMessage).toSeq)
+      .mkString(" | ").toLowerCase
+    assert(msg.contains("kafka"))
+  }
+}
