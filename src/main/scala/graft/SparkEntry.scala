@@ -66,6 +66,7 @@ object SparkEntry {
     "uv_bitmap"          -> ((s, d) => EventAnalytics.uniqueVisitorsBitmap(s, d)),
     "avg_value_udaf"     -> ((s, d) => EventAnalytics.avgValueUdaf(s, d)),
     "media_features"     -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "frame_sample"       -> ((s, d) => Multimodal.sampleFrames(s, d)),
     // training-data curation (quality filter / mixing / packing)
     "quality_filter"     -> ((s, d) => DataPipeline.qualityFilter(s, d)),
     "stratified_sample"  -> ((s, d) => DataPipeline.stratifiedSample(s, d, SampleMix)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "uv_bitmap"          -> EventAnalytics.uniqueVisitorsSql,
     "avg_value_udaf"     -> EventAnalytics.avgValueUdafSql,
     "media_features"     -> Multimodal.mediaFeaturesSql,
+    "frame_sample"       -> Multimodal.sampleFramesSql(),
     "quality_filter"     -> DataPipeline.qualityFilterSql(),
     "stratified_sample"  -> DataPipeline.stratifiedSampleSql(SampleMix),
     "pack_documents"     -> DataPipeline.packDocumentsSql(),

@@ -232,24 +232,70 @@ object Multimodal {
       }.toDF()
   }
 
-  /** ??? STUB frame sampler ??? — production: demux + decode n frames
-    * per video payload; stub: n deterministic per-frame hashes. The
-    * output shape (one row per sampled frame, frame index + features)
-    * is the real contract a training pipeline consumes. */
+  /** Frame sampler — REAL AT THE CONTAINER LEVEL (round 6): AVI/RIFF
+    * payloads are demuxed ([[Avi.videoFrames]] — pure-JVM chunk walk of
+    * the `movi` list, no codec), `nFrames` frames are sampled evenly
+    * across the video (always including first and last), and each row
+    * carries the sampled frame's index, its actual chunk byte length,
+    * and the portable hash of the chunk bytes — codec-payload hashing
+    * is dedup/fingerprint-grade signal without decoding. Codec DECODE
+    * stays out of scope (headless JVMs ship no video codec) — the
+    * demux, sampling policy, schema, and batch shape are real, and a
+    * decoder drops in where the hash is computed.
+    *
+    * Non-AVI payloads (e.g. the text-payload corpus) keep the marked
+    * deterministic pseudo-frame STUB branch — `n_bytes = -1` flags it —
+    * so the pipeline stays testable end-to-end; the frame_sample
+    * oracle covers exactly that branch. */
   def sampleFrames(spark: SparkSession, d: String, nFrames: Int = 4): DataFrame = {
+    require(nFrames >= 1, "nFrames must be >= 1")
     import spark.implicits._
     withPayload(Tables.documents(spark, d))
       .select(col("doc_id"), col("payload"))
       .as[MediaRow]
-      .flatMap { r =>
-        val base = md5Lower64Mod(r.payload)
-        (0 until nFrames).map { i =>
-          val fh = md5Lower64Mod(s"$base:$i".getBytes("UTF-8"))
-          (r.doc_id, i, fh)
-        }
-      }
-      .toDF("doc_id", "frame_idx", "frame_hash")
+      .flatMap(r => sampleFramesOf(r.doc_id, r.payload, nFrames))
+      .toDF("doc_id", "frame_idx", "n_bytes", "frame_hash")
   }
+
+  /** Per-payload core of [[sampleFrames]]: (doc_id, frame_idx, n_bytes,
+    * frame_hash) rows — AVI branch samples real frame chunks, fallback
+    * emits flagged pseudo-frames. */
+  private[graft] def sampleFramesOf(docId: Long, payload: Array[Byte],
+                                    nFrames: Int): Seq[(Long, Long, Long, Long)] =
+    Avi.videoFrames(payload) match {
+      case Some(frames) =>
+        val picks =
+          if (frames.size <= nFrames) frames.indices.toSeq
+          else if (nFrames == 1) Seq(0)
+          else (0 until nFrames).map(k => k * (frames.size - 1) / (nFrames - 1))
+        picks.map { fi =>
+          val (o, l) = frames(fi)
+          (docId, fi.toLong, l.toLong,
+            md5Lower64Mod(java.util.Arrays.copyOfRange(payload, o, o + l)))
+        }
+      case None => // ??? STUB branch: pseudo-frames, flagged n_bytes = -1 ???
+        val base = md5Lower64Mod(payload)
+        (0 until nFrames).map { i =>
+          (docId, i.toLong, -1L, md5Lower64Mod(s"$base:$i".getBytes("UTF-8")))
+        }
+    }
+
+  /** DuckDB twin of [[sampleFrames]] over a text-payload corpus (every
+    * document takes the pseudo-frame fallback): base = portable hash
+    * of the text bytes, frame hash = portable hash of "base:i". */
+  def sampleFramesSql(nFrames: Int = 4): String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         (md5_number_lower(text) % ${HashPrime}::UBIGINT)::BIGINT AS b
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, b, unnest(range(0, $nFrames)) AS i FROM base
+       |)
+       |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       |       CAST(-1 AS BIGINT) AS n_bytes,
+       |       (md5_number_lower(CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+       |          % ${HashPrime}::UBIGINT)::BIGINT AS frame_hash
+       |FROM f""".stripMargin
 
   case class AudioFrame(doc_id: Long, frame_idx: Long, n_bytes: Long, energy: Long)
 
@@ -347,18 +393,24 @@ object Multimodal {
   * unsupported width parses to None and the caller falls back to the
   * headerless-PCM interpretation — corrupt media must degrade, not
   * throw, in a 100 TB scan. */
+private[graft] object Riff {
+  /** Little-endian field readers + fourcc tag — shared by the WAV and
+    * AVI container walks (both are RIFF). */
+  def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+}
+
 private[graft] object Wav {
+  import Riff._
+
   /** PCM stream location + shape inside a parsed container. */
   case class Info(numChannels: Int, sampleRate: Int, bitsPerSample: Int,
                   dataOffset: Int, dataLen: Int)
-
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-  private def le32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-  private def tag(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Some(info) iff `b` is a well-formed uncompressed-PCM WAVE with
     * in-bounds fmt and data chunks and 8- or 16-bit samples. */
@@ -382,5 +434,48 @@ private[graft] object Wav {
       (dOff, dLen) <- data
       if format == 1 && ch >= 1 && (bits == 8 || bits == 16)
     } yield Info(ch, rate, bits, dOff, dLen)
+  }
+}
+
+/** Minimal AVI container demux — pure JVM, no codec: an AVI is
+  * `RIFF <size> AVI ` whose `LIST movi` holds the stream chunks, video
+  * frames tagged `NNdc` (compressed) / `NNdb` (uncompressed) per the
+  * Microsoft AVI RIFF spec (public). The walk returns each video
+  * frame's byte range in file order; codec payloads are NOT decoded —
+  * sampling + hashing the compressed frame bytes is already
+  * fingerprint-grade signal, and a decoder slots in downstream.
+  * Malformed input (truncated chunk, bad magic, empty movi) → None —
+  * corrupt media must degrade, not throw, in a 100 TB scan. */
+private[graft] object Avi {
+  import Riff._
+
+  /** (offset, length) of every video frame chunk, in container order. */
+  def videoFrames(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
+    val frames = Vector.newBuilder[(Int, Int)]
+    var found = false
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "LIST" && sz >= 4 && tag(b, off + 8) == "movi") {
+        found = true
+        var sub = off + 12
+        val end = off + 8 + sz
+        while (sub + 8 <= end) {
+          val sid = tag(b, sub)
+          val ssz = le32(b, sub + 4)
+          if (ssz < 0 || sub + 8 + ssz > end) return None
+          if (sid.length == 4 && sid(0).isDigit && sid(1).isDigit &&
+              (sid.endsWith("dc") || sid.endsWith("db")))
+            frames += ((sub + 8, ssz))
+          sub += 8 + ssz + (ssz & 1)
+        }
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    val out = frames.result()
+    if (found && out.nonEmpty) Some(out) else None
   }
 }

@@ -176,6 +176,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_._3) == expect && frames.size == 2)
   }
 
+  test("checked-in AVI fixture: movi demux, evenly-spaced sampling, audio chunks skipped") {
+    val avi = resourceBytes("/clip.avi")
+    val frames = graft.operators.Avi.videoFrames(avi).get
+    // fixture: 10 '00dc' video chunks (len 64..73) + 1 '01wb' audio chunk
+    assert(frames.size == 10)
+    assert(frames.map(_._2) == (0 until 10).map(64 + _).toVector)
+    // frame content round-trips: chunk k bytes are (k*7+j) % 256
+    frames.zipWithIndex.foreach { case ((o, l), k) =>
+      assert((0 until l).forall(j => (avi(o + j) & 0xFF) == (k * 7 + j) % 256))
+    }
+    // through the sampler core: 4 evenly spaced picks including both ends,
+    // each row carrying the REAL chunk length and chunk-bytes hash
+    val sampled = Multimodal.sampleFramesOf(7L, avi, nFrames = 4)
+    val expected = Seq(0, 3, 6, 9).map { k => // k*(10-1)/(4-1)
+      val (o, l) = frames(k)
+      (7L, k.toLong, l.toLong,
+        Multimodal.md5Lower64Mod(java.util.Arrays.copyOfRange(avi, o, o + l)))
+    }
+    assert(sampled == expected)
+    // fewer frames than requested → every frame, once
+    assert(Multimodal.sampleFramesOf(7L, avi, nFrames = 32).size == 10)
+    // truncated container degrades to the flagged fallback, not a throw
+    assert(graft.operators.Avi.videoFrames(avi.take(200)).isEmpty)
+    assert(graft.operators.Avi.videoFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.sampleFramesOf(7L, avi.take(200), 2).forall(_._3 == -1L))
+  }
+
   test("non-WAV and corrupt-WAV payloads fall back to headerless 8-bit PCM") {
     val plain = "HHHH".getBytes("UTF-8")
     assert(graft.operators.Wav.parse(plain).isEmpty)

@@ -254,9 +254,12 @@ class SurfaceSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, sf, nFrames = 3)
     val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
     assert(counts == Set(3L))
-    val a = frames.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val b = Multimodal.sampleFrames(spark, sf, nFrames = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // text payloads all take the flagged pseudo-frame branch
+    assert(frames.select("n_bytes").distinct().collect().map(_.getLong(0)).toSeq == Seq(-1L))
+    val a = frames.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Multimodal.sampleFrames(spark, sf, nFrames = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(a == b)
   }
 }
