@@ -298,8 +298,12 @@ object EventAnalytics {
     * genuine NULL keys, same bit convention (first column = high bit)
     * in Spark and DuckDB/Postgres. */
   def eventCube(spark: SparkSession, d: String): DataFrame =
-    events(spark, d)
-      .withColumn("hour", hourBucket)
+    eventCubeFrom(events(spark, d))
+
+  /** Plan builder — shared by batch and the foreachBatch streaming
+    * face (see [[eventRollupFrom]]). */
+  def eventCubeFrom(e: DataFrame): DataFrame =
+    e.withColumn("hour", hourBucket)
       .cube(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
 
@@ -320,8 +324,12 @@ object EventAnalytics {
     * width is |types|, independent of data volume. */
   def eventPivot(spark: SparkSession, d: String,
                  types: Seq[String] = EventTypes): DataFrame =
-    events(spark, d)
-      .withColumn("hour", hourBucket)
+    eventPivotFrom(events(spark, d), types)
+
+  /** Plan builder — shared by batch and the foreachBatch streaming
+    * face (see [[eventRollupFrom]]). */
+  def eventPivotFrom(e: DataFrame, types: Seq[String] = EventTypes): DataFrame =
+    e.withColumn("hour", hourBucket)
       .groupBy("hour")
       .pivot("event_type", types)
       .agg(count(lit(1)))

@@ -62,6 +62,47 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
     assert(state.asScala.toMap == batch && batch.nonEmpty)
   }
 
+  test("event_cube and event_pivot: snapshot faces converge to the batch answers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    val cubeState = new java.util.concurrent.ConcurrentHashMap[
+      (Option[String], Option[Long], Long), Long]()
+    val pivotState = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val stream = streamedEvents(input)
+    val qCube = StreamingJobs.snapshotUpdate(stream, EventAnalytics.eventCubeFrom) { res =>
+      res.collect().foreach { r =>
+        cubeState.put((Option(r.getAs[String]("event_type")),
+          Option(r.getAs[java.lang.Long]("hour")).map(_.longValue()),
+          r.getAs[Long]("gid")), r.getAs[Long]("cnt"))
+      }
+    }
+    val qPivot = StreamingJobs.snapshotUpdate(stream, EventAnalytics.eventPivotFrom(_)) { res =>
+      res.collect().foreach { r =>
+        pivotState.put(r.getAs[Long]("hour"),
+          (1 until r.size).map(i => r.getLong(i)))
+      }
+    }
+    try {
+      eventChunks(2).foreach { chunk =>
+        input.addData(chunk)
+        qCube.processAllAvailable()
+        qPivot.processAllAvailable()
+      }
+    } finally { qCube.stop(); qPivot.stop() }
+    val batchCube = EventAnalytics.eventCube(spark, sf).collect().map { r =>
+      (Option(r.getAs[String]("event_type")),
+        Option(r.getAs[java.lang.Long]("hour")).map(_.longValue()),
+        r.getAs[Long]("gid")) -> r.getAs[Long]("cnt")
+    }.toMap
+    val batchPivot = EventAnalytics.eventPivot(spark, sf).collect().map { r =>
+      r.getAs[Long]("hour") -> (1 until r.size).map(i => r.getLong(i))
+    }.toMap
+    import scala.jdk.CollectionConverters._
+    assert(cubeState.asScala.toMap == batchCube && batchCube.nonEmpty)
+    assert(pivotState.asScala.toMap == batchPivot && batchPivot.nonEmpty)
+  }
+
   test("rolling_hour_stats: snapshot face converges to the batch OVER frame") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
