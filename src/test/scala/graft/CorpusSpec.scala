@@ -82,6 +82,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(top == Set((0L, "zebra", 6.0), (1L, "pear", 6.0), (2L, "plum", 3.0)))
   }
 
+  test("tfidfTopK under a hot stopword: exact answers, no per-term window, one scan") {
+    // 500 docs ALL containing "the" (df=500 — the skew key), each with a
+    // unique term; the round-5 plan put all 500 (doc,"the") rows through
+    // ONE window-partition task — the round-6 plan must carry df through
+    // a map-side-combined aggregate + join instead
+    val dir = docsDir((0L until 500L).map(i => (i, s"the term$i term$i")))
+    val q = Corpus.tfidfTopK(spark, dir, k = 1)
+    val got = q.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"))).toSet
+    // unique term wins every doc: tf=2, df=1, score 2*500/1
+    assert(got == (0L until 500L).map(i => (i, s"term$i", 2L, 1L)).toSet)
+    val plan = q.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"per-term window leaked back into the plan:\n${windows.mkString("\n")}")
+    assert(plan.contains("ReusedExchange"), "tokenization scan no longer shared")
+  }
+
   test("cdcChunks: identical docs share all chunk hashes; prefix insertion re-syncs") {
     val body = (1 to 60).map(i => s"w$i").mkString(" ")
     val dir = docsDir(Seq(
