@@ -79,6 +79,7 @@ object SparkEntry {
     "session_windows"    -> ((s, d) => EventAnalytics.sessionWindows(s, d)),
     "event_cube"         -> ((s, d) => EventAnalytics.eventCube(s, d)),
     "corpus_coverage"    -> ((s, d) => Corpus.corpusCoverage(s, d)),
+    "ngram_novelty"      -> ((s, d) => Corpus.ngramNovelty(s, d)),
     "rolling_hour_stats" -> ((s, d) => EventAnalytics.rollingHourStats(s, d)),
     "click_no_purchase"  -> ((s, d) => EventAnalytics.clickNoPurchase(s, d)),
     // round 5: representative selection, edit-distance verify,
@@ -157,6 +158,7 @@ object SparkEntry {
     "session_windows"    -> EventAnalytics.sessionWindowsSql(),
     "event_cube"         -> EventAnalytics.eventCubeSql,
     "corpus_coverage"    -> Corpus.corpusCoverageSql(),
+    "ngram_novelty"      -> Corpus.ngramNoveltySql(),
     "rolling_hour_stats" -> EventAnalytics.rollingHourStatsSql,
     "click_no_purchase"  -> EventAnalytics.clickNoPurchaseSql,
     "cluster_reps"       -> TextOps.clusterRepsSql(),

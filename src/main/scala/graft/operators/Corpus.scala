@@ -203,6 +203,56 @@ object Corpus {
       .withColumn("redundant", col("coverage") >= redundantAt)
   }
 
+  /** Temporal novelty of each document against all EARLIER documents
+    * (doc_id as ingestion order — the curation question "how much of
+    * this document is content the corpus has never seen before?"):
+    * per document, the count of its distinct word 3-gram shingles, the
+    * count whose corpus-wide FIRST occurrence (minimum doc_id) is this
+    * document, and their ratio. Boilerplate/template text scores near
+    * 0; genuinely fresh content scores near 1 — the per-document
+    * complement of [[corpusCoverage]]'s batch-level redundancy view.
+    *
+    * Scale: distinct (doc, shingle) is one map-side-combined shuffle;
+    * first-seen is a groupBy-min over it (a hot Zipf shingle collapses
+    * to ONE (shingle, min) row — no window, no skew wall); the join
+    * back has no fanout (first-seen side is one row per shingle). Both
+    * consumers of the distinct relation share its exchange
+    * (ReuseExchange), so the corpus is tokenized once. Docs with < 3
+    * tokens have no shingles and are absent, matching the oracle. */
+  def ngramNovelty(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(TextOps.shinglesExpr(3))).as("s"))
+      .distinct()
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  def ngramNoveltySql(): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM t
+       |), f AS (
+       |  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |         count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel
+       |  FROM sh JOIN f USING (s) GROUP BY 1
+       |)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+       |FROM agg""".stripMargin
+
   def corpusCoverageSql(newSources: Seq[String] = NewSources,
                         redundantAt: Double = 0.8): String = {
     val list = newSources.map(s => s"'$s'").mkString(", ")

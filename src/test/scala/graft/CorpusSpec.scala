@@ -142,6 +142,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.length == 2, "seen-corpus docs are not scored")
   }
 
+  test("ngramNovelty: fresh content 1.0, exact copy 0.0, partial overlap exact ratio") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d"),        // shingles {abc, bcd} — all first-seen here
+      (1L, "a b c d"),        // exact copy: 0 novel
+      (2L, "a b c x y z"),    // {abc, bcx, cxy, xyz}: abc seen, 3 of 4 novel
+      (3L, "q r")))           // < 3 tokens: no shingles, absent
+    val got = Corpus.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got == Map(
+      0L -> (2L, 2L, 1.0),
+      1L -> (2L, 0L, 0.0),
+      2L -> (4L, 3L, 0.75)))
+    // plan shape: no window anywhere (first-seen is a groupBy-min, not
+    // min() OVER (PARTITION BY shingle) — the skew-wall form)
+    val plan = Corpus.ngramNovelty(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"))
+  }
+
   test("corpusCoverage omits shingle-less (<3-token) docs, matching the oracle") {
     val dir = docsDir(Seq(
       (0L, "only two"), // new batch, no 3-gram shingles
