@@ -212,23 +212,35 @@ object Corpus {
     * 0; genuinely fresh content scores near 1 — the per-document
     * complement of [[corpusCoverage]]'s batch-level redundancy view.
     *
+    * Alongside novelty, `n_shared` counts the doc's shingles that occur
+    * in ≥ 2 documents (shingle document frequency from the same
+    * first-seen aggregate) — the boilerplate/template signal, and an
+    * independent axis from novelty (a novel shingle can still end up
+    * shared once later docs copy it).
+    *
     * Scale: distinct (doc, shingle) is one map-side-combined shuffle;
-    * first-seen is a groupBy-min over it (a hot Zipf shingle collapses
-    * to ONE (shingle, min) row — no window, no skew wall); the join
-    * back has no fanout (first-seen side is one row per shingle). Both
-    * consumers of the distinct relation share its exchange
-    * (ReuseExchange), so the corpus is tokenized once. Docs with < 3
-    * tokens have no shingles and are absent, matching the oracle. */
+    * first-seen + df is a groupBy over it (a hot Zipf shingle collapses
+    * to ONE (shingle, min, df) row — no window, no skew wall); the join
+    * back has no fanout (one row per shingle). The df count is also
+    * what KEEPS the plan single-scan: a min-only aggregate is
+    * duplicate-agnostic, so Catalyst would eliminate the distinct under
+    * it and give this branch its own tokenization scan — count(*) is
+    * duplicate-sensitive, the distinct stays, both branches share one
+    * canonical exchange(doc_id, s) subtree, and the executed plan shows
+    * ReusedExchange. Docs with < 3 tokens have no shingles and are
+    * absent, matching the oracle. */
   def ngramNovelty(spark: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(spark, d)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), explode(expr(TextOps.shinglesExpr(3))).as("s"))
       .distinct()
-    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"),
+      count(lit(1)).as("df"))
     sh.join(first, Seq("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"),
+        count(when(col("df") > 1, lit(1))).as("n_shared"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
   }
@@ -243,13 +255,14 @@ object Corpus {
        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
        |  FROM t
        |), f AS (
-       |  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1
+       |  SELECT s, min(doc_id) AS first_doc, count(*) AS df FROM sh GROUP BY 1
        |), agg AS (
        |  SELECT doc_id, count(*) AS n_shingles,
-       |         count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel
+       |         count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+       |         count(CASE WHEN df > 1 THEN 1 END) AS n_shared
        |  FROM sh JOIN f USING (s) GROUP BY 1
        |)
-       |SELECT doc_id, n_shingles, n_novel,
+       |SELECT doc_id, n_shingles, n_novel, n_shared,
        |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
        |FROM agg""".stripMargin
 

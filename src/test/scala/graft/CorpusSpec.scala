@@ -151,15 +151,22 @@ class CorpusSpec extends AnyFunSuite {
     val got = Corpus.ngramNovelty(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"),
         (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
-          r.getAs[Double]("novelty")))).toMap
+          r.getAs[Long]("n_shared"), r.getAs[Double]("novelty")))).toMap
+    // doc0 {abc(df3), bcd(df2)}: both novel, both shared
+    // doc1 exact copy: 0 novel, both shared
+    // doc2 {abc(df3), bcx, cxy, xyz}: 3 novel, 1 shared
     assert(got == Map(
-      0L -> (2L, 2L, 1.0),
-      1L -> (2L, 0L, 0.0),
-      2L -> (4L, 3L, 0.75)))
-    // plan shape: no window anywhere (first-seen is a groupBy-min, not
-    // min() OVER (PARTITION BY shingle) — the skew-wall form)
-    val plan = Corpus.ngramNovelty(spark, dir).queryExecution.executedPlan.toString
+      0L -> (2L, 2L, 2L, 1.0),
+      1L -> (2L, 0L, 2L, 0.0),
+      2L -> (4L, 3L, 1L, 0.75)))
+    // plan shape: no window anywhere (first-seen is a groupBy, not
+    // min() OVER (PARTITION BY shingle) — the skew-wall form), and the
+    // distinct (doc, shingle) exchange is shared — one tokenization scan
+    val q = Corpus.ngramNovelty(spark, dir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("windowspecdefinition"))
+    assert(plan.contains("ReusedExchange"))
   }
 
   test("corpusCoverage omits shingle-less (<3-token) docs, matching the oracle") {
