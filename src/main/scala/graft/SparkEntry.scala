@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_cosine_topk"    -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_ivf_topk"       -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "ivf_train"          -> ((s, d) => Similarity.ivfTrain(s, d)),
+    "semantic_mix"       -> ((s, d) => Similarity.semanticMix(s, d)),
     "pq_encode"          -> ((s, d) => Similarity.pqEncode(s, d)),
     "pq_adc_topk"        -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "embedding_neardup"  -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -138,6 +139,7 @@ object SparkEntry {
     "ann_cosine_topk"    -> Similarity.annCosineTopKSql(),
     "ann_ivf_topk"       -> Similarity.annIvfTopKSql(),
     "ivf_train"          -> Similarity.ivfTrainSql(),
+    "semantic_mix"       -> Similarity.semanticMixSql(),
     "pq_encode"          -> Similarity.pqEncodeSql(),
     "pq_adc_topk"        -> Similarity.pqAdcTopKSql(),
     "embedding_neardup"  -> Similarity.embeddingNearDupSql(),

@@ -281,6 +281,49 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding")), k, nprobe)
   }
 
+  /** Semantic-diversity mix report — the data-mixing view of embedding
+    * space: every vector is assigned to its [[ivfTrain]]ed cell, and
+    * each (cell, label) pair reports its size, the cell total, and its
+    * share of the cell. Answers "which semantic regions are dominated
+    * by one source, and which are underrepresented?" — the
+    * embedding-space complement of [[graft.operators.Corpus]]'s
+    * source_mix_report, driven by content geometry instead of
+    * provenance metadata.
+    *
+    * Scale: the k-means assignment is the audited [[ivfTrain]] plan;
+    * on top of it sit two map-side-combined aggregations (cell totals
+    * derive from the (cell, label) counts, not a second pass over the
+    * vectors) and a cell-keyed join of two nlists-sized slivers. The
+    * share is one long/long double division — engine-identical. */
+  def semanticMix(spark: SparkSession, d: String, nlists: Int = 8,
+                  iters: Int = 2): DataFrame = {
+    val lab = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+      .join(ivfTrain(spark, d, nlists, iters), "vec_id")
+    val byLabel = lab.groupBy("list_id", "label")
+      .agg(count(lit(1)).as("n_vecs"))
+    val cells = byLabel.groupBy("list_id").agg(sum(col("n_vecs")).as("cell_total"))
+    byLabel.join(cells, Seq("list_id"))
+      .withColumn("share",
+        col("n_vecs").cast("double") / col("cell_total").cast("double"))
+  }
+
+  /** DuckDB twin of [[semanticMix]]: [[ivfTrainSql]] nested as the
+    * assignment CTE, then the same two aggregations + join. */
+  def semanticMixSql(nlists: Int = 8, iters: Int = 2): String =
+    s"""WITH assign AS (
+       |${ivfTrainSql(nlists, iters)}
+       |), lab AS (
+       |  SELECT a.list_id, e.label FROM assign a JOIN embeddings e USING (vec_id)
+       |), byl AS (
+       |  SELECT list_id, label, count(*) AS n_vecs FROM lab GROUP BY 1, 2
+       |), cells AS (
+       |  SELECT list_id, CAST(sum(n_vecs) AS BIGINT) AS cell_total
+       |  FROM byl GROUP BY 1
+       |)
+       |SELECT list_id, label, n_vecs, cell_total,
+       |       CAST(n_vecs AS DOUBLE) / CAST(cell_total AS DOUBLE) AS share
+       |FROM byl JOIN cells USING (list_id)""".stripMargin
+
   /** DuckDB twin of [[ivfTrain]]: the Lloyd loop unrolled into CTE
     * layers (d$i = exact distances, a$i = argmin assignment, c$i =
     * exact-mean centroids). VARCHAR-routed casts mirror Spark's

@@ -55,6 +55,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a3.length == n) // converged or not, still a total partition
   }
 
+  test("semanticMix: shares sum to 1 per cell, totals conserve the vector count") {
+    val rows = Similarity.semanticMix(spark, sf, nlists = 4).collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("cell_total"),
+        r.getAs[Double]("share")))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._3).sum == n) // every vector in exactly one (cell, label)
+    rows.groupBy(_._1).values.foreach { cell =>
+      assert(cell.map(_._3).sum == cell.head._4)      // totals consistent
+      assert(math.abs(cell.map(_._5).sum - 1.0) < 1e-12) // shares partition the cell
+    }
+  }
+
   test("trained-IVF ANN: end-to-end recall against the exact baseline") {
     def keys(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
