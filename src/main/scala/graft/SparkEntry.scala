@@ -86,6 +86,7 @@ object SparkEntry {
     // round 5: representative selection, edit-distance verify,
     // distributed exact quantiles, vocabulary head, pivot/rollup
     "cluster_reps"       -> ((s, d) => TextOps.clusterReps(s, d)),
+    "dup_spans"          -> ((s, d) => TextOps.dupSpans(s, d)),
     "edit_distance_pairs" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "doc_quantiles"      -> ((s, d) => TextOps.docQuantiles(s, d)),
     "token_topk"         -> ((s, d) => TextOps.tokenTopK(s, d)),
@@ -164,6 +165,7 @@ object SparkEntry {
     "rolling_hour_stats" -> EventAnalytics.rollingHourStatsSql,
     "click_no_purchase"  -> EventAnalytics.clickNoPurchaseSql,
     "cluster_reps"       -> TextOps.clusterRepsSql(),
+    "dup_spans"          -> TextOps.dupSpansSql(),
     "edit_distance_pairs" -> TextOps.editDistancePairsSql(),
     "doc_quantiles"      -> TextOps.docQuantilesSql(),
     "token_topk"         -> TextOps.tokenTopKSql(),

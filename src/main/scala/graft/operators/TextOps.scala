@@ -1205,4 +1205,111 @@ object TextOps {
        |)
        |ORDER BY cnt DESC, token
        |LIMIT $k""".stripMargin
+
+  // ---- duplicated-substring spans (span-level exact dedup) ------------
+
+  /** Seed of the dup-span gram hash (arbitrary, fixed for replay). */
+  private val DupSpanSeed = 7
+
+  /** Maximal duplicated token spans per document — SPAN-level exact
+    * dedup, the granularity between whole-document [[dedupExact]] and
+    * paragraph [[Corpus.cdcChunks]]: a boilerplate header or license
+    * block repeated across documents is reported as one (start, end)
+    * token range per occurrence, ready for cut-and-keep-the-rest
+    * scrubbing (the Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 notion of duplicate text spans —
+    * public technique; they use a suffix array, which is inherently
+    * single-machine, so the distributed form here is the standard
+    * gram-cover approximation).
+    *
+    * Semantics: an `l`-token gram instance is *duplicated* when the
+    * identical gram occurs at ≥ 2 positions corpus-wide (a second
+    * document OR a within-document repeat). A duplicated gram at
+    * position p covers tokens [p, p+l−1]; overlapping or adjacent
+    * covered ranges merge into maximal spans (gaps-and-islands with
+    * merge condition pos ≤ prev + l). Every reported span is therefore
+    * ≥ l tokens and its every token sits inside some duplicated gram.
+    *
+    * Scale shape: the positioned gram stream shuffles ONCE on the gram
+    * hash (`repartition(h)` — explicitly placed so BOTH consumers read
+    * the same exchange: the per-gram occurrence count aggregates on
+    * top of it with no second exchange, and the count join-back probes
+    * it sort-merge with both sides already h-partitioned; the
+    * tokenization + md5 scan runs exactly once). A viral gram is a
+    * single (h, cnt) row — the count is a groupBy, never a
+    * per-partition window, so there is no hot-key window wall, and the
+    * join-back fanout is 1:1 per position row. The island windows
+    * partition by doc_id — state bounded by document length. Survivors
+    * of the cnt ≥ 2 filter are the only rows that reach the doc_id
+    * exchange; the final span aggregate reuses that partitioning
+    * (subset clustering), adding no exchange. */
+  def dupSpans(spark: SparkSession, d: String, l: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, "span gram order must be >= 2")
+    val pos = docs(spark, d)
+      .select(col("doc_id"), posexplode(expr(shinglesExpr(l))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash64(col("g"), DupSpanSeed).as("h"))
+      .repartition(col("h"))
+    // count(CASE WHEN doc_id NOT NULL AND pos >= 0 THEN 1 END), not
+    // count(*): the value is identical (doc_id is never null, pos never
+    // negative), but a plain count lets column pruning strip doc_id and
+    // pos from this branch's exchange, making it canonically DIFFERENT
+    // from the probe branch's and defeating ReuseExchange (two
+    // tokenization+md5 scans). pos needs the `>= 0` form specifically:
+    // it is generator output, so `isNotNull(pos)` constant-folds away
+    // and the column gets pruned anyway. The nullable, non-foldable
+    // dependency keeps both branches bit-identical, so the gram shuffle
+    // materializes once and is read by both.
+    val cnt = pos.groupBy("h")
+      .agg(count(when(col("doc_id").isNotNull && col("pos") >= 0, lit(1)))
+        .as("cnt"))
+      .filter(col("cnt") >= 2)
+    val dup = pos.join(cnt, "h").select(col("doc_id"), col("pos"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("prev", lag(col("pos"), 1).over(wo))
+      .withColumn("ni", when(col("prev").isNull || col("pos") > col("prev") + l, 1L)
+        .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("ni")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("mx"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_id"), col("span_start"),
+        (col("mx") + l - 1).as("span_end"),
+        (col("mx") + l - col("span_start")).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
+  def dupSpansSql(l: Int = 5): String = {
+    val gram = (0 until l).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |p AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(toks) - ${l - 2}),
+       |               i -> {'pos': i - 1,
+       |                     'h': (md5_number_lower('$DupSpanSeed:' || ($gram))
+       |                           % ${HashPrime}::UBIGINT)::BIGINT})) AS s
+       |      FROM t),
+       |pos AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h FROM p),
+       |c AS (SELECT h, count(*) AS cnt FROM pos GROUP BY 1),
+       |d AS (SELECT pos.doc_id, pos.pos
+       |      FROM pos JOIN c USING (h) WHERE c.cnt >= 2),
+       |i AS (SELECT doc_id, pos,
+       |             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l
+       |                  THEN 1 ELSE 0 END AS ni
+       |      FROM d),
+       |isl AS (SELECT doc_id, pos,
+       |               CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+       |                 AS span_id
+       |        FROM i)
+       |SELECT doc_id, span_id, min(pos) AS span_start,
+       |       max(pos) + ${l - 1} AS span_end,
+       |       max(pos) + $l - min(pos) AS span_tokens,
+       |       count(*) AS n_dup_grams
+       |FROM isl GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -353,4 +353,29 @@ class TextOpsSpec extends AnyFunSuite {
     // the far doc shares no tokens — it must never verify at 0.4·len
     assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("dupSpans finds maximal cross-doc and within-doc duplicated spans") {
+    import spark.implicits._
+    // docs 0/1 share an 8-token block at different offsets; doc 3 repeats
+    // a 5-token run within itself; doc 2 is all-unique control
+    val block = "a b c d e f g h"
+    val d0 = s"$block p q r s t u"
+    val d1 = s"x1 x2 $block y1 y2"
+    val d2 = (1 to 12).map(i => s"u$i").mkString(" ")
+    val d3 = "m1 m2 m3 m4 m5 z m1 m2 m3 m4 m5"
+    val dir = java.nio.file.Files.createTempDirectory("graftspans").toString
+    Seq((0L, d0), (1L, d1), (2L, d2), (3L, d3))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.dupSpans(spark, dir, l = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("n_dup_grams"))).toSet
+    assert(got == Set(
+      (0L, 1L, 0L, 7L, 8L, 4L),   // the shared block, grams 0..3 merged
+      (1L, 1L, 2L, 9L, 8L, 4L),   // same block, offset by the x-prefix
+      (3L, 1L, 0L, 4L, 5L, 1L),   // within-doc repeat: first occurrence
+      (3L, 2L, 6L, 10L, 5L, 1L))) // second occurrence, its own island
+  }
 }
