@@ -71,6 +71,7 @@ object SparkEntry {
     // training-data curation (quality filter / mixing / packing)
     "quality_filter"     -> ((s, d) => DataPipeline.qualityFilter(s, d)),
     "stratified_sample"  -> ((s, d) => DataPipeline.stratifiedSample(s, d, SampleMix)),
+    "mixture_sample"     -> ((s, d) => DataPipeline.mixtureSample(s, d)),
     "pack_documents"     -> ((s, d) => DataPipeline.packDocuments(s, d)),
     // corpus curation: keywords, sub-doc dedup chunks, PII, JSON paths
     "tfidf_topk"         -> ((s, d) => Corpus.tfidfTopK(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "frame_sample"       -> Multimodal.sampleFramesSql(),
     "quality_filter"     -> DataPipeline.qualityFilterSql(),
     "stratified_sample"  -> DataPipeline.stratifiedSampleSql(SampleMix),
+    "mixture_sample"     -> DataPipeline.mixtureSampleSql(),
     "pack_documents"     -> DataPipeline.packDocumentsSql(),
     "tfidf_topk"         -> Corpus.tfidfTopKSql(),
     "cdc_chunks"         -> Corpus.cdcChunksSql(),

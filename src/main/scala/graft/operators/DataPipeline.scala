@@ -125,6 +125,70 @@ object DataPipeline {
        |    < (CASE $cases ELSE ${HashPrime} END)""".stripMargin
   }
 
+  // ---- temperature mixture sampling (α-weighted source rebalance) -----
+
+  /** Temperature-based source mixture sampling — the multilingual-LM
+    * data-mix step (public technique: α-smoothed sampling from
+    * multilingual BERT / Lample & Conneau, "Cross-lingual Language
+    * Model Pretraining", NeurIPS'19): sample sources with probability
+    * ∝ countᵅ instead of ∝ count, so low-resource sources are
+    * up-weighted relative to their share. α is FIXED at 0.5 and
+    * realized as the INTEGER weight w_s = ⌊√c_s⌋: a general α needs
+    * pow(), whose last-ulp behavior is libm-specific and would poison
+    * cross-engine hash parity; √ is IEEE correctly-rounded in both
+    * engines and the floor makes everything after it exact integer
+    * arithmetic. The target sample size T = ⌊tFrac·N⌋ is allocated as
+    * t_s = ⌊T·w_s / Σw⌋ docs per source, and a document is kept iff
+    * hash(doc_id)·c_s < p·t_s — the keep-fraction compare t_s/c_s
+    * CROSS-MULTIPLIED into exact integer form (decimal on the Spark
+    * side, HUGEINT in DuckDB), so there is no division and no float
+    * rounding surface anywhere; t_s ≥ c_s degenerates to keep-all,
+    * giving min(1, ·) for free.
+    *
+    * Scale: the allocation table is one map-side-combined groupBy over
+    * the source column (a pruned one-column scan) collapsed to
+    * |sources| rows; the sample itself is a broadcast join of that
+    * sliver onto the corpus scan plus a pure per-row hash filter — no
+    * full-data shuffle at any point. Deterministic and replayable:
+    * same corpus + seed ⇒ same sample on any cluster. */
+  def mixtureSample(spark: SparkSession, d: String, tFrac: Double = 0.3,
+                    seed: Int = 2): DataFrame = {
+    require(tFrac >= 0.0 && tFrac <= 1.0, "tFrac must be in [0,1]")
+    val docs = Tables.documents(spark, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("c_s"))
+      .withColumn("w_s", floor(sqrt(col("c_s").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("w_s")).as("sum_w"), sum(col("c_s")).as("n_docs"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("t_s", expr(
+        s"(CAST(floor($tFrac * n_docs) AS BIGINT) * w_s) DIV sum_w"))
+      .select(col("source"), col("c_s"), col("t_s"))
+    docs.join(broadcast(alloc), "source")
+      .filter(hash64(col("doc_id"), seed).cast("decimal(20,0)")
+          * col("c_s").cast("decimal(12,0)")
+        < lit(HashPrime).cast("decimal(20,0)") * col("t_s").cast("decimal(12,0)"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def mixtureSampleSql(tFrac: Double = 0.3, seed: Int = 2): String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS c_s,
+       |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_s
+       |  FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(w_s) AS BIGINT) AS sum_w,
+       |         CAST(sum(c_s) AS BIGINT) AS n_docs
+       |  FROM c
+       |), a AS (
+       |  SELECT source, c_s,
+       |         (CAST(floor($tFrac * n_docs) AS BIGINT) * w_s) // sum_w AS t_s
+       |  FROM c, tot
+       |)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN a ON d.source = a.source
+       |WHERE ((md5_number_lower('$seed:' || d.doc_id)
+       |        % ${HashPrime}::UBIGINT)::HUGEINT) * a.c_s
+       |    < ${HashPrime}::HUGEINT * a.t_s""".stripMargin
+
   // ---- sequence packing (concat-then-chunk, sharded) ------------------
 
   /** Concat-then-chunk sequence packing — the GPT-pretraining batching

@@ -96,4 +96,32 @@ class DataPipelineSpec extends AnyFunSuite {
       2L -> ("near_dup", 0L),
       3L -> ("too_short", 0L)))
   }
+
+  test("mixture sample: α=0.5 temperature up-weights the low-resource source") {
+    import spark.implicits._
+    // 900 docs from source A, 100 from B → proportional share 0.3 each;
+    // α=0.5 allocation: w=(30,10), T=300, t=(225,75) → keep rates
+    // (0.25, 0.75): B is up-weighted 2.5×, A slightly down-weighted
+    val dir = java.nio.file.Files.createTempDirectory("graftmix").toString
+    (0 until 1000).map { i =>
+      (i.toLong, s"tok$i text", "en", if (i < 900) "A" else "B", 9L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataPipeline.mixtureSample(spark, dir, tFrac = 0.3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = got.getOrElse("A", 0L).toDouble
+    val b = got.getOrElse("B", 0L).toDouble
+    // binomial 3σ bands around the exact allocation targets
+    assert(math.abs(a - 225) <= 3 * math.sqrt(900 * 0.25 * 0.75), s"A=$a")
+    assert(math.abs(b - 75) <= 3 * math.sqrt(100 * 0.75 * 0.25), s"B=$b")
+    // the rebalance property itself: B above its proportional share,
+    // A below, and the total near T
+    assert(b / 100.0 > 0.3 && a / 900.0 < 0.3)
+    // determinism: a second run is bit-identical
+    val again = DataPipeline.mixtureSample(spark, dir, tFrac = 0.3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
