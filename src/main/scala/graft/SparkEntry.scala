@@ -100,6 +100,7 @@ object SparkEntry {
     "curation_pipeline"  -> ((s, d) => DataPipeline.curationPipeline(s, d)),
     "source_mix_report"  -> ((s, d) => Corpus.sourceMixReport(s, d)),
     "dup_rate_by_source" -> ((s, d) => Corpus.dupRateBySource(s, d)),
+    "source_overlap"     -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "audio_windows"      -> ((s, d) => Multimodal.audioWindows(s, d)),
   )
 
@@ -180,6 +181,7 @@ object SparkEntry {
     "curation_pipeline"  -> DataPipeline.curationPipelineSql(),
     "source_mix_report"  -> Corpus.sourceMixReportSql,
     "dup_rate_by_source" -> Corpus.dupRateBySourceSql,
+    "source_overlap"     -> Corpus.sourceOverlapSql,
     "audio_windows"      -> Multimodal.audioWindowsSql(),
   )
 }

@@ -442,6 +442,56 @@ object Corpus {
       |FROM hashed JOIN keepers USING (h)
       |GROUP BY source""".stripMargin
 
+  /** Cross-source content-overlap matrix: for every source pair, how
+    * many distinct content fingerprints ([[TextOps.fingerprint]]'s
+    * 3-gram minhash — identical docs always collide, near-identical
+    * ones with probability = their Jaccard) appear in BOTH sources —
+    * the mirror-detection / scrape-provenance report that tells a
+    * crawl review WHERE [[dupRateBySource]]'s duplicates come from
+    * (content syndicated across sites vs re-crawled within one).
+    * Keyed on the fingerprint rather than the exact sha-256 because
+    * syndicated copies differ by boilerplate: exact-hash overlap is a
+    * subset of this report.
+    *
+    * Scale: the fingerprint is one map-side-combined per-doc aggregate
+    * over the shingle stream; distinct (fingerprint, source) shrinks
+    * again; the self-join meets on the fingerprint key where each
+    * group holds at most |sources| rows, so the pair fanout per
+    * content is ≤ C(|sources|,2) — bounded by the (small) source
+    * universe, never by corpus size; the final aggregate is ≤
+    * |sources|² rows. Both join sides are the same distinct subtree,
+    * so its exchange materializes once. */
+  def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(spark, d)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("source"),
+        explode(expr(TextOps.shinglesExpr(3))).as("sh"))
+      .groupBy("doc_id", "source")
+      .agg(min(hash64(col("sh"), 0)).as("f"))
+    val hs = fp.select("f", "source").distinct()
+    hs.as("a")
+      .join(hs.as("b"), col("a.f") === col("b.f") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |                  string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |sh AS (SELECT doc_id, source, unnest(list_transform(range(1, len(toks)-1),
+       |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |       FROM t),
+       |fp AS (SELECT doc_id, source,
+       |              min((md5_number_lower('0:' || sh)
+       |                   % ${HashPrime}::UBIGINT)::BIGINT) AS f
+       |       FROM sh GROUP BY 1, 2),
+       |hs AS (SELECT DISTINCT f, source FROM fp)
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |FROM hs a JOIN hs b ON a.f = b.f AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- PMI collocations ----------------------------------------------
 
   /** Top-k bigram collocations by pointwise mutual information

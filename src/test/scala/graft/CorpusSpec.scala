@@ -230,4 +230,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
     assert(out.filter(col("redacted").contains("@")).count() == 0)
   }
+
+  test("source_overlap counts shared content fingerprints per source pair") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dir = java.nio.file.Files.createTempDirectory("graftoverlap").toString
+    Seq(
+      (0L, shared, "A"),                      // identical doc in A and B
+      (1L, shared, "B"),
+      (2L, s"$shared extra trailing words", "B"), // near-dup may collide too
+      (3L, "one two three four five six", "C"),   // C shares nothing
+      (4L, "seven eight nine ten eleven twelve", "A"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // identical docs always share the fingerprint: (A,B) >= 1; C never pairs
+    assert(got.getOrElse(("A", "B"), 0L) >= 1L)
+    assert(!got.keys.exists { case (a, b) => a == "C" || b == "C" })
+  }
 }
