@@ -59,6 +59,7 @@ object SparkEntry {
     "semantic_mix"       -> ((s, d) => Similarity.semanticMix(s, d)),
     "pq_encode"          -> ((s, d) => Similarity.pqEncode(s, d)),
     "pq_adc_topk"        -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "ivf_pq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "embedding_neardup"  -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "embedding_lsh_neardup" -> ((s, d) => Similarity.embeddingLshNearDup(s, d)),
     // SQL-text surface + UDx aggregators + multimodal plumbing
@@ -145,6 +146,7 @@ object SparkEntry {
     "semantic_mix"       -> Similarity.semanticMixSql(),
     "pq_encode"          -> Similarity.pqEncodeSql(),
     "pq_adc_topk"        -> Similarity.pqAdcTopKSql(),
+    "ivf_pq_topk"        -> Similarity.ivfPqTopKSql(),
     "embedding_neardup"  -> Similarity.embeddingNearDupSql(),
     "embedding_lsh_neardup" -> Similarity.embeddingLshNearDupSql(),
     "hot_users_topn_sql" -> EventAnalytics.hotUsersTopNSql(),

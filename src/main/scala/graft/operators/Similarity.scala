@@ -230,7 +230,14 @@ object Similarity {
     * doubles, and iters is a small constant — the classic Spark
     * k-means shape. */
   def ivfTrain(spark: SparkSession, d: String, nlists: Int = 8,
-               iters: Int = 2): DataFrame = {
+               iters: Int = 2): DataFrame =
+    ivfTrainFull(spark, d, nlists, iters)._1
+
+  /** [[ivfTrain]] plus the centroid table the final assignment was
+    * scored against (c_{iters−1}) — the coarse codebook [[ivfPqTopK]]
+    * computes residuals from. */
+  private[operators] def ivfTrainFull(spark: SparkSession, d: String,
+                                      nlists: Int, iters: Int): (DataFrame, DataFrame) = {
     require(nlists >= 1 && iters >= 1, "nlists and iters must be >= 1")
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val seeds = e
@@ -264,7 +271,7 @@ object Similarity {
           .groupBy("list_id")
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
     }
-    assign
+    (assign, cent)
   }
 
   /** IVF top-k over a SELF-TRAINED index: [[ivfTrain]] assignments
@@ -328,46 +335,55 @@ object Similarity {
     * layers (d$i = exact distances, a$i = argmin assignment, c$i =
     * exact-mean centroids). VARCHAR-routed casts mirror Spark's
     * shortest-repr double→decimal semantics (class doc). */
-  def ivfTrainSql(nlists: Int = 8, iters: Int = 2): String = {
+  def ivfTrainSql(nlists: Int = 8, iters: Int = 2): String =
+    s"WITH ${ivfChainSql(nlists, iters, "")}\nSELECT vec_id, list_id FROM a$iters"
+
+  /** CTE list (no WITH, no final SELECT) of the [[ivfTrain]] Lloyd
+    * chain, every CTE name prefixed with `pre` so the chain can
+    * coexist with the PQ chain inside one query (the ivf-pq oracle).
+    * Exposes ${pre}e (positions), ${pre}a$iters (the assignment) and
+    * ${pre}c${iters−1} (the centroids it was scored against). */
+  private def ivfChainSql(nlists: Int, iters: Int, pre: String): String = {
     val P = graft.functions.ColumnFunctions.HashPrime
     val header =
-      s"""WITH p AS (
+      s"""${pre}p AS (
          |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
          |  FROM embeddings
-         |), e AS (
-         |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
-         |), seeds AS (
+         |), ${pre}e AS (
+         |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM ${pre}p
+         |), ${pre}seeds AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id
          |  FROM (SELECT vec_id,
          |          (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h
          |        FROM embeddings ORDER BY h, vec_id LIMIT $nlists)
-         |), c0 AS (
-         |  SELECT s.list_id, e.pos, e.v AS cv FROM seeds s JOIN e USING (vec_id)
+         |), ${pre}c0 AS (
+         |  SELECT s.list_id, e.pos, e.v AS cv
+         |  FROM ${pre}seeds s JOIN ${pre}e e USING (vec_id)
          |)""".stripMargin
     val steps = (1 to iters).map { i =>
       val dist =
-        s""", d$i AS (
+        s""", ${pre}d$i AS (
            |  SELECT e.vec_id, c.list_id,
            |    CAST(CAST(sum(CAST(CAST((e.v - c.cv) * (e.v - c.cv) AS VARCHAR)
            |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
-           |  FROM e JOIN c${i - 1} c ON e.pos = c.pos GROUP BY 1, 2
-           |), a$i AS (
+           |  FROM ${pre}e e JOIN ${pre}c${i - 1} c ON e.pos = c.pos GROUP BY 1, 2
+           |), ${pre}a$i AS (
            |  SELECT vec_id, list_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |                                 ORDER BY dist, list_id) AS rn FROM d$i
+           |                                 ORDER BY dist, list_id) AS rn FROM ${pre}d$i
            |  ) WHERE rn = 1
            |)""".stripMargin
       val recompute = if (i < iters)
-        s""", c$i AS (
+        s""", ${pre}c$i AS (
            |  SELECT a.list_id, e.pos,
            |    CAST(CAST(sum(CAST(CAST(e.v AS VARCHAR) AS DECIMAL(38,30)))
            |      AS VARCHAR) AS DOUBLE) / count(*) AS cv
-           |  FROM e JOIN a$i a USING (vec_id) GROUP BY 1, 2
+           |  FROM ${pre}e e JOIN ${pre}a$i a USING (vec_id) GROUP BY 1, 2
            |)""".stripMargin
       else ""
       dist + recompute
     }.mkString
-    s"$header$steps\nSELECT vec_id, list_id FROM a$iters"
+    s"$header$steps"
   }
 
   // ---- product quantization (PQ codebooks + ADC search) ---------------
@@ -520,21 +536,207 @@ object Similarity {
        |  FROM adc
        |) WHERE rank <= $k""".stripMargin
 
+  // ---- IVF-PQ: coarse cells + residual product quantization ----------
+
+  /** IVF-PQ top-k — the billion-scale ANN architecture (IVFADC: Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — public technique): a TRAINED coarse
+    * quantizer ([[ivfTrain]]'s deterministic k-means — metadata labels
+    * don't align with L2 geometry, measured cell-recall barely above
+    * random) restricts the scan to `nprobe` probed cells per query,
+    * and the fine distance runs over RESIDUALS r = v − centroid(cell)
+    * encoded with a product quantizer. Residual encoding is what
+    * separates this from [[pqAdcTopK]]: residual magnitudes are a
+    * cell-diameter fraction of raw magnitudes, so the same nSub·nCodes
+    * codebook quantizes far more precisely — the reason real systems
+    * train PQ on residuals.
+    *
+    * Query side: top-`nprobe` cells by exact squared-L2 to the
+    * centroids; per probed cell the query's OWN residual (q −
+    * centroid) builds the nSub·nCodes LUT of exact subdistances; a
+    * candidate joins the LUT of ITS cell on (list_id, sub_id, code)
+    * and its approximate distance is the nSub-term exact-decimal sum.
+    * The ADC short-list (top 4k by approximate distance) is then
+    * RE-RANKED with the exact distance — the IVFADC-R refinement from
+    * the same paper: a 16-code subquantizer localizes well but orders
+    * a short-list poorly, so the few raw vectors the short-list names
+    * are fetched and scored exactly.
+    *
+    * Scale: centroids and codebook are broadcast-sized by construction
+    * (nlists·dim, nSub·nCodes·subDim); the LUT is nQueries·nprobe·
+    * nSub·nCodes rows — broadcast; the candidate side touches ONLY
+    * integer codes of vectors in probed cells (the RAM-resident
+    * precondition), and the single data shuffle is the final
+    * (query, neighbor) sum. Training cost is the audited [[ivfTrain]]
+    * plan plus the [[pqCodebook]] Lloyd chain on the residual
+    * relation — same shapes. */
+  def ivfPqTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+                nprobe: Int = 2, nlists: Int = 8, ivfIters: Int = 2,
+                nSub: Int = 8, nCodes: Int = 16,
+                iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    // trained coarse quantizer: assignment + the centroids it was
+    // scored against (broadcast-sized: nlists rows)
+    val (assign, cent) = ivfTrainFull(spark, d, nlists, ivfIters)
+    // residual relation: r = v − centroid(assigned cell), elementwise
+    val resid = base.join(assign, "vec_id").join(broadcast(cent), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cemb"),
+          (x, y) => x - y).as("embedding"))
+    val rb = resid.select(col("vec_id"), col("embedding"))
+    val cb = pqCodebook(rb, nSub, nCodes, iters, dim)
+    val codes = pqAssign(subvectors(rb, nSub, dim), cb)
+      .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+    // probe: top-nprobe cells per query by exact centroid distance
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+    val qc = cent.join(broadcast(q))
+      .select(col("query_id"), col("list_id"), col("qe"), col("cemb"),
+        exactSqDist("qe", "cemb").as("cdist"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("list_id"))
+    val probed = qc.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+    // per-probed-cell residual query → subvector slices → exact LUT
+    val subDim = dim / nSub
+    val rq = probed.select(col("query_id"), col("list_id"),
+      zip_with(col("qe"), col("cemb"), (x, y) => x - y).as("rqe"))
+    val rqsv = rq.select(col("query_id"), col("list_id"),
+      explode(array((0 until nSub).map { j =>
+        struct(lit(j.toLong).as("sub_id"),
+          slice(col("rqe"), j * subDim + 1, subDim).as("qsv"))
+      }: _*)).as("s"))
+      .select(col("query_id"), col("list_id"),
+        col("s.sub_id").as("sub_id"), col("s.qsv").as("qsv"))
+    val lut = rqsv.join(broadcast(cb), "sub_id")
+      .select(col("query_id"), col("list_id"), col("sub_id"), col("code"),
+        exactSqDist("qsv", "cemb").as("ld"))
+    // ADC restricted to probed cells: codes meet the LUT of their cell
+    val approx = codes.join(broadcast(lut), Seq("list_id", "sub_id", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("ld").cast("decimal(38,30)")).cast("double").as("adist"))
+    // IVFADC-R re-rank: exact-rescore ONLY the top-`rerank` ADC
+    // candidates per query — raw vectors are touched O(queries·rerank)
+    // times, so the scan stays codes-only while the final ranking is
+    // exact (the quantization error of a 16-code subquantizer is too
+    // coarse to order the short-list; re-ranking is how the published
+    // system closes that gap)
+    val rerank = 4 * k
+    val wR = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = approx.withColumn("arn", row_number().over(wR))
+      .filter(col("arn") <= rerank).drop("arn")
+    val exact = shortlist
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ce")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        exactSqDist("qe", "ce").as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]]: the iv-prefixed [[ivfChainSql]]
+    * trains the coarse quantizer, the [[pqSqlChain]] Lloyd loop runs on
+    * the residual `e` relation it yields, then probe → residual LUT →
+    * cell-restricted ADC. */
+  def ivfPqTopKSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                   nlists: Int = 8, ivfIters: Int = 2,
+                   nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                   dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val iN = ivfIters
+    val residPrelude =
+      s"""${ivfChainSql(nlists, ivfIters, "iv")}, e AS (
+         |  SELECT b.vec_id, CAST(b.pos // $subDim AS BIGINT) AS sub_id,
+         |         b.pos % $subDim AS spos, b.v - c.cv AS v
+         |  FROM ive b
+         |  JOIN iva$iN a USING (vec_id)
+         |  JOIN ivc${iN - 1} c ON c.list_id = a.list_id AND c.pos = b.pos
+         |)""".stripMargin
+    s"""${pqSqlChain(nSub, nCodes, iters, dim, Some(residPrelude))}, qd AS (
+       |  SELECT q.vec_id AS query_id, c.list_id,
+       |    CAST(CAST(sum(CAST(CAST((q.v - c.cv) * (q.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS cdist
+       |  FROM ive q JOIN ivc${iN - 1} c ON q.pos = c.pos
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2
+       |), probe AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cdist, list_id) AS pr FROM qd
+       |  ) WHERE pr <= $nprobe
+       |), rq AS (
+       |  SELECT q.vec_id AS query_id, pb.list_id, q.pos, q.v - c.cv AS v
+       |  FROM ive q
+       |  JOIN probe pb ON pb.query_id = q.vec_id
+       |  JOIN ivc${iN - 1} c ON c.list_id = pb.list_id AND c.pos = q.pos
+       |  WHERE q.vec_id < $nQueries
+       |), rqe AS (
+       |  SELECT query_id, list_id, CAST(pos // $subDim AS BIGINT) AS sub_id,
+       |         pos % $subDim AS spos, v
+       |  FROM rq
+       |), lut AS (
+       |  SELECT r.query_id, r.list_id, r.sub_id, c.code,
+       |    CAST(CAST(sum(CAST(CAST((r.v - c.cv) * (r.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS ld
+       |  FROM rqe r JOIN c${iters - 1} c ON r.sub_id = c.sub_id AND r.spos = c.spos
+       |  GROUP BY 1, 2, 3, 4
+       |), adc AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    CAST(CAST(sum(CAST(CAST(l.ld AS VARCHAR) AS DECIMAL(38,30)))
+       |      AS VARCHAR) AS DOUBLE) AS adist
+       |  FROM a$iters a
+       |  JOIN iva$iN la ON la.vec_id = a.vec_id
+       |  JOIN lut l ON l.list_id = la.list_id AND l.sub_id = a.sub_id
+       |             AND l.code = a.code
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), rr AS (
+       |  SELECT query_id, neighbor_id, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adist, neighbor_id) AS arn
+       |    FROM adc
+       |  ) WHERE arn <= ${4 * k}
+       |), ex AS (
+       |  SELECT r.query_id, r.neighbor_id, r.adist,
+       |    CAST(CAST(sum(CAST(CAST((q.v - n.v) * (q.v - n.v) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+       |  FROM rr r
+       |  JOIN ive q ON q.vec_id = r.query_id
+       |  JOIN ive n ON n.vec_id = r.neighbor_id AND n.pos = q.pos
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT query_id, neighbor_id, adist, dist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY dist, neighbor_id) AS rank
+       |  FROM ex
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** Shared CTE chain: positions → subspaces → seeds → unrolled Lloyd
     * loop, ending at assignment a$iters; also exposes c${iters-1}, the
-    * FINAL codebook (the centroids a$iters was scored against). */
-  private def pqSqlChain(nSub: Int, nCodes: Int, iters: Int, dim: Int): String = {
+    * FINAL codebook (the centroids a$iters was scored against).
+    * `ePrelude`, when given, replaces the raw (p, e) source CTEs — it
+    * must end by defining `e(vec_id, sub_id, spos, v)`; the ivf-pq
+    * oracle uses this to train the chain on RESIDUAL values. */
+  private def pqSqlChain(nSub: Int, nCodes: Int, iters: Int, dim: Int,
+                         ePrelude: Option[String] = None): String = {
     val subDim = dim / nSub
     val P = graft.functions.ColumnFunctions.HashPrime
-    val header =
-      s"""WITH p AS (
+    val eDef = ePrelude.getOrElse(
+      s"""p AS (
          |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
          |  FROM embeddings
          |), e AS (
          |  SELECT vec_id, CAST((i - 1) // $subDim AS BIGINT) AS sub_id,
          |         (i - 1) % $subDim AS spos, CAST(embedding[i] AS DOUBLE) AS v
          |  FROM p
-         |), seeds AS (
+         |)""".stripMargin)
+    val header =
+      s"""WITH $eDef, seeds AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
          |  FROM (SELECT vec_id,
          |          (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h

@@ -80,6 +80,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"trained-IVF recall $recall")
   }
 
+  test("IVF-PQ top-k: k rows per query, residual ADC beats raw-PQ fidelity") {
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.ivfPqTopK(spark, sf)
+    val rows = out.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.forall(_._2.length == 5), "k rows per query")
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_.getAs[Int]("rank"))
+      val d = sorted.map(_.getAs[Double]("dist"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "exact dist ascending")
+    }
+    // useful recall vs the metric-consistent ground truth: exact
+    // squared-L2 top-5 (IVF-PQ is an L2 index; the cosine baseline
+    // ranks differently on unnormalized vectors)
+    import org.apache.spark.sql.expressions.Window
+    val embAll = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val qs = embAll.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val exactL2 = {
+      import org.apache.spark.sql.functions._
+      val scored = embAll.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"))
+        .crossJoin(broadcast(qs))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.exactSqDist("qe", "ce").as("dist"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      keys(scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5))
+    }
+    val recall = (keys(out) & exactL2).size.toDouble / exactL2.size
+    println(s"IVF-PQ recall vs exact L2: $recall")
+    assert(recall >= 0.2, s"IVF-PQ recall $recall")
+    // residual-quantization fidelity: for the pairs IVF-PQ scored, the
+    // ADC estimate should track the TRUE squared-L2 distance more
+    // tightly than raw-PQ ADC tracks it on ITS scored pairs — the
+    // entire point of encoding residuals
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    def trueErr(scored: org.apache.spark.sql.DataFrame): Double = {
+      val joined = scored
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+        .select(abs(col("adist") - Similarity.exactSqDist("qe", "ce")).as("err"))
+      joined.agg(avg(col("err"))).head().getDouble(0)
+    }
+    val residErr = trueErr(out)
+    val rawErr = trueErr(Similarity.pqAdcTopK(spark, sf))
+    println(s"mean |ADC - true|: residual=$residErr raw=$rawErr")
+    assert(residErr < rawErr, s"residual PQ should be tighter: $residErr vs $rawErr")
+  }
+
   test("PQ encode: total deterministic code assignment per subspace") {
     val codes = Similarity.pqEncode(spark, sf, nSub = 8, nCodes = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
