@@ -577,13 +577,22 @@ object Similarity {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     // trained coarse quantizer: assignment + the centroids it was
-    // scored against (broadcast-sized: nlists rows)
-    val (assign, cent) = ivfTrainFull(spark, d, nlists, ivfIters)
-    // residual relation: r = v − centroid(assigned cell), elementwise
+    // scored against (broadcast-sized: nlists rows). cent's LINEAGE is
+    // a full Lloyd iteration — persist so the probe and LUT branches
+    // don't re-train it (the table itself is nlists rows).
+    val (assign, cent0) = ivfTrainFull(spark, d, nlists, ivfIters)
+    val cent = cent0.persist()
+    // residual relation: r = v − centroid(assigned cell), elementwise.
+    // Materialized once: every Lloyd stage of the PQ chain (seeds join,
+    // per-iteration distance + recompute), the encode pass, and the
+    // cell join re-derive it otherwise — ~6 recomputes of the
+    // ivfTrain+join subtree. Production IVF-PQ materializes residual
+    // codes the same way; storage is n×dim doubles, freed on GC.
     val resid = base.join(assign, "vec_id").join(broadcast(cent), "list_id")
       .select(col("vec_id"), col("list_id"),
         zip_with(col("embedding").cast("array<double>"), col("cemb"),
           (x, y) => x - y).as("embedding"))
+      .persist()
     val rb = resid.select(col("vec_id"), col("embedding"))
     val cb = pqCodebook(rb, nSub, nCodes, iters, dim)
     val codes = pqAssign(subvectors(rb, nSub, dim), cb)
