@@ -1243,8 +1243,11 @@ object TextOps {
     * of the cnt ≥ 2 filter are the only rows that reach the doc_id
     * exchange; the final span aggregate reuses that partitioning
     * (subset clustering), adding no exchange. */
-  def dupSpans(spark: SparkSession, d: String, l: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Positions of DUPLICATED `l`-gram instances — the shared core of
+    * [[dupSpans]] (report) and [[scrubSpans]] (rewrite). One scan: the
+    * positioned gram stream shuffles once on the gram hash and both
+    * consumers (occurrence count, count join-back) read that exchange. */
+  private def dupGramPositions(spark: SparkSession, d: String, l: Int): DataFrame = {
     require(l >= 2, "span gram order must be >= 2")
     val pos = docs(spark, d)
       .select(col("doc_id"), posexplode(expr(shinglesExpr(l))).as(Seq("pos", "g")))
@@ -1265,9 +1268,32 @@ object TextOps {
       .agg(count(when(col("doc_id").isNotNull && col("pos") >= 0, lit(1)))
         .as("cnt"))
       .filter(col("cnt") >= 2)
-    val dup = pos.join(cnt, "h").select(col("doc_id"), col("pos"))
+    pos.join(cnt, "h").select(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB twin of [[dupGramPositions]]: CTE list ending at
+    * `d(doc_id, pos)`, spliced into both span-family oracles. */
+  private def dupGramPositionsSql(l: Int): String = {
+    val gram = (0 until l).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |p AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(toks) - ${l - 2}),
+       |               i -> {'pos': i - 1,
+       |                     'h': (md5_number_lower('$DupSpanSeed:' || ($gram))
+       |                           % ${HashPrime}::UBIGINT)::BIGINT})) AS s
+       |      FROM t),
+       |pos AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h FROM p),
+       |c AS (SELECT h, count(*) AS cnt FROM pos GROUP BY 1),
+       |d AS (SELECT pos.doc_id, pos.pos
+       |      FROM pos JOIN c USING (h) WHERE c.cnt >= 2)""".stripMargin
+  }
+
+  def dupSpans(spark: SparkSession, d: String, l: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dup
+    dupGramPositions(spark, d, l)
       .withColumn("prev", lag(col("pos"), 1).over(wo))
       .withColumn("ni", when(col("prev").isNull || col("pos") > col("prev") + l, 1L)
         .otherwise(0L))
@@ -1282,21 +1308,8 @@ object TextOps {
         col("n_dup_grams"))
   }
 
-  def dupSpansSql(l: Int = 5): String = {
-    val gram = (0 until l).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
-      .mkString(" || ' ' || ")
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-       |           FROM documents),
-       |p AS (SELECT doc_id,
-       |             unnest(list_transform(range(1, len(toks) - ${l - 2}),
-       |               i -> {'pos': i - 1,
-       |                     'h': (md5_number_lower('$DupSpanSeed:' || ($gram))
-       |                           % ${HashPrime}::UBIGINT)::BIGINT})) AS s
-       |      FROM t),
-       |pos AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h FROM p),
-       |c AS (SELECT h, count(*) AS cnt FROM pos GROUP BY 1),
-       |d AS (SELECT pos.doc_id, pos.pos
-       |      FROM pos JOIN c USING (h) WHERE c.cnt >= 2),
+  def dupSpansSql(l: Int = 5): String =
+    s"""WITH ${dupGramPositionsSql(l)},
        |i AS (SELECT doc_id, pos,
        |             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
        |                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l
@@ -1311,5 +1324,62 @@ object TextOps {
        |       max(pos) + $l - min(pos) AS span_tokens,
        |       count(*) AS n_dup_grams
        |FROM isl GROUP BY 1, 2""".stripMargin
+
+  /** Span-level dedup REWRITE — [[dupSpans]]' consumer: every token
+    * covered by a duplicated gram is cut, and the document is
+    * reassembled from the surviving tokens (clean_text is
+    * space-normalized: the tokenizer's join, not the original
+    * whitespace). The aggressive form — every occurrence of duplicated
+    * material goes, including the first; pair with [[dedupExact]]
+    * keepers when one canonical copy should survive.
+    *
+    * Scale: the covered-position stream is the [[dupGramPositions]]
+    * relation exploded by exactly `l` offsets — LINEAR in duplicated
+    * grams (never a positions × spans range join); the anti-join and
+    * the reassembly aggregate both key on doc_id with per-document
+    * bounded state. Three corpus scans total (gram hash stream, token
+    * positions, per-doc token counts) — the gram stream itself stays
+    * single-scan via the shared exchange. */
+  def scrubSpans(spark: SparkSession, d: String, l: Int = 5): DataFrame = {
+    val base = docs(spark, d)
+    val ptok = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val covered = dupGramPositions(spark, d, l)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${l - 1})")).as("pos"))
+      .distinct()
+    val kept = ptok.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id").agg(
+      expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))")
+        .as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  def scrubSpansSql(l: Int = 5): String =
+    s"""WITH ${dupGramPositionsSql(l)},
+       |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + $l)) AS cpos FROM d),
+       |ptok AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |           i -> {'pos': i - 1, 'tok': toks[i]})) AS s
+       |  FROM t)),
+       |kept AS (SELECT pt.doc_id, pt.pos, pt.tok FROM ptok pt
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                           WHERE cov.doc_id = pt.doc_id
+       |                             AND cov.cpos = pt.pos)),
+       |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |              count(*) AS n_kept
+       |       FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+       |SELECT tot.doc_id, tot.n_tokens,
+       |       coalesce(ka.n_kept, 0) AS n_kept,
+       |       tot.n_tokens - coalesce(ka.n_kept, 0) AS n_removed,
+       |       coalesce(ka.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin
 }

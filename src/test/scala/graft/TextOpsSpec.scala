@@ -377,5 +377,14 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, 1L, 2L, 9L, 8L, 4L),   // same block, offset by the x-prefix
       (3L, 1L, 0L, 4L, 5L, 1L),   // within-doc repeat: first occurrence
       (3L, 2L, 6L, 10L, 5L, 1L))) // second occurrence, its own island
+
+    // scrubSpans cuts exactly the covered tokens and reassembles the rest
+    val clean = TextOps.scrubSpans(spark, dir, l = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(clean(0L) == ((8L, "p q r s t u")))
+    assert(clean(1L) == ((8L, "x1 x2 y1 y2")))
+    assert(clean(2L) == ((0L, d2)))          // untouched control
+    assert(clean(3L) == ((10L, "z")))        // both repeats cut, gap kept
   }
 }
