@@ -66,6 +66,29 @@ object TextOps {
       |       count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Normalized exact dedup — [[dedupExact]] with a CANONICAL key:
+    * Unicode NFC + simple per-code-point lowercase + whitespace-run
+    * collapse (the native codegen'd
+    * [[graft.plans.CanonicalText]] expression), so byte-different
+    * encodings of the same text (NFD vs NFC sources, case variants,
+    * re-wrapped whitespace) fall into one group. `n_variants` counts
+    * the distinct RAW byte forms each canonical group absorbed —
+    * exactly the duplicates plain byte-hash dedup misses. Same
+    * one-shuffle map-side-combined plan as [[dedupExact]]. */
+  def normalizedDedup(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(sha2(graft.plans.GraftFunctions.canonicalText(col("text")), 256)
+        .as("canon_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        countDistinct(sha2(col("text"), 256)).as("n_variants"))
+
+  val normalizedDedupSql: String =
+    """SELECT sha256(trim(regexp_replace(lower(nfc_normalize(text)),
+      |                                  '\s+', ' ', 'g'))) AS canon_hash,
+      |       min(doc_id) AS keeper_id, count(*) AS n_copies,
+      |       count(DISTINCT sha256(text)) AS n_variants
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- text statistics ----------------------------------------------
 
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")

@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Hamming distance of two 64-bit fingerprints — a native Catalyst
   * expression with full codegen (brief path (b): "a native Catalyst
@@ -230,6 +231,72 @@ case class BitmapDistinct(
     copy(child = newChild)
 }
 
+/** Static text-canonicalization kernel shared by [[CanonicalText]]'s
+  * eval and codegen paths. Pipeline (order matters and matches the
+  * DuckDB oracle `trim(regexp_replace(lower(nfc_normalize(t)), '\s+',
+  * ' ', 'g'))`):
+  *
+  *  1. Unicode NFC normalization (java.text.Normalizer) — NFD/NFC
+  *     input variants of the same text become one representation;
+  *  2. SIMPLE per-code-point lowercase (`Character.toLowerCase(int)`),
+  *     deliberately NOT `String.toLowerCase`: the String form applies
+  *     FULL case mappings (İ → i + combining dot, ß unchanged but
+  *     locale traps nearby) while DuckDB's lower() is utf8proc's
+  *     simple per-code-point mapping — the Character form is the
+  *     cross-engine-stable choice;
+  *  3. whitespace-run collapse to one space + trim, over the RE2 `\s`
+  *     class [\t\n\f\r ] (NOT Java's, which adds \x0B — the same
+  *     RE2∩Java dialect discipline as the PII regexes).
+  */
+object GraftStrings {
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
+
+  def canonicalize(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      if (isWs(cp)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Unicode text canonicalization as a native Catalyst expression with
+  * full codegen — the dedup key for [[graft.operators.TextOps]]'
+  * normalized_dedup: byte-different encodings of the same text (NFD vs
+  * NFC, case, whitespace runs) map to one canonical form. Brief path
+  * (b): a native Expression (one static call inside whole-stage
+  * codegen) beats a Scala UDF (per-row boxing + codegen break). */
+case class CanonicalText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"canonical_text requires STRING, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    GraftStrings.canonicalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftStrings.canonicalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalText =
+    copy(child = newChild)
+}
+
 /** Engine extensions, installed via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (wired in
   * GraftSession) — the SparkSessionExtensions registration path the
@@ -259,6 +326,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject2(ext, "hamming64", classOf[Hamming64].getName, Hamming64(_, _))
     inject2(ext, "dot_f64", classOf[DotF64].getName, DotF64(_, _))
     inject2(ext, "sqdist_f64", classOf[SqDistF64].getName, SqDistF64(_, _))
+    ext.injectFunction((
+      new FunctionIdentifier("canonical_text"),
+      new ExpressionInfo(classOf[CanonicalText].getName, "canonical_text"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`canonical_text`", "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CanonicalText(children.head)
+      }))
     // bitmap_distinct(id [, numBits]) — capacity must be a literal so the
     // buffer size is fixed at plan time
     ext.injectFunction((
@@ -294,4 +373,8 @@ object GraftFunctions {
   /** Column wrapper for [[BitmapDistinct]] — exact fixed-buffer UV. */
   def bitmapDistinct(id: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_distinct", id)
+
+  /** Column wrapper for [[CanonicalText]] — the normalized dedup key. */
+  def canonicalText(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("canonical_text", s)
 }

@@ -250,6 +250,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(snap == expected)
   }
 
+  test("canonical_text: NFC + simple lowercase + whitespace collapse") {
+    import spark.implicits._
+    // NFD ("e" + combining acute), uppercase, tab/newline runs — all
+    // canonicalize to the single NFC lowercase single-spaced form
+    val nfd = "Cafe\u0301  \t MENU\n"  // e + combining acute (NFD)
+    val nfc = "caf\u00e9 menu"           // precomposed é (NFC)
+    val got = Seq(nfd, nfc, "  ", "").toDF("s")
+      .selectExpr("canonical_text(s) AS c").collect().map(_.getString(0))
+    assert(got(0) == nfc && got(1) == nfc)
+    assert(got(2) == "" && got(3) == "")   // whitespace-only → empty
+    // SQL registration arity guard
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT canonical_text('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("canonical_text"))
+    // the normalized dedup groups NFD/case/whitespace variants together
+    val dir = java.nio.file.Files.createTempDirectory("graftnorm").toString
+    Seq((0L, "The Quick  Fox"), (1L, "the quick fox"), (2L, "Café"),
+        (3L, "café"), (4L, "unrelated text"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val groups = graft.operators.TextOps.normalizedDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("n_variants"))).toSet
+    assert(groups == Set((0L, 2L, 2L), (2L, 2L, 2L), (4L, 1L, 1L)))
+  }
+
   test("frame sampler emits n deterministic rows per payload") {
     val frames = Multimodal.sampleFrames(spark, sf, nFrames = 3)
     val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
