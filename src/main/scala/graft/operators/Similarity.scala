@@ -573,7 +573,21 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
                 nprobe: Int = 2, nlists: Int = 8, ivfIters: Int = 2,
                 nSub: Int = 8, nCodes: Int = 16,
-                iters: Int = 2, dim: Int = 64): DataFrame = {
+                iters: Int = 2, dim: Int = 64): DataFrame =
+    ivfPqTopK(spark, d,
+      Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim)
+
+  /** IVF-PQ top-k over an ARBITRARY query set — the same (query_id,
+    * embedding) contract and broadcast-size bound as the
+    * [[annCosineTopK]]/[[annIvfTopK]] overloads; everything a query
+    * contributes (probed cells, residual LUT) is nprobe·nSub·nCodes
+    * rows, so the broadcast budget is queries × that, independent of
+    * the corpus. */
+  def ivfPqTopK(spark: SparkSession, d: String, queries: DataFrame, k: Int,
+                nprobe: Int, nlists: Int, ivfIters: Int,
+                nSub: Int, nCodes: Int, iters: Int, dim: Int): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     // trained coarse quantizer: assignment + the centroids it was
@@ -598,9 +612,8 @@ object Similarity {
     val codes = pqAssign(subvectors(rb, nSub, dim), cb)
       .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
     // probe: top-nprobe cells per query by exact centroid distance
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qe"))
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qe"))
     val qc = cent.join(broadcast(q))
       .select(col("query_id"), col("list_id"), col("qe"), col("cemb"),
         exactSqDist("qe", "cemb").as("cdist"))

@@ -139,6 +139,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(residErr < rawErr, s"residual PQ should be tighter: $residErr vs $rawErr")
   }
 
+  test("IVF-PQ arbitrary queries: a perturbed copy finds its source vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(100L, 200L, 300L))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    // query ids offset past the corpus: the family contract treats an
+    // id-equal candidate as "the query itself" and excludes it
+    val queries = src.toSeq.map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + 0.001f))
+    }.toDF("query_id", "embedding")
+    val got = Similarity.ivfPqTopK(spark, sf, queries, k = 3, nprobe = 2,
+        nlists = 8, ivfIters = 2, nSub = 8, nCodes = 16, iters = 2, dim = 64)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // ε-perturbed copies must land in the source's cell, survive the
+    // ADC short-list, and re-rank to top-1 on the exact distance
+    assert(got == Map(1000100L -> 100L, 1000200L -> 200L, 1000300L -> 300L))
+  }
+
   test("PQ encode: total deterministic code assignment per subspace") {
     val codes = Similarity.pqEncode(spark, sf, nSub = 8, nCodes = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
