@@ -511,6 +511,65 @@ object TextOps {
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
 
+  // ---- asymmetric containment (quote / subset detection) --------------
+
+  /** Directed containment pairs: |A∩B| / |A| ≥ `threshold` reported as
+    * (doc_a = the CONTAINED doc, doc_b = the container) — the
+    * asymmetric relation symmetric Jaccard misses: a tweet quoted
+    * inside an article scores J ≈ |tweet|/|article| ≈ 0 but
+    * containment ≈ 1. The subset/quote/excerpt detector of the dedup
+    * family (the asymmetric variant of Bayardo et al.'s all-pairs
+    * similarity — public technique).
+    *
+    * Candidates come from an ASYMMETRIC prefix filter: only the
+    * contained side is prefix-pruned ([[prefixRelation]]: its first
+    * n − ceil(t·n) + 1 shingles in (df asc, sh) order), joined against
+    * the other side's FULL shingle sets. Completeness needs no order
+    * argument at all: α = |A∩B| ≥ ceil(t·nA), and A's suffix holds
+    * only ceil(t·nA) − 1 elements, so some common shingle must sit in
+    * A's prefix. The df-ascending order is purely the perf lever — a
+    * stopword shingle lands in suffixes, so the prefix side of the
+    * join never carries hot posting lists (the full side's hot lists
+    * meet only prefix slivers, never themselves). Verification then
+    * counts exact intersections over candidates only — the same
+    * bounded two-phase shape as [[minhashLsh]]. */
+  def containmentPairs(spark: SparkSession, d: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(spark, d)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cands = prefixRelation(sets, threshold).as("a")
+      .join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  def containmentPairsSql(threshold: Double = 0.8): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |              i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |       FROM t),
+       |d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter, s.n AS na,
+       |       CAST(i.inter AS DOUBLE) / s.n AS containment
+       |FROM inter i JOIN sizes s ON s.doc_id = i.doc_a
+       |WHERE CAST(i.inter AS DOUBLE) / s.n >= $threshold""".stripMargin
+
   // ---- MinHash + LSH fuzzy dedup -------------------------------------
 
   private val MinhashSeeds = 0 until 8 // 8 hashes → 4 bands × 2 rows

@@ -354,6 +354,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containmentPairs detects a quoted doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    val small = "q1 q2 q3 q4 q5 q6"
+    val big = s"intro words here $small outro words trail"
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftcont").toString
+    Seq((0L, small), (1L, big), (2L, other))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.containmentPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    // the small doc is fully contained (all 5 bigrams appear in big)
+    assert(got == Map((0L, 1L) -> 1.0))
+    // the symmetric detector scores the same pair J = 5/11 — below 0.5
+    val jac = TextOps.ngramJaccard(spark, dir, 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("dupSpans finds maximal cross-doc and within-doc duplicated spans") {
     import spark.implicits._
     // docs 0/1 share an 8-token block at different offsets; doc 3 repeats
