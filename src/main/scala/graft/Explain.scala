@@ -17,7 +17,9 @@ object Explain {
     "ngram_jaccard_direct_forced" -> ((s, d) =>
       operators.TextOps.ngramJaccardWith(s, d, 0.5, operators.TextOps.DirectInverted)),
     "embedding_neardup_banded_forced" -> ((s, d) =>
-      operators.Similarity.embeddingNearDup(s, d, threshold = 0.4, maxCell = 1)))
+      operators.Similarity.embeddingNearDup(s, d, threshold = 0.4, maxCell = 1)),
+    "containment_prefix_forced" -> ((s, d) =>
+      operators.TextOps.prefixContainment(operators.TextOps.shingleSets(s, d), 0.8)))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-explain")

@@ -521,21 +521,75 @@ object TextOps {
     * family (the asymmetric variant of Bayardo et al.'s all-pairs
     * similarity — public technique).
     *
-    * Candidates come from an ASYMMETRIC prefix filter: only the
-    * contained side is prefix-pruned ([[prefixRelation]]: its first
-    * n − ceil(t·n) + 1 shingles in (df asc, sh) order), joined against
-    * the other side's FULL shingle sets. Completeness needs no order
-    * argument at all: α = |A∩B| ≥ ceil(t·nA), and A's suffix holds
-    * only ceil(t·nA) − 1 elements, so some common shingle must sit in
-    * A's prefix. The df-ascending order is purely the perf lever — a
-    * stopword shingle lands in suffixes, so the prefix side of the
-    * join never carries hot posting lists (the full side's hot lists
-    * meet only prefix slivers, never themselves). Verification then
-    * counts exact intersections over candidates only — the same
-    * bounded two-phase shape as [[minhashLsh]]. */
+    * Two exact strategies, cost-chosen like [[ngramJaccard]]'s (same
+    * corpus-regime logic, measured on this corpus):
+    *
+    *  - [[bitmapContainment]] under the bitmap caps — the DENSE /
+    *    small-vocab regime. Containment admits NO size-compatibility
+    *    pruning (for t ≤ 1 one direction of any pair always passes the
+    *    size test), and on a dense corpus the asymmetric prefix filter
+    *    collapses (measured here: prefix×full candidates = 10.0M of
+    *    the 12.5M possible pairs, then a ~|A|-row verify EACH — minutes
+    *    at sf0.1), so scoring all C(n,2) pairs with word-wise AND +
+    *    POPCNT is both exact and the fastest in-caps form.
+    *  - [[prefixContainment]] beyond the caps — the Zipf / 100 TB
+    *    regime where shingle rarity is real: only the contained side
+    *    is prefix-pruned (completeness needs no order argument —
+    *    α = |A∩B| ≥ ceil(t·nA) cannot fit in the ceil(t·nA)−1-element
+    *    suffix), the df-asc order keeps hot posting lists meeting only
+    *    prefix slivers, and exact verification touches candidates
+    *    only. */
   def containmentPairs(spark: SparkSession, d: String,
                        threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(spark, d)
+    val stats = jaccardStats(sets, 1.0)
+    if (stats.nDocs >= 2 && stats.vocab > 0 &&
+        stats.nDocs <= 32768 && stats.vocab <= 16384)
+      bitmapContainment(sets, stats.vocab, threshold)
+    else prefixContainment(sets, threshold)
+  }
+
+  /** Dense-regime containment: per-doc word bitmaps (the
+    * [[bitmapJaccard]] encoding), every a<b pair scored once with the
+    * codegen'd popcount sum, both DIRECTED rows emitted from the one
+    * undirected intersection. */
+  private[graft] def bitmapContainment(sets: DataFrame, vocab: Long,
+                                       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = ((vocab + 63) / 64).toInt
+    val vocabIdx = sets.select(col("sh")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("sh"))) - 1)
+    val ids = sets.join(broadcast(vocabIdx), "sh").select(col("doc_id"), col("idx"))
+    val words = (0 until nWords).map { w =>
+      sum(when(expr("idx DIV 64") === w,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as(s"w$w")
+    }
+    val bm = ids.groupBy("doc_id").agg(words.head, (words.tail :+ count(lit(1)).as("n")): _*)
+    val a = bm.select(col("doc_id").as("da") +:
+      (0 until nWords).map(w => col(s"w$w").as(s"a$w")) :+ col("n").as("nda"): _*)
+    val b = bm.select(col("doc_id").as("db") +:
+      (0 until nWords).map(w => col(s"w$w").as(s"b$w")) :+ col("n").as("ndb"): _*)
+    val inter = (0 until nWords)
+      .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))).cast("long"))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("da") < col("db"))
+      .withColumn("inter", inter)
+      .filter(col("inter") > 0) // parity with the posting-list form
+      .select(explode(array(
+        struct(col("da").as("ca"), col("db").as("cb"),
+          col("inter").as("i"), col("nda").as("nn")),
+        struct(col("db").as("ca"), col("da").as("cb"),
+          col("inter").as("i"), col("ndb").as("nn")))).as("p"))
+      .select(col("p.ca").as("doc_a"), col("p.cb").as("doc_b"),
+        col("p.i").as("inter"), col("p.nn").as("na"),
+        (col("p.i").cast("double") / col("p.nn")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Zipf-regime containment: asymmetric prefix filter + bounded
+    * verify (see [[containmentPairs]]). */
+  private[graft] def prefixContainment(sets: DataFrame,
+                                       threshold: Double): DataFrame = {
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cands = prefixRelation(sets, threshold).as("a")
       .join(sets.as("b"),

@@ -374,6 +374,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("containment strategies: bitmap and prefix forms are output-identical") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("na"),
+        r.getAs[Double]("containment"))).toSet
+    val sets = TextOps.shingleSets(spark, sf)
+    val viaBitmap = key(TextOps.bitmapContainment(sets,
+      sets.select("sh").distinct().count(), 0.8))
+    val viaPrefix = key(TextOps.prefixContainment(sets, 0.8))
+    assert(viaBitmap == viaPrefix && viaBitmap.nonEmpty)
+  }
+
   test("dupSpans finds maximal cross-doc and within-doc duplicated spans") {
     import spark.implicits._
     // docs 0/1 share an 8-token block at different offsets; doc 3 repeats
