@@ -90,6 +90,20 @@ object StreamingJobs {
       .withWatermark("ts", wmDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming face of TextOps.normalizedDedup: the same
+    * first-arrival-wins horizon dedup keyed on the CANONICAL text (the
+    * native codegen'd canonical_text expression — NFC, simple
+    * lowercase, whitespace collapse), so byte-different encodings of
+    * the same document drop as duplicates in flight. The expression is
+    * stateless per row, so it composes with the streaming state
+    * machinery exactly like the raw hash. */
+  def streamingNormalizedDedup(docs: DataFrame,
+                               wmDelay: String = "10 minutes"): DataFrame =
+    docs.withColumn("canon_hash",
+        sha2(graft.plans.GraftFunctions.canonicalText(col("text")), 256))
+      .withWatermark("ts", wmDelay)
+      .dropDuplicatesWithinWatermark("canon_hash")
+
   /** Streaming face of EventAnalytics.latestSnapshot — CDC/upsert
     * materialization as an incremental update-mode aggregate: one
     * `max_by` state row per key, re-emitted whenever a later event

@@ -45,6 +45,27 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalized dedup drops NFD/case/whitespace variants in flight") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingNormalizedDedup(df, "30 seconds").select("doc_id", "text"),
+      "stream_norm_dedup", "append")
+    try {
+      input.addData(Seq((1L, 10L, "Café  Menu"), (2L, 11L, "other text")))
+      q.processAllAvailable()
+      // batch 2: NFC + lowercase + re-wrapped whitespace variant of doc 1
+      input.addData(Seq((3L, 12L, "café menu"), (4L, 13L, "fresh content")))
+      q.processAllAvailable()
+      val got = spark.table("stream_norm_dedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L)) // the variant (3) dropped as a dup
+    } finally q.stop()
+  }
+
   test("streaming latestState upserts across batches and matches the batch plan") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
