@@ -189,6 +189,45 @@ object DataPipeline {
        |        % ${HashPrime}::UBIGINT)::HUGEINT) * a.c_s
        |    < ${HashPrime}::HUGEINT * a.t_s""".stripMargin
 
+  // ---- deterministic train/val/test split -----------------------------
+
+  /** Deterministic dataset split: each document lands in train / val /
+    * test by its portable doc_id hash against exact integer thresholds
+    * (the [[stratifiedSample]] BigDecimal recipe — no float compare
+    * anywhere). Hash-based means the split is STABLE under corpus
+    * growth: a document's assignment never changes when neighbors are
+    * added or removed (contrast a row_number cut, which reshuffles
+    * every run), and it is reproducible on any cluster size. Pure
+    * per-row projection — zero shuffle, and a downstream
+    * `filter(split = 'train')` is a pushed-down predicate. */
+  def datasetSplit(spark: SparkSession, d: String, valFrac: Double = 0.01,
+                   testFrac: Double = 0.01, seed: Int = 3): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0,
+      "val/test fractions must be non-negative and sum to <= 1")
+    val thrVal = (BigDecimal(valFrac) * BigDecimal(HashPrime)).toLong
+    val thrTest = (BigDecimal(valFrac + testFrac) * BigDecimal(HashPrime)).toLong
+    Tables.documents(spark, d)
+      .withColumn("h", hash64(col("doc_id"), seed))
+      .select(col("doc_id"), col("source"),
+        when(col("h") < thrVal, "val")
+          .when(col("h") < thrTest, "test")
+          .otherwise("train").as("split"))
+  }
+
+  def datasetSplitSql(valFrac: Double = 0.01, testFrac: Double = 0.01,
+                      seed: Int = 3): String = {
+    val thrVal = (BigDecimal(valFrac) * BigDecimal(HashPrime)).toLong
+    val thrTest = (BigDecimal(valFrac + testFrac) * BigDecimal(HashPrime)).toLong
+    s"""SELECT doc_id, source,
+       |  CASE WHEN h < $thrVal THEN 'val'
+       |       WHEN h < $thrTest THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id, source,
+       |        (md5_number_lower('$seed:' || doc_id)
+       |         % ${HashPrime}::UBIGINT)::BIGINT AS h
+       |      FROM documents)""".stripMargin
+  }
+
   // ---- sequence packing (concat-then-chunk, sharded) ------------------
 
   /** Concat-then-chunk sequence packing — the GPT-pretraining batching

@@ -97,6 +97,28 @@ class DataPipelineSpec extends AnyFunSuite {
       3L -> ("too_short", 0L)))
   }
 
+  test("dataset split: stable under corpus growth, fractions in range") {
+    import spark.implicits._
+    val full = DataPipeline.datasetSplit(spark, sf, 0.05, 0.05).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = full.size.toDouble
+    val shares = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    // 3σ binomial bands around the 5%/5%/90% targets
+    assert(math.abs(shares.getOrElse("val", 0.0) - 0.05) < 0.03, shares)
+    assert(math.abs(shares.getOrElse("test", 0.0) - 0.05) < 0.03, shares)
+    assert(shares("train") > 0.85)
+    // stability: recomputing over HALF the corpus leaves every common
+    // document's assignment unchanged (the hash-cut property a
+    // row_number cut does not have)
+    val dir = java.nio.file.Files.createTempDirectory("graftsplit").toString
+    graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val half = DataPipeline.datasetSplit(spark, dir, 0.05, 0.05).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+  }
+
   test("mixture sample: α=0.5 temperature up-weights the low-resource source") {
     import spark.implicits._
     // 900 docs from source A, 100 from B → proportional share 0.3 each;
