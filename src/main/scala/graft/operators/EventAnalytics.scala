@@ -532,4 +532,68 @@ object EventAnalytics {
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY 1""".stripMargin
+
+  // ---- z-order layout report (multi-dimensional data skipping) --------
+
+  /** Z-order (Morton-curve) layout report over (user, hour) — the
+    * data-skipping LAYOUT story for 100 TB (public technique: Morton
+    * 1966 bit interleaving; the lakehouse OPTIMIZE ZORDER idiom): a
+    * table range-partitioned on the interleaved key gives every file
+    * a NARROW min/max range on BOTH dimensions simultaneously, so a
+    * predicate on either column prunes ~√-proportionally many files —
+    * a linear sort on one column prunes only that column. The report
+    * computes the z-value (bit-interleave of the `bits`-bit user and
+    * hour buckets), splits the curve into `nBuckets` equal z-ranges
+    * (the would-be file boundaries of `repartitionByRange(z)`), and
+    * emits per-bucket row counts and per-dimension min/max — the
+    * exact statistics a scan planner would skip files with.
+    *
+    * Guarantee the spec asserts: with nBuckets = 4^k, a bucket fixes
+    * the top 2k interleaved bits = the top k bits of EACH dimension,
+    * so every bucket's spread on both dims is < 2^(bits−k).
+    *
+    * Scale: pure per-row bit arithmetic (whole-stage codegen) + ONE
+    * map-side-combined aggregate of ≤ nBuckets rows. The write-side
+    * twin is `repartitionByRange(nBuckets, z)` + write — same key,
+    * same boundaries. */
+  def zorderLayout(spark: SparkSession, d: String, bits: Int = 8,
+                   nBuckets: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1,16]")
+    val totalBits = 2 * bits
+    val k = (math.log(nBuckets) / math.log(2)).round.toInt
+    require((1L << k) == nBuckets && k <= totalBits,
+      s"nBuckets must be a power of two <= 4^bits, got $nBuckets")
+    val events = Tables.events(spark, d)
+      .withColumn("u", pmod(col("user_id"), lit(1L << bits)))
+      .withColumn("hr", pmod(floor(epochSeconds(col("ts")).cast("double") / 3600)
+        .cast("long"), lit(1L << bits)))
+    val z = (0 until bits).map { j =>
+      shiftleft(shiftright(col("u"), j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(col("hr"), j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+    events.withColumn("bucket", shiftright(z, totalBits - k))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+        min(col("hr")).as("min_h"), max(col("hr")).as("max_h"))
+  }
+
+  def zorderLayoutSql(bits: Int = 8, nBuckets: Int = 64): String = {
+    val totalBits = 2 * bits
+    val k = (math.log(nBuckets) / math.log(2)).round.toInt
+    val zTerms = (0 until bits).map { j =>
+      s"(((u >> $j) & 1) << ${2 * j}) + (((h >> $j) & 1) << ${2 * j + 1})"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT user_id % ${1L << bits} AS u,
+       |         (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT))
+       |           % ${1L << bits} AS h
+       |  FROM events
+       |)
+       |SELECT ($zTerms) >> ${totalBits - k} AS bucket,
+       |       count(*) AS n_rows,
+       |       min(u) AS min_u, max(u) AS max_u,
+       |       min(h) AS min_h, max(h) AS max_h
+       |FROM b GROUP BY 1""".stripMargin
+  }
 }

@@ -278,6 +278,21 @@ class SurfaceSpec extends AnyFunSuite {
     assert(groups == Set((0L, 2L, 2L), (2L, 2L, 2L), (4L, 1L, 1L)))
   }
 
+  test("zorder_layout: every bucket is narrow on BOTH dimensions") {
+    val rep = EventAnalytics.zorderLayout(spark, sf, bits = 8, nBuckets = 64)
+      .collect()
+    // 64 = 4^3 buckets fix the top 3 bits of EACH dimension: spread on
+    // both u and h is provably < 2^(8-3) = 32 — the data-skipping
+    // guarantee (a linear sort would leave one dimension full-range)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("max_u") - r.getAs[Long]("min_u") < 32, r)
+      assert(r.getAs[Long]("max_h") - r.getAs[Long]("min_h") < 32, r)
+    }
+    // row conservation: the report covers the whole table exactly once
+    val total = rep.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
   test("frame sampler emits n deterministic rows per payload") {
     val frames = Multimodal.sampleFrames(spark, sf, nFrames = 3)
     val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
