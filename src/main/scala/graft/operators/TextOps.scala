@@ -1342,6 +1342,55 @@ object TextOps {
        |ORDER BY cnt DESC, token
        |LIMIT $k""".stripMargin
 
+  /** EXACT frequent tokens (support > n/k) via a two-pass
+    * sketch-then-verify plan — the Misra–Gries '82 / Agarwal et al.
+    * PODS'12 mergeable-summaries pattern:
+    *
+    *  1. Sketch pass: ONE global [[graft.plans.FreqSketch]] aggregate
+    *     (map-side partial per split, O(k) buffer, merged to ≤ k
+    *     candidate tokens) + the exact total token count in the same
+    *     aggregate — the MG invariant guarantees every token with true
+    *     count > n/k is among the candidates.
+    *  2. Verify pass: re-scan tokens, broadcast-semi-join against the
+    *     ≤ k candidates, exact count of candidates only, keep
+    *     `cnt·k > n` (integer compare — no float threshold).
+    *
+    * Output is EXACT (the sketch decides what gets shuffled, never what
+    * is reported), so the DuckDB oracle is the plain GROUP BY/HAVING
+    * form. Scale story vs. a single exact groupBy: at web-corpus scale
+    * the token long tail dominates the shuffle (billions of hapax
+    * keys); here the shuffle after pass 2's map-side semi-join carries
+    * only occurrences of ≤ k head tokens, and pass 1 shuffles one O(k)
+    * sketch row per task. Two corpus scans traded for a
+    * vocabulary-free shuffle — the right trade when the scan is
+    * column-pruned parquet and the vocabulary is Zipf. */
+  def heavyHitters(spark: SparkSession, d: String, k: Int = 48): DataFrame = {
+    val toks = docs(spark, d)
+      .select(explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = toks.agg(
+      graft.plans.GraftFunctions.freqSketch(col("token"), k).as("cands"),
+      count(lit(1)).as("n"))
+    val cands = sketch.select(explode(col("cands")).as("token"), col("n"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("token"), col("cnt"))
+  }
+
+  def heavyHittersSql(k: Int = 48): String =
+    s"""WITH t AS (
+       |  SELECT token FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |    FROM documents
+       |  ) WHERE length(token) > 0
+       |), n AS (SELECT count(*) AS n FROM t)
+       |SELECT token, count(*) AS cnt
+       |FROM t, n
+       |GROUP BY token, n.n
+       |HAVING count(*) * $k > n.n""".stripMargin
+
   // ---- duplicated-substring spans (span-level exact dedup) ------------
 
   /** Seed of the dup-span gram hash (arbitrary, fixed for replay). */

@@ -231,6 +231,123 @@ case class BitmapDistinct(
     copy(child = newChild)
 }
 
+/** Misra–Gries frequent-items sketch over a string column — at most
+  * `k` counters per aggregation buffer, merged with the Agarwal et al.
+  * ("Mergeable Summaries", PODS'12) rule: pointwise-sum, then subtract
+  * the (k+1)-th largest counter from all and drop the non-positive.
+  * Both update and merge preserve the MG invariant (undercount ≤ n/k),
+  * so ANY token with true frequency > n/k is guaranteed present in the
+  * final candidate array — no false negatives above the support
+  * threshold. False positives are expected and fine: the caller
+  * re-counts candidates EXACTLY in a second pass (TextOps.heavyHitters),
+  * so the sketch only decides what gets shuffled, never what is
+  * reported.
+  *
+  * Buffer is O(k) entries regardless of input cardinality; partials
+  * serialize as (len,bytes,count) records. This is the aggregate form
+  * of the sketch (map-side partial per input split, one tiny merged
+  * row), not a mapPartitions pass — the explode feeding it stays inside
+  * whole-stage codegen. */
+case class FreqSketch(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[UTF8String, Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k > 0, "freq_sketch counter budget must be positive")
+
+  override def prettyName: String = "freq_sketch"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch requires STRING, got $other")
+  }
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[UTF8String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: scala.collection.mutable.HashMap[UTF8String, Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok = v.asInstanceOf[UTF8String]
+      buf.get(tok) match {
+        case Some(c) => buf.update(tok, c + 1)
+        case None if buf.size < k =>
+          // clone: eval may return a view into a reused row buffer
+          buf.update(tok.clone(), 1L)
+        case None =>
+          // classic MG overflow: decrement every counter, evict zeros
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c > 0)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.HashMap[UTF8String, Long],
+                     b2: scala.collection.mutable.HashMap[UTF8String, Long])
+      : scala.collection.mutable.HashMap[UTF8String, Long] = {
+    b2.foreach { case (tok, c) =>
+      b1.update(tok, b1.getOrElse(tok, 0L) + c)
+    }
+    if (b1.size > k) {
+      // (k+1)-th largest counter value; subtracting it keeps ≤ k entries
+      // and adds ≤ v·(#streams) ≤ n/k total undercount (Agarwal et al.)
+      val v = b1.values.toArray.sortInPlaceWith(_ > _).apply(k)
+      b1.mapValuesInPlace((_, c) => c - v)
+      b1.filterInPlace((_, c) => c > 0)
+    }
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.HashMap[UTF8String, Long]): Any =
+    ArrayData.toArrayData(buf.keysIterator.toArray.sortInPlace().toArray[Any])
+
+  override def serialize(buf: scala.collection.mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (tok, c) =>
+      val bytes = tok.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : scala.collection.mutable.HashMap[UTF8String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketch =
+    copy(child = newChild)
+}
+
 /** Static text-canonicalization kernel shared by [[CanonicalText]]'s
   * eval and codegen paths. Pipeline (order matters and matches the
   * DuckDB oracle `trim(regexp_replace(lower(nfc_normalize(t)), '\s+',
@@ -353,6 +470,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // freq_sketch(token [, k]) — counter budget must be a literal so the
+    // buffer bound is fixed at plan time
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(tok) => FreqSketch(tok)
+        case Seq(tok, Literal(k: Int, IntegerType)) => FreqSketch(tok, k)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`freq_sketch`",
+            "expectedNum" -> "1 (token) or 2 (token, INT literal budget)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
   }
 }
 
@@ -373,6 +505,11 @@ object GraftFunctions {
   /** Column wrapper for [[BitmapDistinct]] — exact fixed-buffer UV. */
   def bitmapDistinct(id: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_distinct", id)
+
+  /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
+  def freqSketch(tok: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("freq_sketch", tok,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Column wrapper for [[CanonicalText]] — the normalized dedup key. */
   def canonicalText(s: Column): Column =

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.{ColumnFunctions, Udx}
-import graft.operators.{EventAnalytics, Multimodal, SqlSurface}
+import graft.operators.{EventAnalytics, Multimodal, SqlSurface, TextOps}
 
 /** SQL-text surface, UDx aggregators, and multimodal plumbing. */
 class SurfaceSpec extends AnyFunSuite {
@@ -81,6 +81,44 @@ class SurfaceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exact-bitmap domain") ||
       Option(e.getCause).exists(_.getMessage.contains("exact-bitmap domain")))
+  }
+
+  test("freq_sketch: MG no-false-negative guarantee, O(k) buffer, exact verify") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.unsafe.types.UTF8String
+    // adversarial skewed stream: 3 true heavy hitters drowned in a
+    // long tail of distinct fillers, heavy items front-loaded so the
+    // MG decrement pressure hits them hardest
+    val k = 8
+    val heavy = Seq("alpha" -> 400, "beta" -> 300, "gamma" -> 150)
+    val tail = (0 until 1500).map(i => s"tail_$i" -> 1)
+    val stream = (heavy ++ tail).flatMap { case (t, c) => Seq.fill(c)(t) }
+    val n = stream.size
+    val agg = graft.plans.FreqSketch(
+      BoundReference(0, org.apache.spark.sql.types.StringType, nullable = false), k)
+    // split across 4 simulated partitions, merge partials (serialize
+    // round-trip included) — the distributed shape
+    val parts = stream.grouped((n + 3) / 4).toSeq.map { chunk =>
+      val buf = agg.createAggregationBuffer()
+      chunk.foreach(t => agg.update(buf, InternalRow(UTF8String.fromString(t))))
+      agg.deserialize(agg.serialize(buf))
+    }
+    val merged = parts.reduce(agg.merge)
+    assert(merged.size <= k, s"buffer exceeded k: ${merged.size}")
+    val cands = merged.keysIterator.map(_.toString).toSet
+    heavy.filter { case (_, c) => c.toLong * k > n }.foreach { case (t, _) =>
+      assert(cands.contains(t), s"true heavy hitter $t missing from sketch")
+    }
+    // query level: two-pass exact output ≡ the plain exact GROUP BY form
+    val viaSketch = TextOps.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions._
+    val nTok = TextOps.tokenCounts(spark, sf).agg(sum("cnt")).head().getLong(0)
+    val exact = TextOps.tokenCounts(spark, sf)
+      .filter(col("cnt") * 48 > nTok).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSketch == exact && viaSketch.nonEmpty)
   }
 
   test("JVM md5Lower64Mod is bit-identical to the Column-expression hash") {
