@@ -713,6 +713,112 @@ object TextOps {
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
   }
 
+  /** Incremental (cross-corpus) dedup — the "dedup the NEW crawl
+    * against everything already ingested" pipeline stage, distinct
+    * from [[minhashLsh]]'s whole-corpus self-join: only `newSource`
+    * documents are scored, only new×corpus pairs are candidates, and
+    * each new document gets ONE verdict —
+    *
+    *  - `exact`: byte-identical to a corpus document (sha-256 equality
+    *    join; the shuffle key is the 32-byte digest, never the text);
+    *  - `near`: no exact twin, but an LSH band collision with a corpus
+    *    document verified at exact bigram Jaccard ≥ `threshold`;
+    *  - `keep`: neither.
+    *
+    * `match_id` is the smallest matching corpus doc_id under the
+    * verdict's tier (−1 for keep) — deterministic, so the DuckDB twin
+    * hash-matches. Reuses [[signatures]]' banded MinHash family and
+    * [[jaccardVerify]]'s candidates-only exact verify.
+    *
+    * Scale: the asymmetric shape is the point — a daily batch is
+    * orders of magnitude smaller than the accumulated corpus, so the
+    * new side's bands broadcast, the corpus side never self-joins, and
+    * the verify stage touches only new×corpus collisions. In a real
+    * deployment the corpus band/signature relation is precomputed once
+    * and stored (bucketed by (band,x,y)); here both sides derive from
+    * one table to stay within the harness's single-dir contract. */
+  def crossDedup(spark: SparkSession, d: String, newSource: String = "src5",
+                 threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text"))
+    val exact = src.filter(col("source") === newSource)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(src.filter(col("source") =!= newSource)
+        .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid")), "h")
+      .groupBy("doc_id").agg(min(col("cid")).as("exact_id"))
+    val bandCols = MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
+      struct(lit(bi).as("band"), col(s"h${ss.head}").as("x"), col(s"h${ss.last}").as("y"))
+    }.toSeq
+    val bands = signatures(spark, d)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
+      .join(src.select(col("doc_id"), col("source")), "doc_id")
+    val cands = bands.filter(col("source") === newSource).as("a")
+      .join(bands.filter(col("source") =!= newSource).as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+        col("a.y") === col("b.y"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val near = jaccardVerify(cands, shingleSets(spark, d), threshold)
+      .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_id"))
+    src.filter(col("source") === newSource).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+  }
+
+  def crossDedupSql(newSource: String = "src5", threshold: Double = 0.5): String = {
+    val lo = s"(md5_number_lower('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"
+    val hi = s"(md5_number_upper('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"
+    val h = (s: Int) =>
+      if (s == 0) s"min($lo)"
+      else s"min(((($lo)::HUGEINT + $s * ($hi)::HUGEINT) % ${HashPrime})::BIGINT)"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |              i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |       FROM t),
+       |sig AS (SELECT doc_id, ${MinhashSeeds.map(s => s"${h(s)} AS h$s").mkString(", ")}
+       |        FROM sh GROUP BY 1),
+       |bands AS (${MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
+                    s"SELECT doc_id, $bi AS band, h${ss.head} AS x, h${ss.last} AS y FROM sig"
+                  }.mkString(" UNION ALL ")}),
+       |bsrc AS (SELECT b.*, d.source FROM bands b JOIN documents d USING (doc_id)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bsrc a JOIN bsrc b
+       |            ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |          WHERE a.source = '$newSource' AND b.source <> '$newSource'),
+       |dd AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dd GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |          FROM cands c
+       |          JOIN dd a ON a.doc_id = c.doc_a
+       |          JOIN dd b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |near AS (SELECT i.doc_a AS doc_id, min(i.doc_b) AS near_id
+       |         FROM inter i
+       |         JOIN sizes na ON na.doc_id = i.doc_a
+       |         JOIN sizes nb ON nb.doc_id = i.doc_b
+       |         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold
+       |         GROUP BY 1),
+       |exact AS (SELECT dn.doc_id, min(dc.doc_id) AS exact_id
+       |          FROM documents dn JOIN documents dc ON dn.text = dc.text
+       |          WHERE dn.source = '$newSource' AND dc.source <> '$newSource'
+       |          GROUP BY 1)
+       |SELECT n.doc_id,
+       |       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+       |            WHEN nr.near_id IS NOT NULL THEN 'near'
+       |            ELSE 'keep' END AS verdict,
+       |       COALESCE(e.exact_id, nr.near_id, -1) AS match_id
+       |FROM documents n
+       |LEFT JOIN exact e ON e.doc_id = n.doc_id
+       |LEFT JOIN near nr ON nr.doc_id = n.doc_id
+       |WHERE n.source = '$newSource'""".stripMargin
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash over distinct bigram shingles (portable hash, seed

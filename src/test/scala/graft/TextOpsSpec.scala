@@ -419,4 +419,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clean(2L) == ((0L, d2)))          // untouched control
     assert(clean(3L) == ((10L, "z")))        // both repeats cut, gap kept
   }
+
+  test("crossDedup: exact wins over near, near needs Jaccard, unique keeps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxd").toString
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val rainbow = "red orange yellow green blue indigo violet amber teal " +
+      "cyan magenta maroon olive navy coral pearl slate bronze copper gold"
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "old"),
+      (1L, base, "old"),
+      (10L, base, "old"),                    // second exact twin: min id must win
+      (2L, rainbow, "old"))
+    val fresh = Seq(
+      (100L, base, "new"),                   // exact twin of 1 AND 10 (and near) → exact, match 1
+      (101L, rainbow.replace("gold", "silver"), "new"), // 1-token edit → near of 2
+      (102L, "completely different content sharing nothing with anything else", "new"))
+    (corpus ++ fresh).map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.crossDedup(spark, dir, newSource = "new").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      100L -> (("exact", 1L)),
+      101L -> (("near", 2L)),
+      102L -> (("keep", -1L))))
+  }
 }
