@@ -1581,6 +1581,92 @@ object TextOps {
        |      FROM pos JOIN c USING (h) WHERE c.cnt >= 2)""".stripMargin
   }
 
+  /** Seed of the winnowing gram hash (arbitrary, fixed for replay). */
+  private val WinnowSeed = 11
+
+  /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): hash every token `k`-gram, slide
+    * a window of `w` consecutive gram positions over each document,
+    * and in each window select the minimal hash (rightmost on ties).
+    * The selected set is a ~2/(w+1)-density LOCAL fingerprint with the
+    * winnowing guarantee: any match of at least w+k−1 consecutive
+    * tokens between two documents shares at least one selected
+    * fingerprint — position-aware where [[docFingerprint]]'s global
+    * MinHash is not. The report is the MOSS use: document pairs
+    * sharing ≥ `minShared` distinct fingerprint values, with the
+    * shared count.
+    *
+    * Plan shape: the per-gram window membership is a bounded explode
+    * (exactly ≤ w copies per gram — never a range join); the
+    * rightmost-argmin per window is ONE (doc_id, s)-partitioned window
+    * min + a same-keyed aggregate (no second exchange: the hash
+    * aggregation reuses the window's partitioning); the pair report is
+    * an inverted-index equality join on the fingerprint VALUE over the
+    * ~2/(w+1)-dense selected set — the same candidates-only shape as
+    * [[minhashLsh]], with hot-value skew bounded by the winnowing
+    * density (a boilerplate gram repeated across documents selects at
+    * most once per window span, and the df-capped strategies of
+    * [[ngramJaccard]] apply unchanged if a corpus needs them). */
+  def winnowPairs(spark: SparkSession, d: String, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && w >= 2, "winnowing needs k >= 2, w >= 2")
+    val base = docs(spark, d)
+      .select(col("doc_id"), expr(shinglesExpr(k)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n"),
+        posexplode(col("gs")).as(Seq("pos", "g")))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), col("n"), col("pos").cast("long").as("pos"),
+        hash64(col("g"), WinnowSeed).as("h"))
+    // gram at pos belongs to complete windows s ∈ [pos−w+1, pos] ∩ [0, n−w]
+    val memb = base.withColumn("s",
+      explode(sequence(greatest(col("pos") - (w - 1), lit(0L)),
+        least(col("pos"), col("n") - w))))
+    val sel = memb
+      .withColumn("wmin", min(col("h")).over(
+        Window.partitionBy(col("doc_id"), col("s"))))
+      .filter(col("h") === col("wmin"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(max(col("pos")).as("pos"), max(col("h")).as("h"))
+    val fps = sel.select(col("doc_id"), col("h")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def winnowPairsSql(k: Int = 4, w: Int = 4, minShared: Int = 2): String = {
+    val gram = (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, len(toks) - ${k - 1} AS n,
+       |             unnest(list_transform(range(1, len(toks) - ${k - 2}),
+       |               i -> {'pos': i - 1,
+       |                     'h': (md5_number_lower('$WinnowSeed:' || ($gram))
+       |                           % ${HashPrime}::UBIGINT)::BIGINT})) AS s
+       |      FROM t),
+       |p AS (SELECT doc_id, CAST(n AS BIGINT) AS n, CAST(s.pos AS BIGINT) AS pos,
+       |             s.h AS h
+       |      FROM g WHERE n >= $w),
+       |m AS (SELECT doc_id, pos, h,
+       |             unnest(range(greatest(pos - ${w - 1}, 0),
+       |                          least(pos, n - $w) + 1)) AS s
+       |      FROM p),
+       |wmin AS (SELECT doc_id, s, min(h) AS wmin FROM m GROUP BY 1, 2),
+       |sel AS (SELECT m.doc_id, m.s, max(m.pos) AS pos, max(m.h) AS h
+       |        FROM m JOIN wmin ON wmin.doc_id = m.doc_id AND wmin.s = m.s
+       |                        AND m.h = wmin.wmin
+       |        GROUP BY 1, 2),
+       |fp AS (SELECT DISTINCT doc_id, h FROM sel)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
+  }
+
   def dupSpans(spark: SparkSession, d: String, l: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

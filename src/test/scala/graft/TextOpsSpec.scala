@@ -420,6 +420,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clean(3L) == ((10L, "z")))        // both repeats cut, gap kept
   }
 
+  test("winnowPairs: w+k-1 token match guarantees a shared fingerprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftwin").toString
+    // k=4, w=4 → guarantee threshold is a 7-token shared run
+    val run = "q1 q2 q3 q4 q5 q6 q7"
+    val rows = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $run a6 a7 a8 a9"),
+      (2L, s"b1 b2 b3 b4 $run b5 b6 b7 b8 b9 b10"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"), // no overlap
+      (4L, "d1 d2 d3")) // fewer than w grams → no fingerprints at all
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.winnowPairs(spark, dir, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, n) => a == 1L && b == 2L && n >= 1 },
+      s"guaranteed pair (1,2) missing from ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) || Set(a, b).contains(4L) })
+  }
+
   test("crossDedup: exact wins over near, near needs Jaccard, unique keeps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftxd").toString
