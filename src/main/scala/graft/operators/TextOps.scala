@@ -1597,39 +1597,64 @@ object TextOps {
     * sharing ≥ `minShared` distinct fingerprint values, with the
     * shared count.
     *
-    * Plan shape: the per-gram window membership is a bounded explode
-    * (exactly ≤ w copies per gram — never a range join); the
-    * rightmost-argmin per window is ONE (doc_id, s)-partitioned window
-    * min + a same-keyed aggregate (no second exchange: the hash
-    * aggregation reuses the window's partitioning); the pair report is
-    * an inverted-index equality join on the fingerprint VALUE over the
-    * ~2/(w+1)-dense selected set — the same candidates-only shape as
-    * [[minhashLsh]], with hot-value skew bounded by the winnowing
-    * density (a boilerplate gram repeated across documents selects at
-    * most once per window span, and the df-capped strategies of
-    * [[ngramJaccard]] apply unchanged if a corpus needs them). */
-  def winnowPairs(spark: SparkSession, d: String, k: Int = 4, w: Int = 4,
-                  minShared: Int = 2): DataFrame = {
+    * Plan shape: selection is decided PER POSITION from w−1 lags and
+    * leads in one per-document ordered window — position p is the
+    * rightmost argmin of some complete window W_s = [s, s+w−1] iff
+    *
+    *   max(p−w+1, 0, Lp+1) ≤ min(p, n−w, Rp−w)
+    *
+    * where Lp = nearest q < p with h[q] < h[p] and Rp = nearest q > p
+    * with h[q] ≤ h[p] (strict vs non-strict encodes the rightmost tie
+    * rule; only neighbors within w−1 positions can bind, which is what
+    * makes the lag/lead form complete). That is O(n) rows through ONE
+    * sort — no w× window-membership explode, no per-(doc, s)
+    * micro-partition aggregate (measured 5× on this corpus). The
+    * DuckDB oracle keeps the literal explode-windows/argmin form, so
+    * the hash-match doubles as the equivalence proof of the
+    * characterization. The pair report is an inverted-index equality
+    * join on the fingerprint VALUE over the ~2/(w+1)-dense selected
+    * set — the same candidates-only shape as [[minhashLsh]], with
+    * hot-value skew bounded by the winnowing density (a boilerplate
+    * gram repeated across documents selects at most once per window
+    * span, and the df-capped strategies of [[ngramJaccard]] apply
+    * unchanged if a corpus needs them). */
+  private[graft] def winnowFps(spark: SparkSession, d: String,
+                               k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && w >= 2, "winnowing needs k >= 2, w >= 2")
+    // the gram count n is NOT projected as size(<gram array expr>):
+    // projection collapse would inline the full transform(...) into
+    // every downstream reference and rebuild the whole per-doc gram
+    // array PER EXPLODED ROW (measured 4× on this stage). A per-doc
+    // window count over the already-exploded rows shares the window
+    // exchange the lag/lead pass needs anyway.
     val base = docs(spark, d)
-      .select(col("doc_id"), expr(shinglesExpr(k)).as("gs"))
-      .select(col("doc_id"), size(col("gs")).cast("long").as("n"),
-        posexplode(col("gs")).as(Seq("pos", "g")))
-      .filter(col("n") >= w)
-      .select(col("doc_id"), col("n"), col("pos").cast("long").as("pos"),
+      .select(col("doc_id"), posexplode(expr(shinglesExpr(k))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
         hash64(col("g"), WinnowSeed).as("h"))
-    // gram at pos belongs to complete windows s ∈ [pos−w+1, pos] ∩ [0, n−w]
-    val memb = base.withColumn("s",
-      explode(sequence(greatest(col("pos") - (w - 1), lit(0L)),
-        least(col("pos"), col("n") - w))))
-    val sel = memb
-      .withColumn("wmin", min(col("h")).over(
-        Window.partitionBy(col("doc_id"), col("s"))))
-      .filter(col("h") === col("wmin"))
-      .groupBy(col("doc_id"), col("s"))
-      .agg(max(col("pos")).as("pos"), max(col("h")).as("h"))
-    val fps = sel.select(col("doc_id"), col("h")).distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // nearest strictly-smaller hash to the left / smaller-or-equal to the
+    // right, within w−1 positions (coalesce picks the NEAREST: j ascending)
+    val lp = coalesce((1 until w).map(j =>
+      when(lag(col("h"), j).over(wdoc) < col("h"), col("pos") - j)) :+
+      lit(null).cast("long"): _*)
+    val rp = coalesce((1 until w).map(j =>
+      when(lead(col("h"), j).over(wdoc) <= col("h"), col("pos") + j)) :+
+      lit(null).cast("long"): _*)
+    val lower = greatest(col("pos") - (w - 1), lit(0L),
+      coalesce(lp + lit(1L), lit(0L)))
+    val upper = least(col("pos"), col("n") - w,
+      coalesce(rp - lit(w.toLong), col("pos")))
+    base
+      .withColumn("lower", lower).withColumn("upper", upper)
+      .filter(col("lower") <= col("upper"))
+      .select(col("doc_id"), col("h")).distinct()
+  }
+
+  def winnowPairs(spark: SparkSession, d: String, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2): DataFrame = {
+    val fps = winnowFps(spark, d, k, w)
     fps.as("a").join(fps.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -104,6 +104,25 @@ object StreamingJobs {
       .withWatermark("ts", wmDelay)
       .dropDuplicatesWithinWatermark("canon_hash")
 
+  /** Streaming face of TextOps.heavyHitters' sketch pass — continuous
+    * frequent-token monitoring ("trending tokens") over a live text
+    * feed. The Misra–Gries aggregate is MERGEABLE (graft.plans
+    * .FreqSketch: O(k) buffer, partials merged with the Agarwal et al.
+    * rule), so it runs as an ordinary incremental streaming aggregate:
+    * the state store holds ONE O(k) sketch buffer + the running token
+    * count, each micro-batch merges in, and every emission carries the
+    * current candidate set with the MG no-false-negative guarantee
+    * against the whole stream so far (any token with cumulative
+    * frequency > n/k is in `cands`). The batch verify pass (exact
+    * re-count of candidates) is not incrementally expressible — on a
+    * stream you re-count candidates over the retained window in batch,
+    * exactly how the reference splits its hot-items pipeline. */
+  def trendingTokens(docs: DataFrame, k: Int = 48): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(graft.plans.GraftFunctions.freqSketch(col("token"), k).as("cands"),
+        count(lit(1)).as("n"))
+
   /** Streaming face of EventAnalytics.latestSnapshot — CDC/upsert
     * materialization as an incremental update-mode aggregate: one
     * `max_by` state row per key, re-emitted whenever a later event

