@@ -211,6 +211,113 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** k-NN GRAPH over the whole embeddings table — every vector is a
+    * query (graph-based diversity pruning, neighborhood dedup, and the
+    * build step of graph-ANN indexes). Same IVF probing semantics as
+    * [[annIvfTopK]] (probe `nprobe` nearest label cells, rank inside
+    * probed cells), but a different physical shape, because the
+    * query side here IS the table and must not be broadcast:
+    *
+    *  - only the nlists×dim centroid table broadcasts;
+    *  - each vector's probed-cell assignment joins cell members by a
+    *    LABEL-keyed shuffle join (candidate volume n·nprobe·|cell| —
+    *    the standard IVF knn-graph cost, partitioned by cell; a hot
+    *    cell is AQE skew-join territory, and more lists shrink cells);
+    *  - pair scoring preranks with the codegen'd [[graft.plans.DotF64]]
+    *    double kernel and exact-decimal-rescores only survivors within
+    *    1e-6 of each query's k-th best (same identity proof as
+    *    [[annCosineTopK]]);
+    *  - prerank cutoff, survivor filter and final rank share ONE
+    *    (query_id)-partitioned sort — one window exchange.
+    *
+    * Output (query_id, neighbor_id, score, rank) — n·k edges of the
+    * directed k-NN graph. */
+  def knnGraph(spark: SparkSession, d: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val e = withNorm(spark, d)
+    val cent = Tables.embeddings(spark, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+      .groupBy("label", "pos")
+      .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
+      .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("norm").as("qn"))
+    val qc = q.join(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("qn"), col("label"),
+        (exactDot("qe", "cemb") / (col("qn") * col("cnorm"))).as("cscore"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("label"))
+    val probed = qc.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qn"), col("label"))
+    val cand = probed.join(
+        e.select(col("label"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"), col("norm").as("cn")), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val pre = cand.withColumn("approx",
+      graft.plans.GraftFunctions.dotF64(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val wPre = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("neighbor_id"))
+    val wAll = Window.partitionBy(col("query_id"))
+    val survivors = pre
+      .withColumn("pre_rn", row_number().over(wPre))
+      .withColumn("kth", max(when(col("pre_rn") === k, col("approx"))).over(wAll))
+      .filter(col("kth").isNull || col("approx") >= col("kth") - 1e-6)
+    val scored = survivors.select(col("query_id"), col("neighbor_id"),
+      (exactDot("qe", "ce") / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  def knnGraphSql(k: Int = 3, nprobe: Int = 2): String =
+    s"""WITH p AS (
+       |  SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS i, embedding
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
+       |), n AS (
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
+       |  FROM v GROUP BY 1
+       |), cent AS (
+       |  SELECT label, pos,
+       |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
+       |  FROM v GROUP BY 1, 2
+       |), cn AS (
+       |  SELECT label, sqrt(CAST(CAST(sum(CAST(CAST(cv*cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS cnorm
+       |  FROM cent GROUP BY 1
+       |), qc AS (
+       |  SELECT q.vec_id AS query_id, cent.label,
+       |         CAST(CAST(sum(CAST(CAST(q.v * cent.cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM v q JOIN cent ON q.pos = cent.pos
+       |  GROUP BY 1, 2
+       |), cscore AS (
+       |  SELECT query_id, qc.label, dot / (n.norm * cn.cnorm) AS cscore
+       |  FROM qc JOIN cn ON qc.label = cn.label JOIN n ON query_id = n.vec_id
+       |), probed AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cscore DESC, label) AS pr
+       |    FROM cscore
+       |  ) WHERE pr <= $nprobe
+       |), dots AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM v q
+       |  JOIN probed pb ON pb.query_id = q.vec_id
+       |  JOIN v c ON c.label = pb.label AND c.pos = q.pos AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, dot / (qn.norm * cnn.norm) AS score
+       |  FROM dots
+       |  JOIN n qn ON query_id = qn.vec_id
+       |  JOIN n cnn ON neighbor_id = cnn.vec_id
+       |)
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+
   // ---- IVF index training (deterministic seeded k-means) -------------
 
   /** Builds the coarse IVF partition from scratch — the upstream step

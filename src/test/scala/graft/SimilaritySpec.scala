@@ -300,4 +300,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(shared.nonEmpty)
     shared.foreach(k => assert(exact(k) == ivf(k))) // same exact arithmetic
   }
+
+  test("knnGraph restricted to a query subset equals annIvfTopK (same index)") {
+    // same IVF probing semantics, different physical shape (label-keyed
+    // shuffle join instead of a query-side broadcast) — edges for any
+    // query subset must be identical
+    val viaGraph = Similarity.knnGraph(spark, sf, k = 3, nprobe = 2)
+      .filter(org.apache.spark.sql.functions.col("query_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(4 - 1)))
+      .toSet
+    val viaAnn = Similarity.annIvfTopK(spark, sf, k = 3, nQueries = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(4 - 1)))
+      .toSet
+    assert(viaGraph == viaAnn && viaGraph.nonEmpty)
+    // a directed k-NN graph over n vectors has exactly n·k edges here
+    // (every cell at this sf holds > k members)
+    val nVec = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(Similarity.knnGraph(spark, sf, k = 3).count() == nVec * 3)
+  }
 }
