@@ -211,6 +211,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-dimension corpus moments of the embedding space — the
+    * whitening / normalization-prep and drift-detection report: for
+    * every dimension, exact decimal-summed mean and population
+    * variance (E[x²] − E[x]², both folds decimal so the only float
+    * rounding is the final division/subtraction — engine-identical),
+    * plus min/max. ONE posexplode scan into one (pos)-keyed map-side-
+    * combined aggregate — dim rows out, no joins, no windows; at any
+    * corpus size this is a single pass with a dim-sized shuffle. */
+  def embeddingDimStats(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "fv")))
+      .select(col("pos").cast("long").as("dim"), col("fv").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v").cast("decimal(38,30)")).cast("double") / count(lit(1)))
+          .as("mean"),
+        ((sum((col("v") * col("v")).cast("decimal(38,30)")).cast("double") /
+          count(lit(1))) -
+          (sum(col("v").cast("decimal(38,30)")).cast("double") / count(lit(1))) *
+          (sum(col("v").cast("decimal(38,30)")).cast("double") / count(lit(1))))
+          .as("variance"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
+  def embeddingDimStatsSql(): String =
+    """WITH p AS (
+      |  SELECT unnest(range(1, len(embedding)+1)) AS i, embedding FROM embeddings
+      |), v AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v FROM p
+      |)
+      |SELECT dim, count(*) AS n,
+      |       CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS mean,
+      |       CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*)
+      |         - (CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*))
+      |           * (CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*)) AS variance,
+      |       min(v) AS vmin, max(v) AS vmax
+      |FROM v GROUP BY 1""".stripMargin
+
   /** k-NN GRAPH over the whole embeddings table — every vector is a
     * query (graph-based diversity pruning, neighborhood dedup, and the
     * build step of graph-ANN indexes). Same IVF probing semantics as

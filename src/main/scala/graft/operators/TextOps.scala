@@ -652,6 +652,57 @@ object TextOps {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Bigram-shingle array of a text Column, computed PER ROW (no
+    * tokenization relation) — the streaming-side twin of
+    * [[shinglesExpr]] (same trim/split/concat conventions). */
+  private[graft] def rowShingles(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-row MinHash band array over a text Column — the SAME hash
+    * family as [[signatures]] (one md5 per shingle instance,
+    * Kirsch–Mitzenmacher double hashing, 4 bands × 2 rows), but
+    * computed with higher-order array functions instead of an
+    * explode+groupBy, so it works on an unbounded stream row by row
+    * (graft.streaming.StreamingJobs.streamingCrossDedup). Returns an
+    * array of 4 (band, x, y) structs; shingle-less rows get null mins,
+    * which never equality-match a corpus band. */
+  private[graft] def rowBands(text: Column): Column = {
+    val hp = transform(rowShingles(text), s => {
+      val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(s, "mh")
+      struct(lo.as("lo"), hi.as("hi"))
+    })
+    val sigs = MinhashSeeds.map { s =>
+      if (s == 0) array_min(transform(hp, p => p("lo")))
+      else array_min(transform(hp, p =>
+        ((p("lo").cast("decimal(21,0)") +
+          lit(s.toLong) * p("hi").cast("decimal(21,0)")) % lit(HashPrime))
+          .cast("long")))
+    }
+    array(MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
+      struct(lit(bi).as("band"), sigs(ss.head).as("x"), sigs(ss.last).as("y"))
+    }.toSeq: _*)
+  }
+
+  /** Static-corpus band + shingle-set relation for the stream-static
+    * dedup face: (cid, band, x, y, cshd) — [[signatures]]' band family
+    * over an arbitrary (doc_id, text) frame plus the distinct-shingle
+    * array the exact-Jaccard verify needs. At 100 TB this relation is
+    * maintained by the batch pipeline as a table bucketed by
+    * (band, x, y). */
+  private[graft] def corpusBands(corpus: DataFrame): DataFrame = {
+    val base = corpus.select(col("doc_id").as("cid"),
+      rowBands(col("text")).as("bands"),
+      array_distinct(rowShingles(col("text"))).as("cshd"))
+    base.select(col("cid"), explode(col("bands")).as("b"), col("cshd"))
+      .select(col("cid"), col("b.band").as("band"), col("b.x").as("x"),
+        col("b.y").as("y"), col("cshd"))
+  }
+
   /** MinHash-LSH fuzzy dedup, the scale path: band the 8-hash signature
     * into 4 bands of 2 rows, bucket-join within bands for candidate
     * pairs (equality join — no all-pairs product anywhere), then verify

@@ -123,6 +123,61 @@ object StreamingJobs {
       .agg(graft.plans.GraftFunctions.freqSketch(col("token"), k).as("cands"),
         count(lit(1)).as("n"))
 
+  /** Stream-static face of TextOps.crossDedup — every ARRIVING document
+    * is checked against a STATIC reference corpus and gets one tiered
+    * verdict (exact / near / keep + smallest matching corpus id), the
+    * live-ingestion form of "dedup the new crawl against everything
+    * already ingested":
+    *
+    *  - the exact tier is a stream-static left join on the sha-256
+    *    content hash (corpus side pre-aggregated to one min-id row per
+    *    hash);
+    *  - the near tier computes the arriving row's MinHash band array
+    *    PER ROW with higher-order array functions
+    *    (TextOps.rowBands — the SAME one-md5/K-M family as the batch
+    *    LSH, proven by the parity spec), explodes the 4 bands, and
+    *    stream-static left-joins the corpus band relation; candidates
+    *    are verified in-row with exact bigram Jaccard over the two
+    *    distinct-shingle arrays — no cross-stream state at all;
+    *  - verdicts aggregate per (event-time window, doc_id) under the
+    *    watermark and emit once in append mode.
+    *
+    * All stream-side state is the windowed aggregation (bounded by the
+    * watermark); the joins are stateless stream-static. At 100 TB the
+    * corpus sha/band relations are bucketed tables maintained by the
+    * batch pipeline — exactly the asymmetric shape of
+    * [[graft.operators.TextOps.crossDedup]]'s scaladoc. */
+  def streamingCrossDedup(docs: DataFrame, corpus: DataFrame,
+                          threshold: Double = 0.5,
+                          wmDelay: String = "30 seconds",
+                          win: String = "1 minute"): DataFrame = {
+    import graft.operators.TextOps
+    val corpusSha = corpus.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("exact_cid"))
+    val cBands = TextOps.corpusBands(corpus)
+    val enriched = docs.withWatermark("ts", wmDelay)
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("shd", array_distinct(TextOps.rowShingles(col("text"))))
+      .withColumn("b", explode(TextOps.rowBands(col("text"))))
+      .join(corpusSha, Seq("h"), "left")
+      .join(cBands,
+        col("b.band") === cBands("band") && col("b.x") === cBands("x") &&
+        col("b.y") === cBands("y"), "left")
+    val inter = size(array_intersect(col("shd"), col("cshd")))
+    val jacc = inter.cast("double") /
+      (size(col("shd")) + size(col("cshd")) - inter).cast("double")
+    enriched
+      .withColumn("near_cid",
+        when(col("cid").isNotNull && jacc >= threshold, col("cid")))
+      .groupBy(window(col("ts"), win), col("doc_id"))
+      .agg(min(col("exact_cid")).as("exact_id"), min(col("near_cid")).as("near_id"))
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+  }
+
   /** Streaming face of EventAnalytics.latestSnapshot — CDC/upsert
     * materialization as an incremental update-mode aggregate: one
     * `max_by` state row per key, re-emitted whenever a later event

@@ -97,6 +97,75 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCrossDedup: exact/near/keep verdicts against a static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val rainbow = "red orange yellow green blue indigo violet amber teal " +
+      "cyan magenta maroon olive navy coral pearl slate bronze copper gold"
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, base), (10L, base), // two exact twins: min id must win
+      (2L, rainbow)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingCrossDedup(df, corpus), "stream_xdedup", "append")
+    try {
+      input.addData(Seq(
+        (100L, 10L, base),                           // exact twin of 1 and 10
+        (101L, 11L, rainbow.replace("gold", "silver")), // near-dup of 2
+        (102L, 12L, "completely different content sharing nothing at all")))
+      q.processAllAvailable()
+      // advance the watermark far past the first window to flush it
+      input.addData(Seq((999L, 600L, "late watermark pusher")))
+      q.processAllAvailable()
+      val got = spark.table("stream_xdedup").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got == Map(
+        100L -> (("exact", 1L)),
+        101L -> (("near", 2L)),
+        102L -> (("keep", -1L))))
+    } finally q.stop()
+  }
+
+  test("streamingCrossDedup verdicts equal batch crossDedup on real documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the real sf0.001 documents table: src5 is the "arriving batch",
+    // everything else the static corpus — the batch crossDedup query is
+    // hash-checked against DuckDB, so equality here certifies the
+    // per-row HOF band family AND the streamed verdict logic in one go
+    val sfDir = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("source") =!= "src5").select("doc_id", "text")
+    val fresh = all.filter(col("source") === "src5")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batch = graft.operators.TextOps.crossDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingCrossDedup(df, corpus), "stream_xdedup_sf", "append")
+    try {
+      // two micro-batches, then a watermark pusher to flush the window
+      val (a, b) = fresh.splitAt(fresh.length / 2)
+      input.addData(a.map { case (id, t) => (id, 10L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b.map { case (id, t) => (id, 20L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((-1L, 600L, "late watermark pusher")))
+      q.processAllAvailable()
+      val got = spark.table("stream_xdedup_sf").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("trendingTokens: streamed MG sketch keeps every true heavy hitter") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
