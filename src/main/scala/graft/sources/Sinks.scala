@@ -73,4 +73,14 @@ object Sinks {
     val w = df.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** JSONL exporter — the training-corpus delivery format (one JSON
+    * object per line, optionally partitioned, e.g. by the
+    * dataset_split assignment or lang). Files compress per partition;
+    * at 100 TB the partition columns are the ones downstream trainers
+    * shard on. */
+  def jsonl(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
 }

@@ -39,6 +39,32 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** The documents table's contract schema — enforced on JSONL ingest
+    * so a malformed feed cannot silently widen/retype columns. */
+  val documentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** JSONL document ingest — the de-facto training-corpus interchange
+    * format (one JSON object per line). Schema is ENFORCED (no
+    * inference pass — at 100 TB schema inference is a full extra scan);
+    * malformed lines land in `_corrupt` instead of failing the job or
+    * silently disappearing, so ingest QA can count and sample them.
+    * Line-delimited JSON splits by newline, so a 100 TB feed
+    * parallelizes like any text source. Note Spark's
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN rule: a query referencing ONLY
+    * `_corrupt` must cache/save the parsed frame first. */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsSchema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
 }
 
 /** Record types of the reference engine (SURVEY.md §1.1), used by the

@@ -121,6 +121,37 @@ class SurfaceSpec extends AnyFunSuite {
     assert(viaSketch == exact && viaSketch.nonEmpty)
   }
 
+  test("JSONL ingest/export: round-trip, enforced schema, corrupt-line capture") {
+    import graft.sources.{Sinks, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("graftjsonl").toString
+    // export real documents partitioned by lang, re-ingest, compare
+    val docs = Tables.documents(spark, sf)
+    Sinks.jsonl(docs, s"$dir/out", partitionBy = Seq("lang"))
+    val back = Tables.documentsJsonl(spark, s"$dir/out")
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = back.filter(col("_corrupt").isNull)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(a == b && a.nonEmpty)
+    // partition pruning: lang=<v> directory layout means a lang filter
+    // never reads the other partitions
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/out/lang=${langs.head}")))
+    // malformed lines surface in _corrupt, valid lines still parse
+    val mixed = s"$dir/mixed.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(mixed),
+      """{"doc_id": 7, "text": "ok line", "lang": "en", "source": "s", "n_chars": 7}
+        |{not json at all
+        |""".stripMargin)
+    // corrupt-only queries need the parsed result materialized first
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN — documented on the loader)
+    val m = Tables.documentsJsonl(spark, mixed).cache()
+    m.count()
+    assert(m.filter(col("_corrupt").isNotNull).count() == 1)
+    val good = m.filter(col("_corrupt").isNull).head()
+    assert(good.getAs[Long]("doc_id") == 7L && good.getAs[String]("text") == "ok line")
+  }
+
   test("JVM md5Lower64Mod is bit-identical to the Column-expression hash") {
     import spark.implicits._
     val samples = Seq("abc", "spark graft", "ünïcode ☃", "")
