@@ -381,9 +381,18 @@ object Similarity {
     * scored against (c_{iters−1}) — the coarse codebook [[ivfPqTopK]]
     * computes residuals from. */
   private[operators] def ivfTrainFull(spark: SparkSession, d: String,
-                                      nlists: Int, iters: Int): (DataFrame, DataFrame) = {
+                                      nlists: Int, iters: Int): (DataFrame, DataFrame) =
+    ivfTrainFullFrom(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      nlists, iters)
+
+  /** The Lloyd chain over an ARBITRARY (vec_id, embedding) frame —
+    * shared by the embeddings-table path and vector sources built from
+    * other tables (TextOps.docTopics' hashed term vectors). */
+  private[operators] def ivfTrainFullFrom(vectors: DataFrame,
+                                          nlists: Int, iters: Int): (DataFrame, DataFrame) = {
     require(nlists >= 1 && iters >= 1, "nlists and iters must be >= 1")
-    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val e = vectors.select(col("vec_id"), col("embedding"))
     val seeds = e
       .withColumn("h", graft.functions.ColumnFunctions.hash64(col("vec_id"), 0))
       .orderBy(col("h"), col("vec_id")).limit(nlists)
@@ -487,19 +496,29 @@ object Similarity {
     * coexist with the PQ chain inside one query (the ivf-pq oracle).
     * Exposes ${pre}e (positions), ${pre}a$iters (the assignment) and
     * ${pre}c${iters−1} (the centroids it was scored against). */
-  private def ivfChainSql(nlists: Int, iters: Int, pre: String): String = {
+  private def ivfChainSql(nlists: Int, iters: Int, pre: String): String =
+    ivfChainSqlFrom(nlists, iters, pre,
+      s"""SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+         |        FROM embeddings)""".stripMargin)
+
+  /** [[ivfChainSql]] over an ARBITRARY positions relation: `eBody` is a
+    * SELECT producing (vec_id, pos, v) — the DuckDB twin of
+    * [[ivfTrainFullFrom]]'s source parameterization. Seeds derive from
+    * the distinct vec_ids OF THAT relation (identical to the
+    * embeddings-table form for non-empty vectors). */
+  private[operators] def ivfChainSqlFrom(nlists: Int, iters: Int, pre: String,
+                                         eBody: String): String = {
     val P = graft.functions.ColumnFunctions.HashPrime
     val header =
-      s"""${pre}p AS (
-         |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
-         |  FROM embeddings
-         |), ${pre}e AS (
-         |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM ${pre}p
+      s"""${pre}e AS (
+         |  $eBody
          |), ${pre}seeds AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id
          |  FROM (SELECT vec_id,
          |          (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h
-         |        FROM embeddings ORDER BY h, vec_id LIMIT $nlists)
+         |        FROM (SELECT DISTINCT vec_id FROM ${pre}e)
+         |        ORDER BY h, vec_id LIMIT $nlists)
          |), ${pre}c0 AS (
          |  SELECT s.list_id, e.pos, e.v AS cv
          |  FROM ${pre}seeds s JOIN ${pre}e e USING (vec_id)

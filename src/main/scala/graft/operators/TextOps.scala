@@ -1632,6 +1632,78 @@ object TextOps {
        |      FROM pos JOIN c USING (h) WHERE c.cnt >= 2)""".stripMargin
   }
 
+  /** Seed of the feature-hash dimension assignment (fixed for replay). */
+  private val FeatureHashSeed = 13
+
+  /** Hashing-trick term vectors (Weinberger et al., "Feature Hashing
+    * for Large Scale Multitask Learning", ICML'09): each token maps to
+    * dimension hash(token) mod `dim`, per-document counts are the
+    * vector entries — model-free featurization of text into a fixed
+    * dim space (the bridge from the documents table to every
+    * vector-space operator: clustering, cheap similarity, drift
+    * reports). Sparse output (doc_id, dim, tf) — exact integers.
+    * One explode + one (doc_id, dim)-keyed map-side-combined shuffle;
+    * vocabulary size never appears in the plan, which is the entire
+    * point of the hashing trick at 100 TB. */
+  def docTermVectors(spark: SparkSession, d: String, dim: Int = 64): DataFrame =
+    docs(spark, d)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"),
+        pmod(hash64(col("token"), FeatureHashSeed), lit(dim.toLong)).as("dim"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("tf"))
+
+  def docTermVectorsSql(dim: Int = 64): String =
+    s"""SELECT doc_id, ((md5_number_lower('$FeatureHashSeed:' || token)
+       |                % ${HashPrime}::UBIGINT)::BIGINT % $dim) AS dim,
+       |       count(*) AS tf
+       |FROM (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents
+       |) WHERE length(token) > 0
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Model-free topic-style document clustering: deterministic Lloyd
+    * k-means ([[Similarity.ivfTrainFullFrom]] — the same audited chain
+    * as ivf_train, bit-exact oracle twin) over [[docTermVectors]]'
+    * hashed term-frequency vectors, densified to `dim` doubles. This is
+    * content clustering WITHOUT an embedding model — the corpus
+    * diversity / mixture-partitioning tool when no encoder is in the
+    * loop; documents about the same tokens land in the same topic.
+    * Output (doc_id, topic) — one assignment row per tokenized doc.
+    *
+    * Scale: the sparse→dense build is one (doc_id)-keyed aggregate
+    * (dim-bounded map per doc); the chain is the ivf_train plan —
+    * per iteration O(n·k·dim) map-side work, one (list,pos) agg
+    * shuffle, one k×dim broadcast. Tokenless documents have no vector
+    * and are absent, matching the oracle. */
+  def docTopics(spark: SparkSession, d: String, k: Int = 6, dim: Int = 64,
+                iters: Int = 2): DataFrame = {
+    val dense = docTermVectors(spark, d, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("dim").cast("int").as("k"),
+          col("tf").cast("double").as("v")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("embedding"))
+    Similarity.ivfTrainFullFrom(dense, k, iters)._1
+      .select(col("vec_id").as("doc_id"), col("list_id").as("topic"))
+  }
+
+  def docTopicsSql(k: Int = 6, dim: Int = 64, iters: Int = 2): String = {
+    val eBody =
+      s"""SELECT d.doc_id AS vec_id, r.pos, CAST(coalesce(s.tf, 0) AS DOUBLE) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM sp) d
+         |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS pos) r
+         |  LEFT JOIN sp s ON s.doc_id = d.doc_id AND s.dim = r.pos""".stripMargin
+    s"""WITH sp AS (
+       |${docTermVectorsSql(dim)}
+       |), ${Similarity.ivfChainSqlFrom(k, iters, "t", eBody)}
+       |SELECT vec_id AS doc_id, list_id AS topic FROM ta$iters""".stripMargin
+  }
+
   /** Seed of the winnowing gram hash (arbitrary, fixed for replay). */
   private val WinnowSeed = 11
 

@@ -440,6 +440,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) || Set(a, b).contains(4L) })
   }
 
+  test("docTopics: total partition, content-identical docs share a topic") {
+    val assign = TextOps.docTopics(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every tokenized doc gets exactly one topic
+    assert(assign.keySet == docs.filter(_._2.trim.nonEmpty).map(_._1).toSet)
+    assert(assign.values.toSet.size > 1) // not one degenerate cluster
+    // identical term vectors → identical distances → identical topic
+    docs.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+      assert(dup.map(d => assign(d._1)).toSet.size == 1)
+    }
+  }
+
   test("crossDedup: exact wins over near, near needs Jaccard, unique keeps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftxd").toString
