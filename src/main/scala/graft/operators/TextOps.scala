@@ -1704,6 +1704,50 @@ object TextOps {
        |SELECT vec_id AS doc_id, list_id AS topic FROM ta$iters""".stripMargin
   }
 
+  /** The interpretability face of [[docTopics]]: per topic, the `top`
+    * highest-total-frequency tokens (tie-broken on the token) — the
+    * "what is this cluster about" report attached to every model-free
+    * clustering. One token explode joined to the assignment (doc-keyed
+    * shuffle), a (topic, token) map-side-combined count, and a
+    * WindowGroupLimit top-k over k·|vocab-per-topic| rows. */
+  def topicKeywords(spark: SparkSession, d: String, k: Int = 6, dim: Int = 64,
+                    iters: Int = 2, top: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, d)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.join(docTopics(spark, d, k, dim, iters), "doc_id")
+      .groupBy("topic", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("topic")).orderBy(col("tf").desc, col("token"))
+    tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= top)
+  }
+
+  def topicKeywordsSql(k: Int = 6, dim: Int = 64, iters: Int = 2,
+                       top: Int = 3): String = {
+    val eBody =
+      s"""SELECT d.doc_id AS vec_id, r.pos, CAST(coalesce(s.tf, 0) AS DOUBLE) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM sp) d
+         |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS pos) r
+         |  LEFT JOIN sp s ON s.doc_id = d.doc_id AND s.dim = r.pos""".stripMargin
+    s"""WITH sp AS (
+       |${docTermVectorsSql(dim)}
+       |), ${Similarity.ivfChainSqlFrom(k, iters, "t", eBody)},
+       |assign AS (SELECT vec_id AS doc_id, list_id AS topic FROM ta$iters),
+       |tok AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |    FROM documents
+       |  ) WHERE length(token) > 0
+       |),
+       |tf AS (SELECT topic, token, count(*) AS tf
+       |       FROM tok JOIN assign USING (doc_id) GROUP BY 1, 2)
+       |SELECT topic, token, tf, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY topic
+       |                               ORDER BY tf DESC, token) AS rank
+       |  FROM tf
+       |) WHERE rank <= $top""".stripMargin
+  }
+
   /** Seed of the winnowing gram hash (arbitrary, fixed for replay). */
   private val WinnowSeed = 11
 
