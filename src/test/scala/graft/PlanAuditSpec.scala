@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard — the scale properties the scaladocs
+  * promise, pinned by assertion so a future edit cannot silently
+  * reintroduce a scale-killer (the round-6 winnow lesson: a plan can
+  * be correct, green, and 10× off its intended shape).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Representative cross-section: every operator family, cheap to plan. */
+  private val representative = Seq(
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "hot_users_topn", "session_windows", "event_rollup", "latest_snapshot",
+    "minhash_lsh", "simhash_pairs", "winnow_pairs", "cross_dedup",
+    "heavy_hitters", "tfidf_topk", "doc_quantiles", "doc_term_vectors",
+    "ann_cosine_topk", "knn_graph", "embedding_dim_stats",
+    "attribution_asof", "contamination")
+
+  test("no representative query plans a CartesianProduct") {
+    representative.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("winnow_pairs reuses ONE fingerprint pipeline for both join sides") {
+    val df = SparkEntry.queries("winnow_pairs")(spark, sf)
+    df.collect() // finalize THIS frame's adaptive plan (count() would plan a new query)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"winnow_pairs self-join no longer reuses the fp exchange:\n$plan")
+  }
+
+  test("cross_dedup pushes the new-batch source filter into the scan") {
+    val plan = SparkEntry.queries("cross_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(source,src5)"),
+      s"cross_dedup new-batch filter not pushed to the parquet scan:\n$plan")
+  }
+
+  test("heavy_hitters' exact pass shuffles candidates, not the vocabulary") {
+    // the verify-pass join must BUILD on the <= k candidate side (a
+    // broadcast), never shuffle the full token stream by token value
+    val plan = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"heavy_hitters verify pass lost its broadcast semi-join:\n$plan")
+  }
+}
