@@ -97,6 +97,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state survives a checkpointed stop/restart (exactly-once contract)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graftckpt").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val input = MemoryStream[(Long, Long, String)]
+    def plan = StreamingJobs.streamingDedup(
+      input.toDF().toDF("doc_id", "secs", "text")
+        .withColumn("ts", timestamp_seconds(col("secs"))),
+      "10 minutes").select("doc_id", "text")
+    // the memory sink is not fault-tolerant (recovery is disallowed) —
+    // the durable file sink is the recovery-supporting path
+    def start() =
+      plan.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // phase 1: seed state, then STOP — state lives only in the checkpoint
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, 10L, "alpha"), (2L, 11L, "beta")))
+      q1.processAllAvailable()
+      assert(rows() == Set((1L, "alpha"), (2L, "beta")))
+    } finally q1.stop()
+    // phase 2: RESTART from the checkpoint; a replayed duplicate of
+    // "alpha" must be dropped by the RESTORED state store, not pass as new
+    val q2 = start()
+    try {
+      input.addData(Seq((3L, 12L, "alpha"), (4L, 13L, "gamma")))
+      q2.processAllAvailable()
+      assert(rows() == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma")),
+        s"restored state failed to drop the duplicate: ${rows()}")
+    } finally q2.stop()
+  }
+
   test("streamingCrossDedup: exact/near/keep verdicts against a static corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
