@@ -88,6 +88,55 @@ object DataPipeline {
        |FROM m""".stripMargin
   }
 
+  /** Per-source quality scorecard — [[qualityFilter]]'s verdicts rolled
+    * up by crawl source: document count, pass count, pass rate, and the
+    * dominant failure reason (max count, reason-string tie-break) per
+    * source. THE report a crawl-ops team reads to decide which feeds to
+    * keep, re-fetch, or drop. Verdicts stay per-row expressions; the
+    * rollup is two map-side-combined aggregates over (source) and
+    * (source, verdict) plus a WindowGroupLimit pick of the top failure
+    * — no joins wider than the 20-row source sliver. */
+  def sourceQuality(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = qualityFilter(spark, d)
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")), "doc_id")
+    val bySrc = v.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("keep"), lit(1))).as("n_pass"))
+    val fails = v.filter(!col("keep"))
+      .groupBy("source", "verdict").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("verdict"))
+    val topFail = fails.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("verdict").as("top_reject_reason"))
+    bySrc.join(topFail, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double")).as("pass_rate"),
+        coalesce(col("top_reject_reason"), lit("none")).as("top_reject_reason"))
+  }
+
+  def sourceQualitySql(): String =
+    s"""WITH q AS (
+       |${qualityFilterSql()}
+       |), v AS (
+       |  SELECT q.doc_id, q.keep, q.verdict, d.source
+       |  FROM q JOIN documents d ON d.doc_id = q.doc_id
+       |), by_src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         count(CASE WHEN keep THEN 1 END) AS n_pass
+       |  FROM v GROUP BY 1
+       |), top_fail AS (
+       |  SELECT source, verdict AS top_reject_reason FROM (
+       |    SELECT source, verdict, row_number() OVER (
+       |      PARTITION BY source ORDER BY count(*) DESC, verdict) AS rn
+       |    FROM v WHERE NOT keep GROUP BY source, verdict
+       |  ) WHERE rn = 1
+       |)
+       |SELECT b.source, b.n_docs, b.n_pass,
+       |       CAST(b.n_pass AS DOUBLE) / b.n_docs AS pass_rate,
+       |       coalesce(t.top_reject_reason, 'none') AS top_reject_reason
+       |FROM by_src b LEFT JOIN top_fail t ON t.source = b.source""".stripMargin
+
   // ---- deterministic stratified sampling (data mixing) ----------------
 
   /** Per-stratum deterministic sampling — the data-mixing step: keep a
