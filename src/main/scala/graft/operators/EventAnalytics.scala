@@ -291,6 +291,53 @@ object EventAnalytics {
   /** DuckDB twin of [[hourBucket]]. */
   private val HourBucketSql = "CAST(floor(epoch(ts)/3600) AS BIGINT)*3600"
 
+  /** Per-type hourly traffic anomalies — the operational monitoring
+    * face of the hour-granular family: hourly counts per event_type,
+    * each flagged against its type's own distribution with the
+    * 2σ rule. Moments are DECIMAL-exact (Σcnt, Σcnt² folds; only the
+    * final divisions/subtraction/sqrt are double, each correctly
+    * rounded — the [[graft.operators.Similarity.embeddingDimStats]]
+    * parity recipe, so flags are engine-identical; a constant-count
+    * type can round var to a tiny negative → sqrt NaN → compare false
+    * → no flag, identically in both engines). Two map-side-combined
+    * aggregates ((type, hour), then type) and a broadcast-sized join
+    * back — no windows, no skew. */
+  def hourlyAnomalies(spark: SparkSession, d: String): DataFrame = {
+    val hourly = events(spark, d)
+      .withColumn("hour", hourBucket)
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("cnt"))
+    val moments = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      (sum(col("cnt").cast("decimal(38,6)")).cast("double") / count(lit(1)))
+        .as("mean"),
+      ((sum((col("cnt") * col("cnt")).cast("decimal(38,6)")).cast("double") /
+        count(lit(1))) -
+        (sum(col("cnt").cast("decimal(38,6)")).cast("double") / count(lit(1))) *
+        (sum(col("cnt").cast("decimal(38,6)")).cast("double") / count(lit(1))))
+        .as("variance"))
+    hourly.join(broadcast(moments), "event_type")
+      .select(col("event_type"), col("hour"), col("cnt"), col("mean"),
+        (abs(col("cnt").cast("double") - col("mean")) >
+          lit(2.0) * sqrt(col("variance"))).as("is_anomaly"))
+  }
+
+  val hourlyAnomaliesSql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type, $HourBucketSql AS hour, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS mean,
+      |    CAST(CAST(sum(CAST(CAST(cnt*cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*)
+      |      - (CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*))
+      |        * (CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*)) AS variance
+      |  FROM hourly GROUP BY 1
+      |)
+      |SELECT h.event_type, h.hour, h.cnt, m.mean,
+      |       abs(CAST(h.cnt AS DOUBLE) - m.mean) > 2.0 * sqrt(m.variance) AS is_anomaly
+      |FROM hourly h JOIN m ON m.event_type = h.event_type""".stripMargin
+
   /** Multi-dimensional rollup: CUBE over (event_type, hour) — all four
     * grouping sets in ONE pass (Catalyst expands the cube map-side and
     * the partial aggregate combines before the single shuffle; no
