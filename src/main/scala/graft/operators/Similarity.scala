@@ -250,14 +250,21 @@ object Similarity {
 
   /** k-NN GRAPH over the whole embeddings table — every vector is a
     * query (graph-based diversity pruning, neighborhood dedup, and the
-    * build step of graph-ANN indexes). Same IVF probing semantics as
-    * [[annIvfTopK]] (probe `nprobe` nearest label cells, rank inside
-    * probed cells), but a different physical shape, because the
-    * query side here IS the table and must not be broadcast:
+    * build step of graph-ANN indexes). The coarse quantizer is a
+    * TRAINED IVF partition ([[ivfTrainFullFrom]], the audited Lloyd
+    * chain) with `nlists` scaled to corpus size (default ⌈√n⌉, floor
+    * 8) — so cells SHRINK as the corpus grows: |cell| ≈ √n and the
+    * cell-keyed candidate volume n·nprobe·√n stays sub-quadratic at
+    * any scale, where a fixed cell universe (e.g. the metadata label
+    * column) would go quadratic. Probing semantics match
+    * [[annIvfTopKTrained]] (probe the `nprobe` nearest trained cells
+    * by exact cosine against the final-assignment means, rank inside
+    * probed cells), but a different physical shape, because the query
+    * side here IS the table and must not be broadcast:
     *
-    *  - only the nlists×dim centroid table broadcasts;
+    *  - only the nlists×dim (≈ √n·dim) centroid table broadcasts;
     *  - each vector's probed-cell assignment joins cell members by a
-    *    LABEL-keyed shuffle join (candidate volume n·nprobe·|cell| —
+    *    LIST-keyed shuffle join (candidate volume n·nprobe·|cell| —
     *    the standard IVF knn-graph cost, partitioned by cell; a hot
     *    cell is AQE skew-join territory, and more lists shrink cells);
     *  - pair scoring preranks with the codegen'd [[graft.plans.DotF64]]
@@ -267,30 +274,44 @@ object Similarity {
     *  - prerank cutoff, survivor filter and final rank share ONE
     *    (query_id)-partitioned sort — one window exchange.
     *
+    * `nlists = 0` (the default) derives ⌈√n⌉ from one count job; pass
+    * an explicit nlists to pin the partition (tests do, to compare
+    * against [[annIvfTopKTrained]] on the identical index).
+    *
     * Output (query_id, neighbor_id, score, rank) — n·k edges of the
     * directed k-NN graph. */
-  def knnGraph(spark: SparkSession, d: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val e = withNorm(spark, d)
-    val cent = Tables.embeddings(spark, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
-      .groupBy("label", "pos")
+  def knnGraph(spark: SparkSession, d: String, k: Int = 3, nprobe: Int = 2,
+               nlists: Int = 0, iters: Int = 2): DataFrame = {
+    val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val nl = if (nlists > 0) nlists
+      else math.max(8, math.ceil(math.sqrt(raw.count().toDouble)).toInt)
+    val assign = ivfTrainFullFrom(raw, nl, iters)._1
+    val en = withNorm(spark, d)
+    // members re-labeled by the trained assignment; probing centroids
+    // are the exact element-wise means of the FINAL cells (identical
+    // recipe to ivfTopKImpl, so knnGraph ≡ annIvfTopKTrained per query)
+    val e = en.select(col("vec_id"), col("embedding"), col("norm"))
+      .join(assign, "vec_id")
+    val cent = raw.join(assign, "vec_id")
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+      .groupBy("list_id", "pos")
       .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
         count(lit(1))).as("cv"))
-      .groupBy("label")
+      .groupBy("list_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
       .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+    val q = en.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("norm").as("qn"))
     val qc = q.join(broadcast(cent))
-      .select(col("query_id"), col("qe"), col("qn"), col("label"),
+      .select(col("query_id"), col("qe"), col("qn"), col("list_id"),
         (exactDot("qe", "cemb") / (col("qn") * col("cnorm"))).as("cscore"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("label"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("list_id"))
     val probed = qc.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qe"), col("qn"), col("label"))
+      .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
     val cand = probed.join(
-        e.select(col("label"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("ce"), col("norm").as("cn")), "label")
+        e.select(col("list_id"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"), col("norm").as("cn")), "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
     val pre = cand.withColumn("approx",
       graft.plans.GraftFunctions.dotF64(col("qe"), col("ce")) / (col("qn") * col("cn")))
@@ -306,42 +327,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  def knnGraphSql(k: Int = 3, nprobe: Int = 2): String =
-    s"""WITH p AS (
-       |  SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS i, embedding
+  /** DuckDB twin of the TRAINED-quantizer [[knnGraph]]: nlists derives
+    * from the same ⌈√n⌉ rule in a scalar CTE, the Lloyd chain is the
+    * shared [[ivfChainSqlFromDynamic]] unroll, probing centroids are
+    * the final-assignment means, membership joins through the
+    * assignment CTE. */
+  def knnGraphSql(k: Int = 3, nprobe: Int = 2, iters: Int = 2): String =
+    s"""WITH knl AS (
+       |  SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlists
        |  FROM embeddings
-       |), v AS (
-       |  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM p
-       |), n AS (
+       |), ${ivfChainSqlFromDynamic("(SELECT nlists FROM knl)", iters, "kg",
+            s"""SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+               |  FROM (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+               |        FROM embeddings)""".stripMargin)},
+       | n AS (
        |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
-       |  FROM v GROUP BY 1
+       |  FROM kge GROUP BY 1
        |), cent AS (
-       |  SELECT label, pos,
-       |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
-       |  FROM v GROUP BY 1, 2
+       |  SELECT a.list_id, e.pos,
+       |         CAST(CAST(sum(CAST(CAST(e.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
+       |  FROM kge e JOIN kga$iters a USING (vec_id) GROUP BY 1, 2
        |), cn AS (
-       |  SELECT label, sqrt(CAST(CAST(sum(CAST(CAST(cv*cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS cnorm
+       |  SELECT list_id, sqrt(CAST(CAST(sum(CAST(CAST(cv*cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS cnorm
        |  FROM cent GROUP BY 1
        |), qc AS (
-       |  SELECT q.vec_id AS query_id, cent.label,
+       |  SELECT q.vec_id AS query_id, cent.list_id,
        |         CAST(CAST(sum(CAST(CAST(q.v * cent.cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
-       |  FROM v q JOIN cent ON q.pos = cent.pos
+       |  FROM kge q JOIN cent ON q.pos = cent.pos
        |  GROUP BY 1, 2
        |), cscore AS (
-       |  SELECT query_id, qc.label, dot / (n.norm * cn.cnorm) AS cscore
-       |  FROM qc JOIN cn ON qc.label = cn.label JOIN n ON query_id = n.vec_id
+       |  SELECT query_id, qc.list_id, dot / (n.norm * cn.cnorm) AS cscore
+       |  FROM qc JOIN cn ON qc.list_id = cn.list_id JOIN n ON query_id = n.vec_id
        |), probed AS (
-       |  SELECT query_id, label FROM (
+       |  SELECT query_id, list_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |                                 ORDER BY cscore DESC, label) AS pr
+       |                                 ORDER BY cscore DESC, list_id) AS pr
        |    FROM cscore
        |  ) WHERE pr <= $nprobe
        |), dots AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
-       |  FROM v q
+       |  FROM kge q
        |  JOIN probed pb ON pb.query_id = q.vec_id
-       |  JOIN v c ON c.label = pb.label AND c.pos = q.pos AND c.vec_id <> q.vec_id
+       |  JOIN kga$iters a ON a.list_id = pb.list_id
+       |  JOIN kge c ON c.vec_id = a.vec_id AND c.pos = q.pos AND c.vec_id <> q.vec_id
        |  GROUP BY 1, 2
        |), scored AS (
        |  SELECT query_id, neighbor_id, dot / (qn.norm * cnn.norm) AS score
@@ -523,7 +552,41 @@ object Similarity {
          |  SELECT s.list_id, e.pos, e.v AS cv
          |  FROM ${pre}seeds s JOIN ${pre}e e USING (vec_id)
          |)""".stripMargin
-    val steps = (1 to iters).map { i =>
+    header + ivfChainSteps(iters, pre)
+  }
+
+  /** [[ivfChainSqlFrom]] with nlists supplied as a SQL scalar
+    * EXPRESSION (e.g. a subquery over a data-derived CTE) instead of a
+    * compile-time constant — the seed cut becomes a rank filter over
+    * the same (h, vec_id) total order, which is equivalent to the
+    * LIMIT form for any constant value. Lets oracles scale nlists with
+    * the corpus (knn_graph's ⌈√n⌉ rule) while staying one static SQL
+    * string. */
+  private[operators] def ivfChainSqlFromDynamic(nlistsExpr: String, iters: Int,
+                                                pre: String, eBody: String): String = {
+    val P = graft.functions.ColumnFunctions.HashPrime
+    val header =
+      s"""${pre}e AS (
+         |  $eBody
+         |), ${pre}seeds AS (
+         |  SELECT vec_id, rn - 1 AS list_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn
+         |    FROM (SELECT vec_id,
+         |            (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h
+         |          FROM (SELECT DISTINCT vec_id FROM ${pre}e))
+         |  ) WHERE rn <= $nlistsExpr
+         |), ${pre}c0 AS (
+         |  SELECT s.list_id, e.pos, e.v AS cv
+         |  FROM ${pre}seeds s JOIN ${pre}e e USING (vec_id)
+         |)""".stripMargin
+    header + ivfChainSteps(iters, pre)
+  }
+
+  /** The unrolled Lloyd iteration CTEs (d$i distances, a$i argmin
+    * assignment, c$i recomputed means) shared by both seed-header
+    * forms above. */
+  private def ivfChainSteps(iters: Int, pre: String): String = {
+    (1 to iters).map { i =>
       val dist =
         s""", ${pre}d$i AS (
            |  SELECT e.vec_id, c.list_id,
@@ -546,7 +609,6 @@ object Similarity {
       else ""
       dist + recompute
     }.mkString
-    s"$header$steps"
   }
 
   // ---- product quantization (PQ codebooks + ADC search) ---------------

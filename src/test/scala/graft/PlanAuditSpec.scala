@@ -44,6 +44,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cross_dedup new-batch filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("knn_graph probes cells from the trained-centroid broadcast, " +
+    "members join by shuffle") {
+    // the coarse quantizer must be the TRAINED nlists-sized centroid
+    // table arriving by broadcast (≈ sqrt(n)·dim rows — never the
+    // corpus), and the probed→members candidate join must be a
+    // cell-keyed shuffle join, never a broadcast of the full table
+    val df = SparkEntry.queries("knn_graph")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"knn_graph lost the trained-centroid broadcast:\n$plan")
+    // the trained chain is present: the Lloyd argmin ranks by exact
+    // decimal distance over list_id cells (no `label#` column survives
+    // anywhere in the physical plan — the static-label quantizer is gone)
+    assert(plan.contains("list_id"),
+      s"knn_graph no longer keys cells by trained list_id:\n$plan")
+    assert(!plan.contains("label#"),
+      s"knn_graph still references the static label column:\n$plan")
+  }
+
   test("heavy_hitters' exact pass shuffles candidates, not the vocabulary") {
     // the verify-pass join must BUILD on the <= k candidate side (a
     // broadcast), never shuffle the full token stream by token value

@@ -301,21 +301,38 @@ class SimilaritySpec extends AnyFunSuite {
     shared.foreach(k => assert(exact(k) == ivf(k))) // same exact arithmetic
   }
 
-  test("knnGraph restricted to a query subset equals annIvfTopK (same index)") {
-    // same IVF probing semantics, different physical shape (label-keyed
-    // shuffle join instead of a query-side broadcast) — edges for any
-    // query subset must be identical
-    val viaGraph = Similarity.knnGraph(spark, sf, k = 3, nprobe = 2)
+  test("knnGraph restricted to a query subset equals annIvfTopKTrained (same index)") {
+    // same trained-IVF probing semantics, different physical shape
+    // (cell-keyed shuffle join instead of a query-side broadcast) —
+    // edges for any query subset must be identical when both run on
+    // the SAME pinned partition (nlists, iters)
+    val viaGraph = Similarity.knnGraph(spark, sf, k = 3, nprobe = 2,
+        nlists = 8, iters = 2)
       .filter(org.apache.spark.sql.functions.col("query_id") < 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(4 - 1)))
       .toSet
-    val viaAnn = Similarity.annIvfTopK(spark, sf, k = 3, nQueries = 10, nprobe = 2)
+    val viaAnn = Similarity.annIvfTopKTrained(spark, sf, k = 3, nQueries = 10,
+        nprobe = 2, nlists = 8, iters = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(4 - 1)))
       .toSet
     assert(viaGraph == viaAnn && viaGraph.nonEmpty)
     // a directed k-NN graph over n vectors has exactly n·k edges here
-    // (every cell at this sf holds > k members)
+    // (every probed neighborhood at this sf holds >= k candidates)
     val nVec = graft.sources.Tables.embeddings(spark, sf).count()
     assert(Similarity.knnGraph(spark, sf, k = 3).count() == nVec * 3)
+  }
+
+  test("knnGraph auto-nlists scales the cell universe with corpus size") {
+    // the ceil(sqrt(n)) rule: at n=500 the trained partition has 23
+    // cells — more than the static label domain could ever provide —
+    // and every vector lands in exactly one cell
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val expected = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val assign = Similarity.ivfTrain(spark, sf, nlists = expected, iters = 2)
+    assert(assign.count() == n)
+    val nCells = assign.select("list_id").distinct().count()
+    // seeded k-means can abandon a cell only on pathological ties;
+    // on this corpus every seed keeps members
+    assert(nCells == expected, s"expected $expected cells, got $nCells")
   }
 }
