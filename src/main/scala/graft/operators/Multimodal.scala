@@ -31,8 +31,9 @@ object Multimodal {
   }
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
-                           phash: Long)
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                           width: Int, height: Int, phash: Long,
+                           duration_ms: Long, peak: Long, energy: Long)
 
   /** Attach the opaque payload column (here: the utf-8 text bytes stand
     * in for media bytes; in production this column comes from the lake).
@@ -41,14 +42,22 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", col("text").cast("binary"))
         .withColumn("mime", when(
-          substring(col("payload"), 1, 8) === lit(PngMagic), "image/png")
+            substring(col("payload"), 1, 8) === lit(PngMagic), "image/png")
+          .when(substring(col("payload"), 1, 3) === lit(JpegMagic), "image/jpeg")
+          .when(substring(col("payload"), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+            substring(col("payload"), 9, 4) === lit("WAVE".getBytes("US-ASCII")), "audio/wav")
+          .when(substring(col("payload"), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+            substring(col("payload"), 9, 4) === lit("AVI ".getBytes("US-ASCII")), "video/avi")
           .otherwise("application/octet-stream"))
 
   private val PngMagic: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  private val JpegMagic: Array[Byte] = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
 
   private def isPng(b: Array[Byte]): Boolean =
     b.length >= 8 && PngMagic.indices.forall(i => b(i) == PngMagic(i))
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && JpegMagic.indices.forall(i => b(i) == JpegMagic(i))
 
   /** 64-bit dHash: box-sample the image onto a 9×8 mean-luminance grid
     * (BT.601 weights), emit the sign of each horizontal gradient —
@@ -104,7 +113,7 @@ object Multimodal {
     * already fully in memory, and the default writes+deletes a temp
     * file per decoded row in the executor hot path. */
   private[graft] def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
-    if (!isPng(payload)) null
+    if (!isPng(payload) && !isJpeg(payload)) null
     else try {
       MemCacheInit // one-time setUseCache(false)
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -112,27 +121,67 @@ object Multimodal {
 
   private lazy val MemCacheInit: Unit = javax.imageio.ImageIO.setUseCache(false)
 
-  /** Real decode for images; stub for everything else. PNG payloads go
-    * through `javax.imageio` (headless-JDK builtin): width/height are
-    * the decoded pixel dimensions and phash is [[dHash64]] over the
-    * pixels. */
+  /** (peak, energy) over a PCM byte stream: max |sample| and exact
+    * integer Σ sample² — signed 16-bit LE or unsigned 8-bit (offset
+    * 128), the same sample arithmetic as [[pcmFrames]]. */
+  private[graft] def pcmStats(data: Array[Byte], bits: Int): (Long, Long) = {
+    var peak = 0L; var e = 0L
+    if (bits == 16) {
+      var j = 0
+      while (j + 1 < data.length) {
+        val s = ((data(j) & 0xFF) | (data(j + 1) << 8)).toLong
+        val a = math.abs(s); if (a > peak) peak = a
+        e += s * s; j += 2
+      }
+    } else {
+      var j = 0
+      while (j < data.length) {
+        val v = ((data(j) & 0xFF) - 128).toLong
+        val a = math.abs(v); if (a > peak) peak = a
+        e += v * v; j += 1
+      }
+    }
+    (peak, e)
+  }
+
+  /** Real decode for images AND audio; stub only for genuinely unknown
+    * mimes. PNG/JPEG payloads go through `javax.imageio` (headless-JDK
+    * builtin): width/height are the decoded pixel dimensions and phash
+    * is [[dHash64]] over the pixels. RIFF/WAVE PCM payloads go through
+    * [[Wav.parse]]: duration_ms (data frames / sample rate), peak
+    * (max |sample|) and energy (exact integer Σ sample²) are computed
+    * over the declared data chunk, and phash fingerprints the sample
+    * bytes. Fields that don't apply to a branch carry −1. */
   private[graft] def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
     val img = readImage(payload)
     if (img != null)
-      MediaFeatures(docId, payload.length.toLong, img.getWidth, img.getHeight,
-        dHash64(img))
-    else hashFeaturesStub(docId, payload)
+      MediaFeatures(docId, if (isPng(payload)) "image/png" else "image/jpeg",
+        payload.length.toLong, img.getWidth, img.getHeight, dHash64(img),
+        -1L, -1L, -1L)
+    else Wav.parse(payload) match {
+      case Some(w) =>
+        val data = java.util.Arrays.copyOfRange(
+          payload, w.dataOffset, w.dataOffset + w.dataLen)
+        val (peak, energy) = pcmStats(data, w.bitsPerSample)
+        val bytesPerFrame = w.numChannels * (w.bitsPerSample / 8)
+        val durationMs =
+          if (w.sampleRate <= 0 || bytesPerFrame <= 0) -1L
+          else (w.dataLen.toLong / bytesPerFrame) * 1000L / w.sampleRate
+        MediaFeatures(docId, "audio/wav", payload.length.toLong, -1, -1,
+          md5Lower64Mod(data), durationMs, peak, energy)
+      case None => hashFeaturesStub(docId, payload)
+    }
   }
 
-  /** ??? STUB features (non-image mimes only) ??? — audio/video demux
-    * needs codecs a headless JDK doesn't ship; until a real decoder is
-    * wired in, non-image payloads get deterministic pseudo-features
-    * from the content hash so the pipeline (schema, batching, oracle)
-    * stays testable end-to-end. */
+  /** ??? STUB features (unknown mimes only) ??? — payloads that are
+    * neither decodable images (PNG/JPEG via imageio) nor RIFF/WAVE PCM
+    * (via [[Wav.parse]]) get deterministic pseudo-features from the
+    * content hash so the pipeline (schema, batching, oracle) stays
+    * testable end-to-end over the text-payload corpus. */
   private def hashFeaturesStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
     val h = md5Lower64Mod(payload)
-    MediaFeatures(docId, payload.length.toLong,
-      (h % 1920L).toInt, (h % 1080L).toInt, h)
+    MediaFeatures(docId, "application/octet-stream", payload.length.toLong,
+      (h % 1920L).toInt, (h % 1080L).toInt, h, -1L, -1L, -1L)
   }
 
   /** Batched feature extraction over any (doc_id, payload BINARY)
@@ -158,10 +207,14 @@ object Multimodal {
 
   val mediaFeaturesSql: String =
     s"""SELECT doc_id,
+       |  'application/octet-stream' AS mime,
        |  octet_length(encode(text)) AS n_bytes,
        |  CAST((md5_number_lower(text) % ${HashPrime}::UBIGINT) % 1920 AS INTEGER) AS width,
        |  CAST((md5_number_lower(text) % ${HashPrime}::UBIGINT) % 1080 AS INTEGER) AS height,
-       |  CAST(md5_number_lower(text) % ${HashPrime}::UBIGINT AS BIGINT) AS phash
+       |  CAST(md5_number_lower(text) % ${HashPrime}::UBIGINT AS BIGINT) AS phash,
+       |  CAST(-1 AS BIGINT) AS duration_ms,
+       |  CAST(-1 AS BIGINT) AS peak,
+       |  CAST(-1 AS BIGINT) AS energy
        |FROM documents""".stripMargin
 
   case class Thumb(doc_id: Long, src_width: Int, src_height: Int,
@@ -232,21 +285,26 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Frame sampler — REAL AT THE CONTAINER LEVEL (round 6): AVI/RIFF
-    * payloads are demuxed ([[Avi.videoFrames]] — pure-JVM chunk walk of
-    * the `movi` list, no codec), `nFrames` frames are sampled evenly
-    * across the video (always including first and last), and each row
-    * carries the sampled frame's index, its actual chunk byte length,
-    * and the portable hash of the chunk bytes — codec-payload hashing
-    * is dedup/fingerprint-grade signal without decoding. Codec DECODE
-    * stays out of scope (headless JVMs ship no video codec) — the
-    * demux, sampling policy, schema, and batch shape are real, and a
-    * decoder drops in where the hash is computed.
+  case class FrameSample(doc_id: Long, frame_idx: Long, n_bytes: Long,
+                         frame_w: Int, frame_h: Int, frame_hash: Long)
+
+  /** Frame sampler — REAL THROUGH THE CODEC for MJPEG (round 7):
+    * AVI/RIFF payloads are demuxed ([[Avi.videoFrames]] — pure-JVM
+    * chunk walk of the `movi` list), `nFrames` frames are sampled
+    * evenly across the video (always including first and last), and
+    * each sampled chunk that is a JPEG (the MJPEG-in-AVI convention;
+    * `javax.imageio` ships a JPEG reader in a headless JDK) is DECODED
+    * TO PIXELS: frame_w/frame_h are the decoded dimensions and
+    * frame_hash is the perceptual [[dHash64]] over the pixels — the
+    * same feature images get, so video frames join image dedup
+    * directly. Unknown-codec chunks keep the chunk-bytes portable hash
+    * (fingerprint-grade without decoding) with frame_w = frame_h = −1.
     *
     * Non-AVI payloads (e.g. the text-payload corpus) keep the marked
     * deterministic pseudo-frame STUB branch — `n_bytes = -1` flags it —
     * so the pipeline stays testable end-to-end; the frame_sample
-    * oracle covers exactly that branch. */
+    * oracle covers exactly that branch, and the real branches are
+    * pinned by the MJPEG fixture specs. */
   def sampleFrames(spark: SparkSession, d: String, nFrames: Int = 4): DataFrame = {
     require(nFrames >= 1, "nFrames must be >= 1")
     import spark.implicits._
@@ -254,14 +312,14 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[MediaRow]
       .flatMap(r => sampleFramesOf(r.doc_id, r.payload, nFrames))
-      .toDF("doc_id", "frame_idx", "n_bytes", "frame_hash")
+      .toDF()
   }
 
-  /** Per-payload core of [[sampleFrames]]: (doc_id, frame_idx, n_bytes,
-    * frame_hash) rows — AVI branch samples real frame chunks, fallback
-    * emits flagged pseudo-frames. */
+  /** Per-payload core of [[sampleFrames]] — AVI branch samples real
+    * frame chunks (JPEG chunks decoded to pixel dHash), fallback emits
+    * flagged pseudo-frames. */
   private[graft] def sampleFramesOf(docId: Long, payload: Array[Byte],
-                                    nFrames: Int): Seq[(Long, Long, Long, Long)] =
+                                    nFrames: Int): Seq[FrameSample] =
     Avi.videoFrames(payload) match {
       case Some(frames) =>
         val picks =
@@ -270,13 +328,19 @@ object Multimodal {
           else (0 until nFrames).map(k => k * (frames.size - 1) / (nFrames - 1))
         picks.map { fi =>
           val (o, l) = frames(fi)
-          (docId, fi.toLong, l.toLong,
-            md5Lower64Mod(java.util.Arrays.copyOfRange(payload, o, o + l)))
+          val chunk = java.util.Arrays.copyOfRange(payload, o, o + l)
+          val img = readImage(chunk) // JPEG decode; null on non-JPEG/corrupt
+          if (img != null)
+            FrameSample(docId, fi.toLong, l.toLong, img.getWidth, img.getHeight,
+              dHash64(img))
+          else
+            FrameSample(docId, fi.toLong, l.toLong, -1, -1, md5Lower64Mod(chunk))
         }
       case None => // ??? STUB branch: pseudo-frames, flagged n_bytes = -1 ???
         val base = md5Lower64Mod(payload)
         (0 until nFrames).map { i =>
-          (docId, i.toLong, -1L, md5Lower64Mod(s"$base:$i".getBytes("UTF-8")))
+          FrameSample(docId, i.toLong, -1L, -1, -1,
+            md5Lower64Mod(s"$base:$i".getBytes("UTF-8")))
         }
     }
 
@@ -293,6 +357,8 @@ object Multimodal {
        |)
        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
        |       CAST(-1 AS BIGINT) AS n_bytes,
+       |       CAST(-1 AS INTEGER) AS frame_w,
+       |       CAST(-1 AS INTEGER) AS frame_h,
        |       (md5_number_lower(CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR))
        |          % ${HashPrime}::UBIGINT)::BIGINT AS frame_hash
        |FROM f""".stripMargin

@@ -187,11 +187,12 @@ class MultimodalSpec extends AnyFunSuite {
       assert((0 until l).forall(j => (avi(o + j) & 0xFF) == (k * 7 + j) % 256))
     }
     // through the sampler core: 4 evenly spaced picks including both ends,
-    // each row carrying the REAL chunk length and chunk-bytes hash
+    // each row carrying the REAL chunk length; pattern bytes are not
+    // JPEG, so the hash is the chunk-bytes hash and dims are flagged -1
     val sampled = Multimodal.sampleFramesOf(7L, avi, nFrames = 4)
     val expected = Seq(0, 3, 6, 9).map { k => // k*(10-1)/(4-1)
       val (o, l) = frames(k)
-      (7L, k.toLong, l.toLong,
+      Multimodal.FrameSample(7L, k.toLong, l.toLong, -1, -1,
         Multimodal.md5Lower64Mod(java.util.Arrays.copyOfRange(avi, o, o + l)))
     }
     assert(sampled == expected)
@@ -200,7 +201,100 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated container degrades to the flagged fallback, not a throw
     assert(graft.operators.Avi.videoFrames(avi.take(200)).isEmpty)
     assert(graft.operators.Avi.videoFrames("not an avi".getBytes).isEmpty)
-    assert(Multimodal.sampleFramesOf(7L, avi.take(200), 2).forall(_._3 == -1L))
+    assert(Multimodal.sampleFramesOf(7L, avi.take(200), 2).forall(_.n_bytes == -1L))
+  }
+
+  /** Build a minimal RIFF/AVI container holding the given movi chunks —
+    * same layout the checked-in clip.avi fixture uses. */
+  private def buildAvi(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    chunks.foreach { case (tag, data) =>
+      movi.write(tag.getBytes("US-ASCII")); movi.write(le32(data.length))
+      movi.write(data)
+      if (data.length % 2 == 1) movi.write(0) // RIFF word alignment
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII")); body.write(le32(movi.size()))
+    body.write(movi.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.size()))
+    out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  private def jpegBytes(img: BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("MJPEG-in-AVI frames decode to real pixels: dims + perceptual dHash") {
+    val img = fixtureImage
+    val mirror = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) mirror.setRGB(63 - x, y, img.getRGB(x, y))
+    val (j0, j1) = (jpegBytes(img), jpegBytes(mirror))
+    val avi = buildAvi(Seq("00dc" -> j0, "01wb" -> Array.fill(16)(7.toByte), "00dc" -> j1))
+    val sampled = Multimodal.sampleFramesOf(5L, avi, nFrames = 2)
+    assert(sampled.size == 2)
+    val Seq(f0, f1) = sampled
+    // decoded pixel dimensions, not container metadata
+    assert(f0.frame_w == 64 && f0.frame_h == 48 && f1.frame_w == 64 && f1.frame_h == 48)
+    assert(f0.n_bytes == j0.length.toLong && f1.n_bytes == j1.length.toLong)
+    // the hash IS the pixel dHash of the decoded frame (pins the wiring)
+    assert(f0.frame_hash == Multimodal.dHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(j0))))
+    // and it is PERCEPTUAL: close to the lossless source's dHash despite
+    // JPEG quantization noise, far from the mirrored frame's
+    assert(hamming(f0.frame_hash, Multimodal.dHash64(img)) <= 8)
+    assert(hamming(f1.frame_hash, Multimodal.dHash64(mirror)) <= 8)
+    assert(hamming(f0.frame_hash, f1.frame_hash) > 8)
+  }
+
+  test("corrupt JPEG chunk degrades to the chunk-hash branch, not a crash") {
+    val good = jpegBytes(fixtureImage)
+    val corrupt = good.take(24) // JPEG magic intact, body gone
+    val avi = buildAvi(Seq("00dc" -> good, "00dc" -> corrupt))
+    val sampled = Multimodal.sampleFramesOf(6L, avi, nFrames = 2)
+    assert(sampled.head.frame_w == 64) // healthy frame still decodes
+    val bad = sampled(1)
+    assert(bad.frame_w == -1 && bad.frame_h == -1)
+    assert(bad.n_bytes == 24L)
+    assert(bad.frame_hash == Multimodal.md5Lower64Mod(corrupt))
+  }
+
+  test("WAV payloads route through Wav.parse in media_features: real PCM stats") {
+    import spark.implicits._
+    val wav16 = resourceBytes("/tone16.wav")
+    val wav8 = resourceBytes("/tone8.wav")
+    val out = Multimodal.mediaFeaturesFromPayload(spark,
+        Seq((3L, wav16), (4L, wav8), (5L, wav16.take(100))).toDF("doc_id", "payload"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(3L)
+    assert(a.getAs[String]("mime") == "audio/wav")
+    assert(a.getAs[Long]("duration_ms") == 128L) // 1024 frames @ 8000 Hz
+    assert(a.getAs[Long]("peak") == 1024L)       // s(n) = ((n*37) % 2048) - 1024
+    val samples = (0 until 1024).map(n => ((n * 37) % 2048) - 1024)
+    assert(a.getAs[Long]("energy") == samples.map(s => s.toLong * s).sum)
+    assert(a.getAs[Int]("width") == -1 && a.getAs[Int]("height") == -1)
+    // phash fingerprints the SAMPLE bytes (the data chunk), not the header
+    assert(a.getAs[Long]("phash") ==
+      Multimodal.md5Lower64Mod(wav16.slice(44, 44 + 2048)))
+    val b = out(4L)
+    val bytes8 = (0 until 512).map(n => (n * 11) % 256)
+    assert(b.getAs[String]("mime") == "audio/wav")
+    assert(b.getAs[Long]("duration_ms") == 64L) // 512 frames @ 8000 Hz
+    assert(b.getAs[Long]("peak") == 128L)
+    assert(b.getAs[Long]("energy") ==
+      bytes8.map(v => (v - 128).toLong * (v - 128)).sum)
+    // truncated WAV: parse fails → honest stub branch, job survives
+    val c = out(5L)
+    assert(c.getAs[String]("mime") == "application/octet-stream")
+    assert(c.getAs[Long]("duration_ms") == -1L)
   }
 
   test("non-WAV and corrupt-WAV payloads fall back to headerless 8-bit PCM") {

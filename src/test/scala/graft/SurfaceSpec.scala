@@ -368,10 +368,12 @@ class SurfaceSpec extends AnyFunSuite {
     assert(counts == Set(3L))
     // text payloads all take the flagged pseudo-frame branch
     assert(frames.select("n_bytes").distinct().collect().map(_.getLong(0)).toSeq == Seq(-1L))
-    val a = frames.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    val b = Multimodal.sampleFrames(spark, sf, nFrames = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("n_bytes"), r.getAs[Int]("frame_w"),
+        r.getAs[Long]("frame_hash"))
+    val a = frames.collect().map(key).toSet
+    val b = Multimodal.sampleFrames(spark, sf, nFrames = 3).collect().map(key).toSet
     assert(a == b)
   }
 }
