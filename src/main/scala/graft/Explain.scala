@@ -23,9 +23,11 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-explain")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val full = args.contains("-full")
-    val names = if (args.length > 1) args.drop(1).filterNot(_ == "-full").toSeq
+    val rest = args.filterNot(_ == "-full") // flag position-independent
+    val d = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    // "-full with no names" must mean ALL queries, not an empty list
+    val names = if (rest.length > 1) rest.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val q = SparkEntry.queries.get(n).orElse(audits.get(n)).get(spark, d)

@@ -115,12 +115,40 @@ object EventAnalytics {
     * with the bit index the id itself (exact for the bounded id
     * domain) and the bitmap carried in the agg buffer (merge = OR)
     * instead of an external store. Oracle: identical counts to
-    * [[uniqueVisitors]]. */
-  def uniqueVisitorsBitmap(spark: SparkSession, d: String): DataFrame =
-    events(spark, d)
-      .groupBy(window(col("ts"), "1 day"))
-      .agg(graft.plans.GraftFunctions.bitmapDistinct(col("user_id")).as("uv"))
+    * [[uniqueVisitors]].
+    *
+    * `capacityBits = 0` (the default, and what the query registration
+    * uses) sizes the bitmap from ONE max(user_id) probe, rounded up to
+    * a power of two (floor 2²⁰) — so a corpus with ids beyond the old
+    * fixed 2²⁰ domain sizes up instead of failing the whole run
+    * mid-query. The probe refuses CLEARLY at plan time past
+    * [[MaxBitmapBits]] (2²⁸ bits = 32 MB per agg buffer — past that an
+    * exact per-id bitmap is the wrong tool; use [[uniqueVisitors]]'
+    * two-phase exact distinct or [[uniqueVisitorsApprox]]' HLL++). */
+  def uniqueVisitorsBitmap(spark: SparkSession, d: String,
+                           capacityBits: Int = 0): DataFrame = {
+    val ev = events(spark, d)
+    val cap =
+      if (capacityBits > 0) capacityBits
+      else {
+        val maxId = Option(ev.agg(max(col("user_id"))).head.get(0))
+          .map(_.toString.toLong).getOrElse(0L)
+        require(maxId < MaxBitmapBits,
+          s"uv_bitmap: max user_id $maxId exceeds the exact-bitmap cap " +
+            s"$MaxBitmapBits — use uniqueVisitors (exact two-phase " +
+            "distinct) or uniqueVisitorsApprox (HLL++) for this id domain")
+        var c = 1 << 20
+        while (c <= maxId) c <<= 1
+        c
+      }
+    ev.groupBy(window(col("ts"), "1 day"))
+      .agg(graft.plans.GraftFunctions.bitmapDistinct(col("user_id"), cap).as("uv"))
       .select(epochSeconds(col("window.end")).as("window_end"), col("uv"))
+  }
+
+  /** Hard ceiling for the auto-sized exact bitmap: 2²⁸ bits = 32 MB
+    * per aggregation buffer (shuffled per group partial). */
+  val MaxBitmapBits: Long = 1L << 28
 
   /** Exact UV via the typed Set-buffer Aggregator (reference
     * UvCountAgg, UniqueVisitor_02_Set.scala:53-62) — same results as
@@ -311,7 +339,11 @@ object EventAnalytics {
       count(lit(1)).as("n"),
       (sum(col("cnt").cast("decimal(38,6)")).cast("double") / count(lit(1)))
         .as("mean"),
-      ((sum((col("cnt") * col("cnt")).cast("decimal(38,6)")).cast("double") /
+      // cast BEFORE squaring: cnt*cnt in int64 silently wraps past
+      // cnt ≈ 3.04e9 (plausible hourly count at the 100 TB target)
+      // while DuckDB raises — decimal×decimal keeps both engines exact
+      ((sum(col("cnt").cast("decimal(38,6)") * col("cnt").cast("decimal(38,6)"))
+        .cast("double") /
         count(lit(1))) -
         (sum(col("cnt").cast("decimal(38,6)")).cast("double") / count(lit(1))) *
         (sum(col("cnt").cast("decimal(38,6)")).cast("double") / count(lit(1))))
@@ -329,7 +361,7 @@ object EventAnalytics {
       |), m AS (
       |  SELECT event_type, count(*) AS n,
       |    CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS mean,
-      |    CAST(CAST(sum(CAST(CAST(cnt*cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*)
+      |    CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6)) * CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*)
       |      - (CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*))
       |        * (CAST(CAST(sum(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*)) AS variance
       |  FROM hourly GROUP BY 1

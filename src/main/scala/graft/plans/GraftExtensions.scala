@@ -506,6 +506,12 @@ object GraftFunctions {
   def bitmapDistinct(id: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_distinct", id)
 
+  /** [[bitmapDistinct]] with an explicit bit capacity (must cover the
+    * id domain: ids in [0, numBits)). */
+  def bitmapDistinct(id: Column, numBits: Int): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_distinct", id,
+      org.apache.spark.sql.functions.lit(numBits))
+
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("freq_sketch", tok,

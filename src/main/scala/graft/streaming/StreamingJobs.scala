@@ -213,21 +213,43 @@ object StreamingJobs {
     * with the SAME builder function in both modes.
     *
     * Each round's snapshot is rebased on an eager localCheckpoint so
-    * per-batch planning cost stays constant (no nested-lineage blowup).
+    * per-batch planning cost stays constant (no nested-lineage blowup),
+    * and the SUPERSEDED checkpoint's blocks are released explicitly the
+    * moment the new one materializes — storage held is one snapshot
+    * (plus one during the handoff), not the whole history of them.
     * The recompute trade is deliberate and bounded by snapshot size:
-    * at 100 TB/day you'd partition the snapshot by the rollup's
-    * coarsest stable key (e.g. day) and recompute only touched
-    * partitions — same builder, narrower input; the unbounded-history
-    * form belongs in batch. */
+    * per-batch latency still grows with the accumulated snapshot, so a
+    * LONG-RUNNING stream needs a retention bound — at 100 TB/day you'd
+    * partition the snapshot by the rollup's coarsest stable key (e.g.
+    * day), recompute only touched partitions, and age out closed ones
+    * (same builder, narrower input); the unbounded-history form
+    * belongs in batch. */
   def snapshotUpdate(stream: DataFrame, plan: DataFrame => DataFrame)
                     (upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var snapshot: Option[DataFrame] = None
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint(true)
-        snapshot = Some(snapshot
-          .map(_.union(b).localCheckpoint(true)).getOrElse(b))
-        upsert(plan(snapshot.get))
+        val next = snapshot match {
+          case Some(prev) =>
+            val n = prev.union(b).localCheckpoint(true)
+            // n is materialized: prev's and b's blocks are no longer
+            // reachable from any live plan — drop them now instead of
+            // waiting for GC-driven ContextCleaner reclamation
+            releaseCheckpoint(prev); releaseCheckpoint(b)
+            n
+          case None => b
+        }
+        snapshot = Some(next)
+        upsert(plan(next))
       }.start()
   }
+
+  /** Unpersists the block store behind a localCheckpoint'd frame
+    * (Dataset.unpersist only clears cacheManager entries — checkpoint
+    * blocks live on the LogicalRDD and otherwise wait for GC). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }
