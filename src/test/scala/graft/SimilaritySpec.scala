@@ -322,6 +322,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.knnGraph(spark, sf, k = 3).count() == nVec * 3)
   }
 
+  test("recall@5 floors at sf0.01: registered ANN queries vs exact baseline") {
+    // the oracles prove the INDEX replays deterministically, not that
+    // the search is any good — this pins search quality: recall@5 of
+    // the registered approximate queries against exact brute force at
+    // the driver-verified SF. Floors are documented in PLANS.md with
+    // the measured values.
+    val d = "/root/testdata/sf0.01"
+    def keys(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = keys(Similarity.annCosineTopK(spark, d).collect())
+    assert(exact.size == 50) // 10 queries × 5
+    val rIvf = (keys(Similarity.annIvfTopK(spark, d).collect()) & exact).size
+      .toDouble / exact.size
+    val rPq = (keys(Similarity.ivfPqTopK(spark, d).collect()) & exact).size
+      .toDouble / exact.size
+    info(f"sf0.01 recall@5: ann_ivf_topk=$rIvf%.2f ivf_pq_topk=$rPq%.2f")
+    assert(rIvf >= 0.30, f"ann_ivf_topk recall@5 $rIvf%.2f below floor 0.30")
+    assert(rPq >= 0.30, f"ivf_pq_topk recall@5 $rPq%.2f below floor 0.30")
+  }
+
   test("knnGraph auto-nlists scales the cell universe with corpus size") {
     // the ceil(sqrt(n)) rule: at n=500 the trained partition has 23
     // cells — more than the static label domain could ever provide —
