@@ -38,11 +38,19 @@ object StreamSources {
     * DATASOURCE — KafkaContractSpec probes for exactly that and drives
     * the identical downstream pipeline from a [[kafkaRecordSchema]]-
     * shaped mock instead; on a cluster with the connector on the
-    * classpath this function is the only line that changes behavior. */
+    * classpath this function is the only line that changes behavior.
+    *
+    * `format` defaults to the real connector; tests pass
+    * `"kafka-test"` ([[KafkaTestProvider]], a DSv2 double that
+    * validates these exact options and serves the contract schema) so
+    * the WHOLE path through this function — format resolution, option
+    * plumbing, micro-batch planning, the record→line projection —
+    * runs E2E minus only connector resolution itself. */
   def kafkaLines(spark: SparkSession, brokers: String, topic: String,
-                 startingOffsets: String = "earliest"): DataFrame =
+                 startingOffsets: String = "earliest",
+                 format: String = "kafka"): DataFrame =
     kafkaRecordLines(
-      spark.readStream.format("kafka")
+      spark.readStream.format(format)
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", startingOffsets)

@@ -96,6 +96,61 @@ class KafkaContractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DSv2 double: kafkaLines runs E2E through format resolution, options " +
+    "plumbing and micro-batch planning (round-7 gap closure)") {
+    import spark.implicits._
+    val lines = Seq(
+      "1,100,10,pv,100", "2,100,10,pv,200", "3,200,20,pv,300",
+      "4,100,10,buy,400", "5,200,20,pv,3700", "6,300,30,pv,3800")
+    val topic = s"hot_items_dsv2_${System.nanoTime()}"
+    graft.sources.KafkaTestProvider.setTopic(topic, lines.take(3))
+    // the REAL kafkaLines code path: only the format string differs
+    // from production — registry lookup, option validation, schema,
+    // offsets and the record→line projection are all live
+    val stream = StreamSources.kafkaLines(spark, "localhost:9092", topic,
+      format = "kafka-test")
+    assert(stream.schema.fieldNames.toSeq == Seq("line"))
+    val parsed = CsvSources.parseUserBehaviorLines(stream)
+      .filter(col("behavior") === "pv")
+    val counts = StreamingJobs.windowedCounts(
+      parsed, "1 hour", None, Seq(col("itemId")))
+    val name = s"kafka_dsv2_${System.nanoTime()}"
+    val q = Sinks.memory(counts, name, "complete")
+    try {
+      q.processAllAvailable()
+      // a "producer" appends between micro-batches: latestOffset grows
+      // and the next batch reads exactly the tail
+      graft.sources.KafkaTestProvider.appendTopic(topic, lines.drop(3))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_end").getTime / 1000,
+          r.getAs[Long]("itemId"), r.getAs[Long]("cnt"))).toSet
+      val batch = CsvSources.parseUserBehaviorLines(lines.toDF("line"))
+        .filter(col("behavior") === "pv")
+        .groupBy(window(col("ts"), "1 hour"), col("itemId"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.end").cast("long").as("we"), col("itemId"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+    // the raw double carries the EXACT kafka record schema
+    val raw = spark.readStream.format("kafka-test")
+      .option("kafka.bootstrap.servers", "localhost:9092")
+      .option("subscribe", topic).load()
+    assert(raw.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamSources.kafkaRecordSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // missing required options fail loudly at plan/start time, as the
+    // real connector would against a live broker
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("kafka-test").load()
+        .select(col("value").cast("string").as("line"))
+      val badQ = Sinks.memory(bad, s"kafka_bad_${System.nanoTime()}", "append")
+      try badQ.processAllAvailable() finally badQ.stop()
+    }
+    assert((e.getMessage +: Option(e.getCause).map(_.getMessage).toSeq)
+      .mkString(" | ").contains("kafka.bootstrap.servers"))
+  }
+
   test("producer projection emits the kafka writer contract from line frames") {
     import spark.implicits._
     val lines = Seq("1,100,10,pv,100", "2,200,20,buy,200").toDF("line")
