@@ -1272,4 +1272,60 @@ object Similarity {
        |                               ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of [[annIvfTopKTrained]]: the [[ivfChainSqlFrom]]
+    * Lloyd unroll replaces the label column, probing centroids are the
+    * exact means of the FINAL assignment cells (ivfTopKImpl's recipe),
+    * then the identical probe/score/rank body as [[annIvfTopKSql]]. */
+  def annIvfTopKTrainedSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                           nlists: Int = 8, iters: Int = 2): String =
+    s"""WITH ${ivfChainSqlFrom(nlists, iters, "tr",
+          s"""SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+             |  FROM (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+             |        FROM embeddings)""".stripMargin)},
+       | n AS (
+       |  SELECT vec_id, sqrt(CAST(CAST(sum(CAST(CAST(v*v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS norm
+       |  FROM tre GROUP BY 1
+       |), cent AS (
+       |  SELECT a.list_id, e.pos,
+       |         CAST(CAST(sum(CAST(CAST(e.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
+       |  FROM tre e JOIN tra$iters a USING (vec_id) GROUP BY 1, 2
+       |), cn AS (
+       |  SELECT list_id, sqrt(CAST(CAST(sum(CAST(CAST(cv*cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE)) AS cnorm
+       |  FROM cent GROUP BY 1
+       |), qc AS (
+       |  SELECT q.vec_id AS query_id, cent.list_id,
+       |         CAST(CAST(sum(CAST(CAST(q.v * cent.cv AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM tre q JOIN cent ON q.pos = cent.pos
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2
+       |), cscore AS (
+       |  SELECT query_id, qc.list_id, dot / (n.norm * cn.cnorm) AS cscore
+       |  FROM qc JOIN cn ON qc.list_id = cn.list_id JOIN n ON query_id = n.vec_id
+       |), probed AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cscore DESC, list_id) AS pr
+       |    FROM cscore
+       |  ) WHERE pr <= $nprobe
+       |), dots AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM tre q
+       |  JOIN probed pb ON pb.query_id = q.vec_id
+       |  JOIN tra$iters a ON a.list_id = pb.list_id
+       |  JOIN tre c ON c.vec_id = a.vec_id AND c.pos = q.pos AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, dot / (qn.norm * cnn.norm) AS score
+       |  FROM dots
+       |  JOIN n qn ON query_id = qn.vec_id
+       |  JOIN n cnn ON neighbor_id = cnn.vec_id
+       |)
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
 }

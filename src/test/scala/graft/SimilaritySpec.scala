@@ -337,9 +337,13 @@ class SimilaritySpec extends AnyFunSuite {
       .toDouble / exact.size
     val rPq = (keys(Similarity.ivfPqTopK(spark, d).collect()) & exact).size
       .toDouble / exact.size
-    info(f"sf0.01 recall@5: ann_ivf_topk=$rIvf%.2f ivf_pq_topk=$rPq%.2f")
+    val rTr = (keys(Similarity.annIvfTopKTrained(spark, d).collect()) & exact).size
+      .toDouble / exact.size
+    info(f"sf0.01 recall@5: ann_ivf_topk=$rIvf%.2f ivf_pq_topk=$rPq%.2f " +
+      f"ann_ivf_trained=$rTr%.2f")
     assert(rIvf >= 0.30, f"ann_ivf_topk recall@5 $rIvf%.2f below floor 0.30")
     assert(rPq >= 0.30, f"ivf_pq_topk recall@5 $rPq%.2f below floor 0.30")
+    assert(rTr >= 0.30, f"ann_ivf_trained recall@5 $rTr%.2f below floor 0.30")
   }
 
   test("knnGraph auto-nlists scales the cell universe with corpus size") {
