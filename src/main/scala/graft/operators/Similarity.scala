@@ -285,7 +285,9 @@ object Similarity {
     val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val nl = if (nlists > 0) nlists
       else math.max(8, math.ceil(math.sqrt(raw.count().toDouble)).toInt)
-    val assign = ivfTrainFullFrom(raw, nl, iters)._1
+    // goes through the MEMOIZED ivfTrainFull: the index is built once
+    // per (session, dir, nl, iters) and reused across calls/queries
+    val assign = ivfTrainFull(spark, d, nl, iters)._1
     val en = withNorm(spark, d)
     // members re-labeled by the trained assignment; probing centroids
     // are the exact element-wise means of the FINAL cells (identical
@@ -408,12 +410,28 @@ object Similarity {
 
   /** [[ivfTrain]] plus the centroid table the final assignment was
     * scored against (c_{iters−1}) — the coarse codebook [[ivfPqTopK]]
-    * computes residuals from. */
+    * computes residuals from.
+    *
+    * MEMOIZED per (session, dir, nlists, iters), the same hook as
+    * TextOps' pair-relation memo: an IVF index is built once and
+    * queried many times — ivf_train, ann_ivf_trained, ivf_pq_topk,
+    * semantic_mix and knn_graph all start from this chain, and a
+    * session should pay each distinct partition once. The cached
+    * frames are a persisted n-row assignment + an nlists-row centroid
+    * table; training is deterministic, so sharing cannot change any
+    * result hash. At 100 TB the same role is played by a materialized
+    * index relation the ingest pipeline maintains. */
   private[operators] def ivfTrainFull(spark: SparkSession, d: String,
                                       nlists: Int, iters: Int): (DataFrame, DataFrame) =
-    ivfTrainFullFrom(
-      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
-      nlists, iters)
+    trainCache.computeIfAbsent((spark, d, nlists, iters), _ => {
+      val (assign, cent) = ivfTrainFullFrom(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+        nlists, iters)
+      (assign.persist(), cent.persist())
+    })
+
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
 
   /** The Lloyd chain over an ARBITRARY (vec_id, embedding) frame —
     * shared by the embeddings-table path and vector sources built from
