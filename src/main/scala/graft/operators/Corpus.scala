@@ -577,4 +577,173 @@ object Corpus {
        |CROSS JOIN nb
        |ORDER BY pmi_ratio DESC, bigram
        |LIMIT $k""".stripMargin
+
+  // ---- Bigram-LM quality scoring --------------------------------------
+
+  /** Per-document bigram language-model fit — the exact-arithmetic
+    * analog of perplexity-based quality filtering (Wenzek et al. 2020
+    * CCNet; Heafield 2011 KenLM — public technique): documents whose
+    * word transitions are common corpus-wide score high; garbled or
+    * out-of-domain text scores low. Instead of mean log-probability
+    * (ln() last-ulp drift breaks bit-parity for zero ranking benefit —
+    * the [[pmiBigrams]] lesson), the score is the MICRO-AVERAGED
+    * conditional probability over the doc's bigram positions i:
+    *
+    *   lm_score = Σᵢ c(xᵢ,yᵢ) / Σᵢ c(xᵢ,·)
+    *
+    * with c(x,y) the corpus bigram count and c(x,·) = Σ_y c(x,y) the
+    * left-context mass (both from the SAME bigram relation — the
+    * context side needs no second tokenization pass). Both sums are
+    * exact int64; the one final division of two exact integers is
+    * deterministic IEEE, so the oracle hash matches bit-for-bit.
+    * Documents with <2 tokens surface with zero masses and NULL score
+    * (left join keeps the output total over `documents`).
+    *
+    * Scale: the bigram-count and context-mass relations are vocab²-
+    * and vocab-sized map-side-combined aggregations, tiny next to the
+    * corpus; the probe joins are keyed by (x,y) / x — the stopword-
+    * context key IS skewed, which AQE's skew-join splits (a window
+    * over `partition by x` would not be splittable — same reasoning
+    * as [[tfidfTopK]]'s df join). Per-doc reduction is an ordinary
+    * doc_id-keyed agg. No global sort, no driver action. */
+  def lmBigramScore(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .withColumn("toks", expr(s"filter($toksExpr, t -> length(t) > 0)"))
+    val pos = toks.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+        "i -> struct(toks[i] AS x, toks[i+1] AS y)) ELSE " +
+        "array() END")).as("bg"))
+      .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+    val bi  = pos.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val ctx = bi.groupBy("x").agg(sum(col("c_xy")).as("c_x"))
+    val perDoc = pos
+      .join(bi, Seq("x", "y"))
+      .join(ctx, Seq("x"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_xy")).as("hit_mass"),
+        sum(col("c_x")).as("ctx_mass"))
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("hit_mass"), lit(0L)).as("hit_mass"),
+        coalesce(col("ctx_mass"), lit(0L)).as("ctx_mass"),
+        (col("hit_mass").cast("double") / col("ctx_mass").cast("double"))
+          .as("lm_score"))
+  }
+
+  def lmBigramScoreSql(): String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             tok -> length(tok) > 0) AS toks
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS x,
+      |         unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS y
+      |  FROM t
+      |), bi AS (
+      |  SELECT x, y, count(*) AS c_xy FROM pos GROUP BY 1, 2
+      |), ctx AS (
+      |  SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bi GROUP BY 1
+      |), per_doc AS (
+      |  SELECT p.doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(bi.c_xy) AS BIGINT) AS hit_mass,
+      |         CAST(sum(ctx.c_x) AS BIGINT) AS ctx_mass
+      |  FROM pos p
+      |  JOIN bi  ON bi.x = p.x AND bi.y = p.y
+      |  JOIN ctx ON ctx.x = p.x
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       coalesce(n_bigrams, 0) AS n_bigrams,
+      |       coalesce(hit_mass, 0) AS hit_mass,
+      |       coalesce(ctx_mass, 0) AS ctx_mass,
+      |       CAST(hit_mass AS DOUBLE) / CAST(ctx_mass AS DOUBLE) AS lm_score
+      |FROM documents d LEFT JOIN per_doc USING (doc_id)""".stripMargin
+
+  // ---- Vocabulary growth (Heaps'-law fingerprint) ---------------------
+
+  /** Cumulative vocabulary-growth curve: the corpus in `nBuckets`
+    * doc_id slices, reporting cumulative documents, token instances,
+    * distinct types, and the running type/token ratio at each slice
+    * boundary — the Heaps'-law fingerprint (Heaps 1978 — public).
+    * A corpus whose curve flattens early is repetitive/templated; one
+    * that keeps climbing is diverse — the corpus-level complement of
+    * the per-document [[graft.operators.TextOps]] repetition_stats.
+    *
+    * Exactness: every column is integer arithmetic (bucket = integer
+    * DIV on doc_id; cumulative sums of exact longs); ttr is a single
+    * final division of two exact int64 — bit-reproducible. "First
+    * appearance" of a type is min(bucket) over its occurrences — an
+    * associative agg, NOT a first-seen sort.
+    *
+    * Scale: two map-side-combined aggregations over one tokenization
+    * scan (per-bucket doc/token tallies; per-token min-bucket →
+    * per-bucket new-type counts) and a window over ≤ nBuckets rows —
+    * the only ordered structure is the bounded bucket axis, never the
+    * corpus. */
+  def vocabGrowth(spark: SparkSession, d: String, nBuckets: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("toks", expr(s"filter($toksExpr, t -> length(t) > 0)"))
+    val maxp1 = docs.agg((max(col("doc_id")) + 1).as("maxp1"))
+    val bucketed = docs.crossJoin(broadcast(maxp1))
+      .withColumn("bucket", expr(s"CAST((doc_id * $nBuckets) DIV maxp1 AS BIGINT)"))
+    val perBucket = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("n_tokens"))
+    val newTypes = bucketed
+      .select(col("bucket"), explode(col("toks")).as("token"))
+      .groupBy("token").agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"),
+        sum(col("n_docs")).over(w).as("docs_cum"),
+        sum(col("n_tokens")).over(w).as("tokens_cum"),
+        sum(col("new_types")).over(w).as("types_cum"))
+      .withColumn("ttr",
+        when(col("tokens_cum") > 0,
+          col("types_cum").cast("double") / col("tokens_cum").cast("double")))
+  }
+
+  def vocabGrowthSql(nBuckets: Int = 20): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |                             tok -> length(tok) > 0) AS toks
+       |  FROM documents
+       |), m AS (SELECT max(doc_id) + 1 AS maxp1 FROM t),
+       |b AS (
+       |  SELECT doc_id, toks,
+       |         CAST((doc_id * $nBuckets) // maxp1 AS BIGINT) AS bucket
+       |  FROM t CROSS JOIN m
+       |), pb AS (
+       |  SELECT bucket, count(*) AS n_docs,
+       |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY 1
+       |), fs AS (
+       |  SELECT fb AS bucket, count(*) AS new_types FROM (
+       |    SELECT token, min(bucket) AS fb FROM (
+       |      SELECT bucket, unnest(toks) AS token FROM b
+       |    ) GROUP BY token
+       |  ) GROUP BY 1
+       |), j AS (
+       |  SELECT pb.bucket, n_docs, n_tokens,
+       |         coalesce(new_types, 0) AS new_types
+       |  FROM pb LEFT JOIN fs ON fs.bucket = pb.bucket
+       |)
+       |SELECT bucket,
+       |       CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+       |       CAST(sum(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       |       CAST(sum(new_types) OVER w AS BIGINT) AS types_cum,
+       |       CASE WHEN sum(n_tokens) OVER w > 0
+       |            THEN CAST(sum(new_types) OVER w AS DOUBLE) /
+       |                 CAST(sum(n_tokens) OVER w AS DOUBLE)
+       |       END AS ttr
+       |FROM j
+       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)""".stripMargin
 }

@@ -248,6 +248,67 @@ object Similarity {
       |       min(v) AS vmin, max(v) AS vmax
       |FROM v GROUP BY 1""".stripMargin
 
+  /** Upper-triangle covariance matrix of the embedding dimensions —
+    * the input to whitening / decorrelation decisions (OPQ-style
+    * rotation ahead of PQ codebooks, redundant-dimension detection,
+    * anisotropy diagnosis of an embedding space). Same decimal-exact
+    * discipline as [[embeddingDimStats]]: float×float products are
+    * exact in double (24+24 < 53 mantissa bits), each product routes
+    * through decimal(38,30) so the cross-partition sum is associative
+    * and order-free, and cov = E[xy] − E[x]E[y] is evaluated in a
+    * fixed operation order both engines share.
+    *
+    * Scale: ONE scan, no join — each row emits its d(d+1)/2 index
+    * pairs (2,080 for d=64) through a generator feeding a hash
+    * aggregate with a FIXED group universe, so partial aggregation
+    * collapses the blowup map-side and the single exchange moves
+    * ≤ 2,080 rows per map partition regardless of corpus size. The
+    * marginal sums Σx/Σy ride inside each (di,dj) group (the group
+    * already fixes both dimensions), which is what makes the
+    * join-free shape possible. */
+  def embeddingCovariance(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(embedding)-1), i -> " +
+        "transform(sequence(i, size(embedding)-1), j -> " +
+        "struct(CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj, " +
+        "CAST(embedding[i] AS DOUBLE) AS x, " +
+        "CAST(embedding[j] AS DOUBLE) AS y))))")).as("p"))
+      .select(col("p.di").as("di"), col("p.dj").as("dj"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("di", "dj")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1)))
+          .as("mean_i"),
+        (sum(col("y").cast("decimal(38,30)")).cast("double") / count(lit(1)))
+          .as("mean_j"),
+        ((sum((col("x") * col("y")).cast("decimal(38,30)")).cast("double") /
+          count(lit(1))) -
+          (sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))) *
+          (sum(col("y").cast("decimal(38,30)")).cast("double") / count(lit(1))))
+          .as("cov"))
+
+  def embeddingCovarianceSql(): String =
+    """WITH pairs AS (
+      |  SELECT unnest(flatten(list_transform(range(1, len(embedding)+1), i ->
+      |           list_transform(range(i, len(embedding)+1), j ->
+      |             {'di': i-1, 'dj': j-1,
+      |              'x': CAST(embedding[i] AS DOUBLE),
+      |              'y': CAST(embedding[j] AS DOUBLE)})))) AS s
+      |  FROM embeddings
+      |), v AS (
+      |  SELECT CAST(s.di AS BIGINT) AS di, CAST(s.dj AS BIGINT) AS dj,
+      |         s.x AS x, s.y AS y
+      |  FROM pairs
+      |)
+      |SELECT di, dj, count(*) AS n,
+      |       CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_i,
+      |       CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_j,
+      |       CAST(CAST(sum(CAST(CAST(x*y AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*)
+      |         - (CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*))
+      |           * (CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*)) AS cov
+      |FROM v GROUP BY 1, 2""".stripMargin
+
   /** k-NN GRAPH over the whole embeddings table — every vector is a
     * query (graph-based diversity pruning, neighborhood dedup, and the
     * build step of graph-ANN indexes). The coarse quantizer is a

@@ -250,4 +250,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.getOrElse(("A", "B"), 0L) >= 1L)
     assert(!got.keys.exists { case (a, b) => a == "C" || b == "C" })
   }
+
+  test("lmBigramScore: micro-averaged conditional probability, hand counts") {
+    // corpus bigrams: (a,b):3, (b,a):1, (b,c):1; contexts c(a,.)=3, c(b,.)=2
+    val dir = docsDir(Seq(
+      (0L, "a b a b"),
+      (1L, "a b c"),
+      (2L, "x")))
+    val rows = Corpus.lmBigramScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("hit_mass"),
+          r.getAs[Long]("ctx_mass"), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    // doc 0: positions (a,b)+(b,a)+(a,b) -> hits 3+1+3=7 over ctx 3+2+3=8
+    assert(rows(0L) == ((3L, 7L, 8L, Some(7.0 / 8.0))))
+    // doc 1: (a,b)+(b,c) -> hits 3+1=4 over ctx 3+2=5
+    assert(rows(1L) == ((2L, 4L, 5L, Some(4.0 / 5.0))))
+    // doc 2: <2 tokens -> zero masses, NULL score, but the row survives
+    assert(rows(2L) == ((0L, 0L, 0L, None)))
+  }
+
+  test("vocabGrowth: cumulative docs/tokens/types and first-seen buckets") {
+    // maxp1=4, nBuckets=2: docs 0,1 -> bucket 0; docs 2,3 -> bucket 1
+    val dir = docsDir(Seq(
+      (0L, "a b"),
+      (1L, "a c"),
+      (2L, "a d"),
+      (3L, "b e f")))
+    val rows = Corpus.vocabGrowth(spark, dir, nBuckets = 2).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("docs_cum"), r.getAs[Long]("tokens_cum"),
+          r.getAs[Long]("types_cum"), r.getAs[Double]("ttr")))
+      .toMap
+    // bucket 0 introduces {a,b,c}; bucket 1 adds {d,e,f} (b is NOT new)
+    assert(rows(0L) == ((2L, 4L, 3L, 3.0 / 4.0)))
+    assert(rows(1L) == ((4L, 9L, 6L, 6.0 / 9.0)))
+  }
 }

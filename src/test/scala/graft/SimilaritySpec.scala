@@ -359,4 +359,25 @@ class SimilaritySpec extends AnyFunSuite {
     // on this corpus every seed keeps members
     assert(nCells == expected, s"expected $expected cells, got $nCells")
   }
+
+  test("embeddingCovariance: upper-triangle moments match hand arithmetic") {
+    import spark.implicits._
+    // 2-dim vectors (1,2),(3,4),(5,12) — all values exact in float
+    val dir = java.nio.file.Files.createTempDirectory("graftcov").toString
+    Seq((0L, Array(1f, 2f), 1), (1L, Array(3f, 4f), 1), (2L, Array(5f, 12f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.embeddingCovariance(spark, dir).collect()
+      .map(r => (r.getAs[Long]("di"), r.getAs[Long]("dj")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_i"),
+          r.getAs[Double]("mean_j"), r.getAs[Double]("cov")))
+      .toMap
+    // upper triangle of a 2x2 matrix: exactly (0,0),(0,1),(1,1)
+    assert(rows.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    // sums are exact integers (9, 18, 35, 74, 140); the final ops are
+    // the same double divisions/subtractions the operator performs
+    assert(rows((0L, 0L)) == ((3L, 3.0, 3.0, 35.0 / 3 - 3.0 * 3.0)))
+    assert(rows((0L, 1L)) == ((3L, 3.0, 6.0, 74.0 / 3 - 3.0 * 6.0)))
+    assert(rows((1L, 1L)) == ((3L, 6.0, 6.0, 164.0 / 3 - 6.0 * 6.0)))
+  }
 }
