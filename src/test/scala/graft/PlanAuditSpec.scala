@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "minhash_lsh", "simhash_pairs", "winnow_pairs", "cross_dedup",
     "heavy_hitters", "tfidf_topk", "doc_quantiles", "doc_term_vectors",
     "ann_cosine_topk", "knn_graph", "embedding_dim_stats",
-    "attribution_asof", "contamination")
+    "attribution_asof", "contamination",
+    "lm_bigram_score", "vocab_growth", "embedding_covariance")
 
   test("no representative query plans a CartesianProduct") {
     representative.foreach { name =>
@@ -62,6 +63,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"knn_graph no longer keys cells by trained list_id:\n$plan")
     assert(!plan.contains("label#"),
       s"knn_graph still references the static label column:\n$plan")
+  }
+
+  test("lm_bigram_score probes by join, never a per-context window") {
+    // the stopword context key is skewed; a `partition by x` window
+    // could not be skew-split, the (x,y)/x joins can — the plan must
+    // contain no WindowExec at all
+    val plan = SparkEntry.queries("lm_bigram_score")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"lm_bigram_score reintroduced a per-context window:\n$plan")
+  }
+
+  test("vocab_growth: corpus max arrives broadcast, one bounded window") {
+    // the maxp1 scalar joins by BroadcastNestedLoopJoin (1-row build
+    // side), and the only ordered structure is the single window over
+    // the <= nBuckets bucket axis — never a corpus-wide sort
+    val df = SparkEntry.queries("vocab_growth")(spark, sf)
+    df.collect()
+    // the adaptive plan prints Final AND Initial sections — count only final
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab_growth maxp1 scalar no longer broadcast:\n$plan")
+    assert(plan.sliding("Window ".length).count(_ == "Window ") <= 1,
+      s"vocab_growth grew a second window:\n$plan")
+  }
+
+  test("embedding_covariance is one scan, one agg exchange, no join") {
+    // the d(d+1)/2 generator feeds a FIXED-universe hash aggregate, so
+    // partial aggregation collapses the blowup map-side; any join or
+    // second shuffle means the join-free shape regressed
+    val df = SparkEntry.queries("embedding_covariance")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"),
+      s"embedding_covariance grew a join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"embedding_covariance lost its hash aggregate:\n$plan")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"embedding_covariance needs exactly one shuffle:\n$plan")
   }
 
   test("heavy_hitters' exact pass shuffles candidates, not the vocabulary") {
