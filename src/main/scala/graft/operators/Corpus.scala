@@ -580,6 +580,28 @@ object Corpus {
 
   // ---- Bigram-LM quality scoring --------------------------------------
 
+  /** Empty-token-filtered tokens of `text` — materialize as a column
+    * BEFORE [[bigramsOfToks]] (the projection-collapse trap: inlining
+    * the tokenizer into the transform re-evaluates it per position). */
+  private[graft] def cleanToksExpr = expr(s"filter($toksExpr, t -> length(t) > 0)")
+
+  /** Adjacent-token bigram structs of a materialized `toks` column. */
+  private[graft] def bigramsOfToks = expr(
+    "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+    "i -> struct(toks[i] AS x, toks[i+1] AS y)) ELSE " +
+    "array() END")
+
+  /** The corpus bigram model: (bi = (x, y, c_xy), ctx = (x, c_x)) —
+    * built in batch, probed by both [[lmBigramScore]] and the
+    * stream-static [[graft.streaming.StreamingJobs.streamingLmScore]]. */
+  private[graft] def bigramModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val pos = docs.withColumn("toks", cleanToksExpr)
+      .select(col("doc_id"), explode(bigramsOfToks).as("bg"))
+      .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+    val bi = pos.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    (bi, bi.groupBy("x").agg(sum(col("c_xy")).as("c_x")))
+  }
+
   /** Per-document bigram language-model fit — the exact-arithmetic
     * analog of perplexity-based quality filtering (Wenzek et al. 2020
     * CCNet; Heafield 2011 KenLM — public technique): documents whose
@@ -607,15 +629,11 @@ object Corpus {
     * as [[tfidfTopK]]'s df join). Per-doc reduction is an ordinary
     * doc_id-keyed agg. No global sort, no driver action. */
   def lmBigramScore(spark: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(spark, d)
-      .withColumn("toks", expr(s"filter($toksExpr, t -> length(t) > 0)"))
-    val pos = toks.select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
-        "i -> struct(toks[i] AS x, toks[i+1] AS y)) ELSE " +
-        "array() END")).as("bg"))
+    val docs = Tables.documents(spark, d)
+    val pos = docs.withColumn("toks", cleanToksExpr)
+      .select(col("doc_id"), explode(bigramsOfToks).as("bg"))
       .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
-    val bi  = pos.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-    val ctx = bi.groupBy("x").agg(sum(col("c_xy")).as("c_x"))
+    val (bi, ctx) = bigramModel(docs)
     val perDoc = pos
       .join(bi, Seq("x", "y"))
       .join(ctx, Seq("x"))
@@ -746,4 +764,63 @@ object Corpus {
        |FROM j
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
        |             AND CURRENT ROW)""".stripMargin
+
+  // ---- Tokenizer vocabulary coverage ----------------------------------
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * closed vocabulary at a FREQUENCY CUTOFF (tokens occurring
+    * ≥ minCount times) — the tokenizer-coverage check run before
+    * committing to a vocabulary: documents dense in sub-cutoff tokens
+    * (foreign scripts, codes, OCR noise) surface with high oov_rate.
+    * The cutoff form (not top-V) is deliberate: membership is a pure
+    * per-token predicate, so the vocabulary needs NO global ranking —
+    * a top-V vocab would need a total order over the (corpus-scale)
+    * token-count relation, this needs only `c >= minCount`.
+    *
+    * Exactness: counts are exact int64; oov_rate is one final division
+    * of two exact integers (NULL for token-less docs).
+    *
+    * Scale: one tokenization scan feeding a map-side-combined vocab
+    * count, then a token-keyed probe join (hot tokens are skewed —
+    * AQE-splittable, same shape as [[lmBigramScore]]) and a doc_id
+    * agg. The vocab relation never leaves the cluster; no sort. */
+  def oovRate(spark: SparkSession, d: String, minCount: Long = 5L): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tok = docs.withColumn("toks", cleanToksExpr)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    val perDoc = tok.join(vocab, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  def oovRateSql(minCount: Long = 5L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |                             tok -> length(tok) > 0) AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS token FROM t
+       |), vocab AS (
+       |  SELECT token FROM tok GROUP BY 1 HAVING count(*) >= $minCount
+       |), per_doc AS (
+       |  SELECT tok.doc_id, count(*) AS n_tokens,
+       |         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM tok LEFT JOIN vocab v ON v.token = tok.token
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(n_tokens, 0) AS n_tokens,
+       |       coalesce(n_oov, 0) AS n_oov,
+       |       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+       |FROM documents d LEFT JOIN per_doc USING (doc_id)""".stripMargin
 }

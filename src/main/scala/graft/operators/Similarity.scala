@@ -309,6 +309,64 @@ object Similarity {
       |           * (CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*)) AS cov
       |FROM v GROUP BY 1, 2""".stripMargin
 
+  /** Embedding-space outlier report — corrupt / degenerate vector
+    * detection (zeroed rows, encoder failures, wrong-model mixtures)
+    * before vectors poison an ANN index or a semantic-dedup pass.
+    * Score = exact squared L2 distance to the corpus mean vector
+    * ([[exactSqDist]] parity contract); a vector is flagged when its
+    * score exceeds `ratioCap` × the corpus mean score — a RATIONAL
+    * multiple of a deterministic double, so the flag is bit-stable in
+    * both engines (no sqrt, no σ estimate: by Markov's inequality at
+    * most 1/ratioCap of the corpus can ever be flagged).
+    *
+    * Scale: three shuffle-free passes over the table (dimension means;
+    * per-row score; score mean), the only exchanges a dim-sized mean
+    * aggregate and two 1-row broadcasts. No joins keyed by data, no
+    * windows — per-row work is one O(dim) codegen'd fold. */
+  def embeddingOutliers(spark: SparkSession, d: String, ratioCap: Double = 4.0): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    // per-dimension decimal-exact means, assembled in dimension order
+    val meanVec = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "fv")))
+      .groupBy(col("pos"))
+      .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("mean_vec"))
+    val scored = e.crossJoin(broadcast(meanVec))
+      .select(col("vec_id"), exactSqDist("embedding", "mean_vec").as("dist2"))
+    val thr = scored.agg(
+      (sum(col("dist2").cast("decimal(38,30)")).cast("double") / count(lit(1)))
+        .as("mean_dist2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("dist2"),
+        (col("dist2") / col("mean_dist2")).as("dist2_ratio"),
+        (col("dist2") > lit(ratioCap) * col("mean_dist2")).as("is_outlier"))
+  }
+
+  def embeddingOutliersSql(ratioCap: Double = 4.0): String =
+    s"""WITH p AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |         CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM p
+       |), m AS (
+       |  SELECT dim,
+       |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+       |  FROM v GROUP BY 1
+       |), d2 AS (
+       |  SELECT v.vec_id,
+       |         CAST(CAST(sum(CAST(CAST((v.v - m.m)*(v.v - m.m) AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist2
+       |  FROM v JOIN m USING (dim) GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(CAST(sum(CAST(CAST(dist2 AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_dist2
+       |  FROM d2
+       |)
+       |SELECT vec_id, dist2, dist2 / mean_dist2 AS dist2_ratio,
+       |       dist2 > $ratioCap * mean_dist2 AS is_outlier
+       |FROM d2 CROSS JOIN t""".stripMargin
+
   /** k-NN GRAPH over the whole embeddings table — every vector is a
     * query (graph-based diversity pruning, neighborhood dedup, and the
     * build step of graph-ANN indexes). The coarse quantizer is a

@@ -178,6 +178,42 @@ object StreamingJobs {
         coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
   }
 
+  /** Stream-static face of Corpus.lmBigramScore — every ARRIVING
+    * document is scored against a STATIC bigram model built by the
+    * batch pipeline (live quality gating at ingest: route low-fit
+    * documents to quarantine before they enter the corpus). Arriving
+    * rows explode to bigram positions (explode_outer so token-poor
+    * docs still emit one verdict row), stream-static left-join the
+    * (x,y)-count and x-mass model relations, and aggregate per
+    * (event-time window, doc_id) under the watermark — no cross-stream
+    * state; the model relations are bounded by the static vocabulary.
+    * When the model corpus contains the arriving documents, the scores
+    * equal the batch operator's bit-for-bit (parity-tested); unseen
+    * bigrams contribute zero hit mass, unseen contexts nothing at all,
+    * and a doc with no modeled context gets a NULL score. */
+  def streamingLmScore(docs: DataFrame, modelCorpus: DataFrame,
+                       wmDelay: String = "30 seconds",
+                       win: String = "1 minute"): DataFrame = {
+    import graft.operators.Corpus
+    val (bi, ctx) = Corpus.bigramModel(modelCorpus)
+    docs.withWatermark("ts", wmDelay)
+      .withColumn("toks", Corpus.cleanToksExpr)
+      .select(col("ts"), col("doc_id"),
+        explode_outer(Corpus.bigramsOfToks).as("bg"))
+      .select(col("ts"), col("doc_id"),
+        col("bg.x").as("x"), col("bg.y").as("y"))
+      .join(bi, Seq("x", "y"), "left")
+      .join(ctx, Seq("x"), "left")
+      .groupBy(window(col("ts"), win), col("doc_id"))
+      .agg(count(col("x")).as("n_bigrams"),
+        coalesce(sum(col("c_xy")), lit(0L)).as("hit_mass"),
+        coalesce(sum(col("c_x")), lit(0L)).as("ctx_mass"))
+      .select(col("doc_id"), col("n_bigrams"), col("hit_mass"), col("ctx_mass"),
+        when(col("ctx_mass") > 0,
+          col("hit_mass").cast("double") / col("ctx_mass").cast("double"))
+          .as("lm_score"))
+  }
+
   /** Streaming face of EventAnalytics.latestSnapshot — CDC/upsert
     * materialization as an incremental update-mode aggregate: one
     * `max_by` state row per key, re-emitted whenever a later event

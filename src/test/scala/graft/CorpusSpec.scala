@@ -286,4 +286,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(0L) == ((2L, 4L, 3L, 3.0 / 4.0)))
     assert(rows(1L) == ((4L, 9L, 6L, 6.0 / 9.0)))
   }
+
+  test("oovRate: sub-cutoff tokens count as OOV, exact per-doc ratios") {
+    // counts: common x5 (in-vocab at minCount=3), both x3 (in), rare x1/x2 (out)
+    val dir = docsDir(Seq(
+      (0L, "common common common both rare1"),
+      (1L, "common common both both rare2 rare2"),
+      (2L, "")))
+    val rows = Corpus.oovRate(spark, dir, minCount = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(rows(0L) == ((5L, 1L, Some(1.0 / 5.0))))
+    assert(rows(1L) == ((6L, 2L, Some(2.0 / 6.0))))
+    // empty doc: zero tokens, NULL rate, row survives
+    assert(rows(2L) == ((0L, 0L, None)))
+  }
 }

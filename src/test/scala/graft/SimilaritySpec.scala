@@ -380,4 +380,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows((0L, 1L)) == ((3L, 3.0, 6.0, 74.0 / 3 - 3.0 * 6.0)))
     assert(rows((1L, 1L)) == ((3L, 6.0, 6.0, 164.0 / 3 - 6.0 * 6.0)))
   }
+
+  test("embeddingOutliers flags the far vector, keeps the tight cluster") {
+    import spark.implicits._
+    // 9 vectors in a tight ball around (1,1), one far at (100,100):
+    // the outlier dominates the mean squared distance but still sits
+    // far above 4x the mean; the cluster sits far below it
+    val dir = java.nio.file.Files.createTempDirectory("graftoutl").toString
+    val rows = (0 until 9).map(i => (i.toLong, Array(1f + 0.01f * i, 1f), 1)) :+
+      (9L, Array(100f, 100f), 1)
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("dist2_ratio"), r.getAs[Boolean]("is_outlier")))
+      .toMap
+    assert(out.size == 10)
+    assert(out(9L)._2, s"far vector not flagged: ${out(9L)}")
+    (0L until 9L).foreach(i => assert(!out(i)._2, s"cluster vector $i flagged"))
+    // ratios average to 1 by construction; the outlier carries ~all the
+    // mass, so its ratio approaches n-1 = 9 from either side
+    assert(out(9L)._1 > 8.5 && out(9L)._1 < 9.5)
+  }
 }

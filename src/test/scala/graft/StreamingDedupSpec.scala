@@ -201,6 +201,46 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingLmScore equals batch lmBigramScore on real documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the full sf0.001 corpus streams against a model built from the
+    // SAME corpus — the batch operator's exact self-model regime, so
+    // every streamed verdict must match the oracle-checked batch row
+    // bit-for-bit (incl. the zero-mass NULL-score docs via explode_outer)
+    val sfDir = "/root/testdata/sf0.001"
+    val model = graft.sources.Tables.documents(spark, sfDir)
+    val docs = model.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batch = graft.operators.Corpus.lmBigramScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("hit_mass"),
+          r.getAs[Long]("ctx_mass"),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingLmScore(df, model), "stream_lm", "append")
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.map { case (id, t) => (id, 10L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b.map { case (id, t) => (id, 20L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((-1L, 600L, "late watermark pusher")))
+      q.processAllAvailable()
+      val got = spark.table("stream_lm").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("hit_mass"),
+            r.getAs[Long]("ctx_mass"),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))))
+        .toMap
+      assert((got - (-1L)) == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("trendingTokens: streamed MG sketch keeps every true heavy hitter") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
