@@ -414,4 +414,65 @@ object DataPipeline {
        |LEFT JOIN keepers USING (h)
        |JOIN cl USING (doc_id)
        |LEFT JOIN reps USING (cluster_id)""".stripMargin
+
+  // ---- dataset card (one-row corpus datasheet) ------------------------
+
+  /** The one-row corpus DATASHEET — the numbers every dataset card /
+    * mixing decision starts from (Gebru et al. 2021, "Datasheets for
+    * Datasets" — public): document and token totals, distinct-content
+    * count (→ exact-dup rate), vocabulary size, source/lang coverage,
+    * length extremes, mean tokens per document. All counts exact
+    * int64; the two ratios are single divisions of exact integers.
+    *
+    * Scale: two scans — one feeding a single multi-countDistinct
+    * aggregate (Catalyst expands to the standard two-phase exact
+    * distinct), one token explosion feeding an exact vocab count; the
+    * 1-row results cross-join by broadcast. Nothing here is
+    * corpus-ordered. */
+  def datasetCard(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("toks", Corpus.cleanToksExpr)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_tokens"),
+      countDistinct(sha2(col("text"), 256)).as("n_unique_contents"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    val vocab = docs.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("vocab_size"))
+    base.crossJoin(broadcast(vocab))
+      .select(col("n_docs"), col("n_tokens"), col("n_unique_contents"),
+        col("vocab_size"), col("n_sources"), col("n_langs"),
+        col("min_chars"), col("max_chars"),
+        ((col("n_docs") - col("n_unique_contents")).cast("double") /
+          col("n_docs").cast("double")).as("exact_dup_rate"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"))
+  }
+
+  def datasetCardSql(): String =
+    """WITH t AS (
+      |  SELECT doc_id, text, source, lang, n_chars,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     tok -> length(tok) > 0) AS toks
+      |  FROM documents
+      |), base AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+      |         count(DISTINCT sha256(text)) AS n_unique_contents,
+      |         count(DISTINCT source) AS n_sources,
+      |         count(DISTINCT lang) AS n_langs,
+      |         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |  FROM t
+      |), v AS (
+      |  SELECT count(DISTINCT token) AS vocab_size
+      |  FROM (SELECT unnest(toks) AS token FROM t)
+      |)
+      |SELECT n_docs, n_tokens, n_unique_contents, vocab_size,
+      |       n_sources, n_langs, min_chars, max_chars,
+      |       CAST(n_docs - n_unique_contents AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_rate,
+      |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+      |FROM base CROSS JOIN v""".stripMargin
 }

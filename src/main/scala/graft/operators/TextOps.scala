@@ -1329,6 +1329,34 @@ object TextOps {
        |  FROM sized
        |) WHERE rn = 1 AND n_docs >= 2""".stripMargin
 
+  /** Near-dup CLUSTER-SIZE histogram — the one-screen duplication
+    * profile of a corpus (how much is singletons, how much lives in
+    * pathological mega-clusters): for each cluster size, how many
+    * clusters and how many documents they hold. The standard readout
+    * for choosing a dedup keep-policy and for spotting boilerplate
+    * explosions before they dominate a training mix.
+    *
+    * Scale: inherits [[neardupClusters]]'s audited (and session-
+    * memoized) pair lineage, then two strictly-shrinking map-side-
+    * combined aggregations (corpus → clusters → sizes); ≤ |corpus|
+    * then ≤ |distinct sizes| rows. All counts exact int64. */
+  def clusterSizeHist(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
+    neardupClusters(spark, d, threshold)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  def clusterSizeHistSql(threshold: Double = 0.5): String =
+    s"""SELECT cluster_size, count(*) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM (
+       |  SELECT cluster_id, count(*) AS cluster_size
+       |  FROM (
+       |${neardupClustersSql(threshold)}
+       |  ) GROUP BY 1
+       |) GROUP BY 1""".stripMargin
+
   // ---- edit-distance verify over LSH candidates ----------------------
 
   /** Character-level near-dup pairs: SimHash-band candidates verified

@@ -146,4 +146,42 @@ class DataPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("datasetCard: hand-counted one-row datasheet on a crafted corpus") {
+    import spark.implicits._
+    // 4 docs, one exact twin pair; vocab {aa,bb,cc,dd}; 2 langs, 2 sources
+    val dir = java.nio.file.Files.createTempDirectory("graftcard").toString
+    Seq(
+      (0L, "aa bb aa", "en", "s1"),
+      (1L, "aa bb aa", "en", "s2"),   // exact dup of 0
+      (2L, "cc dd", "fr", "s1"),
+      (3L, "", "en", "s1"))           // empty: 0 tokens
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DataPipeline.datasetCard(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 8L)          // 3 + 3 + 2 + 0
+    assert(r.getAs[Long]("n_unique_contents") == 3L) // dup pair collapses
+    assert(r.getAs[Long]("vocab_size") == 4L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("min_chars") == 0L && r.getAs[Long]("max_chars") == 8L)
+    assert(r.getAs[Double]("exact_dup_rate") == 1.0 / 4.0)
+    assert(r.getAs[Double]("mean_doc_tokens") == 8.0 / 4.0)
+  }
+
+  test("clusterSizeHist conserves documents and clusters") {
+    val assign = graft.operators.TextOps.neardupClusters(spark, sf)
+    val nDocs = assign.count()
+    val nClusters = assign.select("cluster_id").distinct().count()
+    val hist = graft.operators.TextOps.clusterSizeHist(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    assert(hist.map(h => h._1 * h._2).sum == nDocs)
+    assert(hist.map(_._2).sum == nClusters)
+    assert(hist.forall(h => h._3 == h._1 * h._2))
+    // sf0.001 has crafted near-dups: at least one multi-doc cluster
+    assert(hist.exists(_._1 >= 2L))
+  }
 }
