@@ -177,18 +177,20 @@ object Similarity {
     * label) — shared by the table-label path and the [[ivfTrain]]ed
     * path; the physical plan is identical either way. */
   private def ivfTopKImpl(base: DataFrame, queries: DataFrame, k: Int,
-                          nprobe: Int): DataFrame = {
+                          nprobe: Int,
+                          centOpt: Option[DataFrame] = None): DataFrame = {
     val e = base.withColumn("norm", sqrt(exactDot("embedding", "embedding")))
     // centroid arrays: exact element-wise means, assembled back into an
-    // array ordered by position (tiny: one row per label)
-    val cent = base
+    // array ordered by position (tiny: one row per label); trained
+    // callers pass the session-memoized relation instead
+    val cent = centOpt.getOrElse(base
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
       .groupBy("label", "pos")
       .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
         count(lit(1))).as("cv"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
-      .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
+      .withColumn("cnorm", sqrt(exactDot("cemb", "cemb"))))
     val q = queries.select(col("query_id"), col("embedding").as("qe"))
       .withColumn("qn", sqrt(exactDot("qe", "qe")))
     // query ↔ centroid scores → top-nprobe labels per query
@@ -410,20 +412,28 @@ object Similarity {
     val en = withNorm(spark, d)
     // members re-labeled by the trained assignment; probing centroids
     // are the exact element-wise means of the FINAL cells (identical
-    // recipe to ivfTopKImpl, so knnGraph ≡ annIvfTopKTrained per query)
+    // recipe to ivfTopKImpl, so knnGraph ≡ annIvfTopKTrained per query),
+    // session-memoized alongside the index itself
     val e = en.select(col("vec_id"), col("embedding"), col("norm"))
       .join(assign, "vec_id")
-    val cent = raw.join(assign, "vec_id")
-      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
-      .groupBy("list_id", "pos")
-      .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
-        count(lit(1))).as("cv"))
-      .groupBy("list_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
-      .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
+    val cent = probeCentroids(spark, d, nl, iters)
     val q = en.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("norm").as("qn"))
-    val qc = q.join(broadcast(cent))
+    // the probe itself is two-phase (the n·nlists exact decimal folds
+    // were the hot spot): codegen'd double centroid scores for every
+    // (vector, cell), exact rescore only for cells within 1e-6 of each
+    // vector's nprobe-th best — same identity proof as the pair
+    // scoring below and the Lloyd argmin
+    val qcPre = q.join(broadcast(cent))
+      .withColumn("capprox",
+        graft.plans.GraftFunctions.dotF64(col("qe"), col("cemb")) /
+          (col("qn") * col("cnorm")))
+    val wCPre = Window.partitionBy(col("query_id")).orderBy(col("capprox").desc, col("list_id"))
+    val wCAll = Window.partitionBy(col("query_id"))
+    val qc = qcPre
+      .withColumn("cpre_rn", row_number().over(wCPre))
+      .withColumn("ckth", max(when(col("cpre_rn") === nprobe, col("capprox"))).over(wCAll))
+      .filter(col("ckth").isNull || col("capprox") >= col("ckth") - 1e-6)
       .select(col("query_id"), col("qe"), col("qn"), col("list_id"),
         (exactDot("qe", "cemb") / (col("qn") * col("cnorm"))).as("cscore"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("list_id"))
@@ -552,6 +562,30 @@ object Similarity {
   private val trainCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
 
+  /** Session-memoized PROBING centroids of the trained index —
+    * (list_id, cemb, cnorm): exact element-wise means of the FINAL
+    * assignment cells with exact norms, persisted once per (session,
+    * dir, nlists, iters) and shared by [[knnGraph]] and
+    * [[annIvfTopKTrained]] (consumers must NOT unpersist it). */
+  private[operators] def probeCentroids(spark: SparkSession, d: String,
+                                        nlists: Int, iters: Int): DataFrame =
+    probeCentCache.computeIfAbsent((spark, d, nlists, iters), _ => {
+      val assign = ivfTrainFull(spark, d, nlists, iters)._1
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        .join(assign, "vec_id")
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .groupBy("list_id", "pos")
+        .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy("list_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
+        .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
+        .persist()
+    })
+
+  private val probeCentCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
   /** The Lloyd chain over an ARBITRARY (vec_id, embedding) frame —
     * shared by the embeddings-table path and vector sources built from
     * other tables (TextOps.docTopics' hashed term vectors). */
@@ -604,7 +638,9 @@ object Similarity {
         "vec_id")
     ivfTopKImpl(base,
       Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding")), k, nprobe)
+        .select(col("vec_id").as("query_id"), col("embedding")), k, nprobe,
+      centOpt = Some(probeCentroids(spark, d, nlists, iters)
+        .withColumnRenamed("list_id", "label")))
   }
 
   /** Semantic-diversity mix report — the data-mixing view of embedding
