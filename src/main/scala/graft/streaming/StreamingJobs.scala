@@ -178,6 +178,82 @@ object StreamingJobs {
         coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
   }
 
+  /** Stream-static face of Similarity.semDedup — every ARRIVING vector
+    * is assigned to its best trained cell of a STATIC reference corpus
+    * (nearest-cosine probing centroid, nprobe = 1 — the knnGraph probe
+    * rule) and gets a semantic-dedup verdict against that cell's
+    * members: `drop` with the smallest corpus mate at cosine ≥
+    * `threshold`, else `keep`. The live-ingestion form of SemDeDup —
+    * gate semantically-redundant vectors before they enter the corpus.
+    *
+    * Shapes: the corpus side (trained assignment + exact cell-mean
+    * centroids + member norms) is batch-built once at plan time; the
+    * ⌈√n⌉-row centroid table is collected into a LITERAL array column
+    * so the per-row argmax is a pure HOF expression — no stream-side
+    * aggregation is spent on the probe (append mode allows exactly
+    * one, and the verdict needs it). That collect is the documented
+    * LUT-broadcast trade (ivf_pq's arbitrary-query overload): fine to
+    * ~10⁵ cells; beyond that, probe with a coarser streaming quantizer.
+    * The member join is stateless stream-static on list_id (cell-sized
+    * fanout ≈ √n per arrival); verdicts aggregate per (event-time
+    * window, vec_id) under the watermark and emit once in append mode.
+    * Run on a batch frame the identical plan executes one-shot —
+    * parity-tested (StreamingDedupSpec). */
+  def streamingSemDedup(vecs: DataFrame, corpus: DataFrame,
+                        threshold: Double = 0.4,
+                        wmDelay: String = "30 seconds",
+                        win: String = "1 minute"): DataFrame = {
+    import graft.operators.Similarity
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val nl = math.max(8, math.ceil(math.sqrt(base.count().toDouble)).toInt)
+    val assign = Similarity.ivfTrainFullFrom(base, nl, 2)._1
+    // probing centroids: exact element-wise means of the FINAL cells
+    // (the probeCentroids recipe), collected ordered by list_id
+    val centRows = base.join(assign, "vec_id")
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+      .groupBy("list_id", "pos")
+      .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy("list_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
+      .withColumn("cnorm", sqrt(Similarity.exactDot("cemb", "cemb")))
+      .orderBy("list_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val members = base.join(assign, "vec_id")
+      .withColumn("mn", sqrt(Similarity.exactDot("embedding", "embedding")))
+      .select(col("list_id"), col("vec_id").as("mate_id"),
+        col("embedding").as("me"), col("mn"))
+    vecs.withWatermark("ts", wmDelay)
+      .withColumn("qn", sqrt(Similarity.exactDot("embedding", "embedding")))
+      .withColumn("_cent", typedLit(centRows))
+      // argmax cosine, ties to the LOWER list id (the -c._1 trick makes
+      // the lexicographic array_max prefer it)
+      .withColumn("_best", expr(
+        """array_max(transform(_cent, c -> struct(
+          |  aggregate(zip_with(embedding, c._2, (x, y) -> CAST(x AS DOUBLE) * y),
+          |            CAST(0 AS DOUBLE), (a, v) -> a + v) / (qn * c._3) AS s,
+          |  -c._1 AS nl)))""".stripMargin))
+      .select(col("ts"), col("vec_id"), col("embedding"), col("qn"),
+        (-col("_best.nl")).as("list_id"))
+      .join(members, Seq("list_id"))
+      // self-exclusion lives INSIDE the qualification (not a filter): a
+      // corpus vector arriving into its own singleton cell must still
+      // emit rows so the verdict agg can produce its `keep`
+      .withColumn("m",
+        when(col("mate_id") =!= col("vec_id") &&
+          (Similarity.exactDot("embedding", "me") / (col("qn") * col("mn")))
+          >= threshold,
+          struct(col("mate_id"),
+            (Similarity.exactDot("embedding", "me") / (col("qn") * col("mn")))
+              .as("score"))))
+      .groupBy(window(col("ts"), win), col("vec_id"))
+      .agg(min(col("m")).as("best"))
+      .select(col("vec_id"),
+        when(col("best").isNull, lit("keep")).otherwise(lit("drop")).as("verdict"),
+        coalesce(col("best.mate_id"), lit(-1L)).as("dup_of"),
+        col("best.score").as("score"))
+  }
+
   /** Stream-static face of Corpus.lmBigramScore — every ARRIVING
     * document is scored against a STATIC bigram model built by the
     * batch pipeline (live quality gating at ingest: route low-fit

@@ -19,7 +19,20 @@ class PlanAuditSpec extends AnyFunSuite {
     "heavy_hitters", "tfidf_topk", "doc_quantiles", "doc_term_vectors",
     "ann_cosine_topk", "knn_graph", "embedding_dim_stats",
     "attribution_asof", "contamination",
-    "lm_bigram_score", "vocab_growth", "embedding_covariance")
+    "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup")
+
+  test("semdedup confines the pair quadratic to trained cells and never " +
+    "references the static label partition") {
+    val df = SparkEntry.queries("semdedup")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // pairs come from a list_id-keyed equality join on the TRAINED
+    // assignment — cell-keyed shuffle, no label cells, no cartesian
+    assert(plan.contains("list_id"),
+      s"semdedup lost the trained-cell pair join:\n$plan")
+    assert(!plan.contains("label#"),
+      s"semdedup references the static label column:\n$plan")
+  }
 
   test("no representative query plans a CartesianProduct") {
     representative.foreach { name =>

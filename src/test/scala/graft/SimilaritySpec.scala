@@ -220,6 +220,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semDedup: crafted duplicates drop to their smallest-id mate, rest keep") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val near = base.clone(); near(3) = near(3) + 0.001f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graftsemd").toString
+    Seq((0L, base, 1), (1L, near, 1), (2L, far, 1), (3L, base.clone(), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.semDedup(spark, dir, threshold = 0.99, nlists = 2)
+      .collect().map(r => (r.getLong(0),
+        r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // trained cells group 0/1/3 regardless of the label column; 1 and 3
+    // both resolve to the smallest-id mate 0, never chain to each other
+    assert(rows == Set((0L, "keep", -1L), (1L, "drop", 0L),
+      (2L, "keep", -1L), (3L, "drop", 0L)))
+  }
+
+  test("semDedup: total verdict relation with well-formed drop rows") {
+    val out = Similarity.semDedup(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(out.length == n)
+    assert(out.map(_.getLong(0)).distinct.length == n)
+    out.foreach { r =>
+      if (r.getString(2) == "drop") {
+        assert(r.getLong(3) < r.getLong(0))
+        assert(r.getDouble(4) >= 0.4)
+      } else { assert(r.isNullAt(3) && r.isNullAt(4)) }
+    }
+  }
+
   test("hyperplane LSH: identical vectors share a bucket and are found") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => 0.01f * ((i % 13) - 6))

@@ -166,6 +166,71 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSemDedup: arriving near-dup drops to its corpus mate, novel keeps") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two well-separated corpus clusters (axes of R^8)
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val b = Array.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val corpus = Seq((10L, a), (11L, a.clone()), (20L, b))
+      .toDF("vec_id", "embedding")
+    val nearA = a.clone(); nearA(0) = nearA(0) + 0.01f
+    val novel = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val input = MemoryStream[(Long, Long, Array[Float])]
+    val df = input.toDF().toDF("vec_id", "secs", "embedding")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingSemDedup(df, corpus, threshold = 0.9),
+      "stream_semdedup", "append")
+    try {
+      input.addData(Seq((100L, 10L, nearA), (101L, 11L, novel)))
+      q.processAllAvailable()
+      input.addData(Seq((-1L, 600L, novel))) // watermark pusher
+      q.processAllAvailable()
+      val got = spark.table("stream_semdedup").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // 100 lands in the a-cluster cell and resolves to the SMALLEST mate
+      // (10, not 11); 101's best cell holds no vector within 0.9
+      assert(got(100L) == (("drop", 10L)) && got(101L) == (("keep", -1L)), s"$got")
+    } finally q.stop()
+  }
+
+  test("streamingSemDedup incremental run equals the one-shot batch run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // one-shot batch execution of the IDENTICAL plan
+    val batchDf = vecs.toSeq.map { case (id, e) => (id, 10L, e) }
+      .toDF("vec_id", "secs", "embedding")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val expected = StreamingJobs.streamingSemDedup(batchDf, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val input = MemoryStream[(Long, Long, Array[Float])]
+    val df = input.toDF().toDF("vec_id", "secs", "embedding")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingSemDedup(df, corpus), "stream_semdedup_sf", "append")
+    try {
+      val (x, y) = vecs.splitAt(vecs.length / 2)
+      input.addData(x.map { case (id, e) => (id, 10L, e) }.toSeq)
+      q.processAllAvailable()
+      input.addData(y.map { case (id, e) => (id, 10L, e) }.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((-1L, 600L, vecs.head._2))) // watermark pusher
+      q.processAllAvailable()
+      val got = spark.table("stream_semdedup_sf").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // the pusher row (-1) flushes but also emits its own verdict in
+      // BOTH runs only if present in both — it is absent from batch, so
+      // drop it before comparing
+      assert((got - (-1L)) == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingCrossDedup verdicts equal batch crossDedup on real documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -245,11 +245,15 @@ class SurfaceSpec extends AnyFunSuite {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val events = spark.read.parquet(s"$sf/events.parquet")
     val nTotal = events.count()
+    // derive the hour bucket independently of the operator's path,
+    // robust to either raw ts encoding the driver has shipped
+    // (epoch-NANOS int64 in early rounds, native timestamp now)
+    val rawSecs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000000")
+      case _ => ColumnFunctions.epochSeconds(col("ts"))
+    }
     val hourTotals = events
-      // raw parquet ts is epoch-NANOS int64 (Tables.events converts);
-      // derive the hour bucket independently of the operator's path
-      .select((floor(col("ts") / (3600L * 1000 * 1000 * 1000)) * 3600)
-        .cast("long").as("hour"))
+      .select((floor(rawSecs / 3600L) * 3600).cast("long").as("hour"))
       .groupBy("hour").count().collect()
       .map(r => r.getAs[Long]("hour") -> r.getAs[Long]("count")).toMap
     val piv = EventAnalytics.eventPivot(spark, sf).collect()
