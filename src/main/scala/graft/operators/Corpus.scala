@@ -165,6 +165,69 @@ object Corpus {
        |  CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS dup_count
        |FROM g""".stripMargin
 
+  // ---- fixed-size context-window chunking -----------------------------
+
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * every pretraining / RAG pipeline runs before packing: each
+    * document yields chunks of `size` tokens starting every
+    * stride = size − overlap tokens; the trailing chunk keeps whatever
+    * remains, and a would-be chunk containing ONLY already-seen
+    * overlap tokens is not emitted (⌈(n − overlap)/stride⌉ chunks for
+    * n > size, one otherwise). Output (doc_id, chunk_id, start_tok,
+    * n_tokens, chunk_hash) — the hash stands in for the chunk text
+    * (same narrow-relation convention as [[cdcChunks]]; slice the
+    * token array by start_tok/n_tokens to materialize text).
+    * [[cdcChunks]] is the content-defined contrast: these chunks are
+    * position-stable, those are content-stable.
+    *
+    * Scale: one tokenize scan and a per-row transform explode — NO
+    * shuffle, no window, no join; chunk fanout is bounded by
+    * n/stride per document. The plan is a single WholeStageCodegen
+    * span over the scan, which is the whole point at 100 TB. */
+  def chunkDocuments(spark: SparkSession, d: String, size: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      "need size >= 1 and 0 <= overlap < size")
+    val stride = size - overlap
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .withColumn("n",
+        org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .withColumn("nchunks",
+        when(col("n") <= size, lit(1L))
+          .otherwise(expr(s"(n - $overlap + $stride - 1) DIV $stride")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, nchunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("ctoks",
+        expr(s"slice(toks, CAST(start_tok + 1 AS INT), $size)"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("ctoks")).cast("long").as("n_tokens"),
+        graft.functions.ColumnFunctions.hash64(
+          concat_ws(" ", col("ctoks")), 0).as("chunk_hash"))
+  }
+
+  def chunkDocumentsSql(size: Int = 64, overlap: Int = 16): String = {
+    val stride = size - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |), m AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= $size THEN 1
+       |         ELSE (len(toks) - $overlap + $stride - 1) // $stride END AS nchunks
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, unnest(range(0, nchunks)) AS chunk_id, toks FROM m
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $stride AS BIGINT) AS start_tok,
+       |  CAST(len(toks[chunk_id * $stride + 1 : chunk_id * $stride + $size]) AS BIGINT) AS n_tokens,
+       |  (md5_number_lower('0:' ||
+       |     array_to_string(toks[chunk_id * $stride + 1 : chunk_id * $stride + $size], ' '))
+       |   % ${HashPrime}::UBIGINT)::BIGINT AS chunk_hash
+       |FROM c""".stripMargin
+  }
+
   // ---- incremental-ingestion coverage (anti/semi-join dedup) ----------
 
   /** Default "new batch" partition for the driver query: the first five

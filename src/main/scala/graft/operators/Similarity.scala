@@ -515,6 +515,64 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
 
+  /** Neighborhood label agreement over the k-NN graph — the standard
+    * label-noise / mislabel-detection report of a curation pipeline
+    * (flag vectors whose semantic neighborhood votes against their
+    * own label; reviewers triage the disagreements). Each vector's
+    * [[knnGraph]] neighbors vote with their `label`; the majority
+    * (ties to the smaller label) becomes `knn_label`. Output
+    * (vec_id, label, knn_label, n_votes, agree ∈ {0,1}) — one row per
+    * vector.
+    *
+    * Scale: rides the session-memoized trained index through
+    * [[knnGraph]] (n·k edge rows), one (query, label)-keyed map-side-
+    * combined count, one per-query WindowGroupLimit — nothing beyond
+    * the graph build itself. */
+  def knnLabelVote(spark: SparkSession, d: String, k: Int = 3,
+                   nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val lbl = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").cast("int").as("label"))
+    val votes = knnGraph(spark, d, k, nprobe, 0, iters)
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("nlabel"))
+    val top = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("nlabel").as("knn_label"),
+        col("n_votes"))
+    lbl.join(top, "vec_id")
+      .select(col("vec_id"), col("label"), col("knn_label"), col("n_votes"),
+        when(col("label") === col("knn_label"), lit(1)).otherwise(lit(0))
+          .as("agree"))
+  }
+
+  /** DuckDB twin of [[knnLabelVote]]: the full [[knnGraphSql]] runs as
+    * a nested-CTE subquery, then the same vote/rank/agree chain. */
+  def knnLabelVoteSql(k: Int = 3, nprobe: Int = 2, iters: Int = 2): String =
+    s"""WITH g AS (
+       |  SELECT * FROM (
+       |${knnGraphSql(k, nprobe, iters)}
+       |  )
+       |), votes AS (
+       |  SELECT g.query_id AS vec_id, CAST(e.label AS INT) AS nlabel,
+       |         count(*) AS n_votes
+       |  FROM g JOIN embeddings e ON e.vec_id = g.neighbor_id
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT vec_id, nlabel AS knn_label, n_votes FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY n_votes DESC, nlabel) AS rn
+       |    FROM votes
+       |  ) WHERE rn = 1
+       |)
+       |SELECT e.vec_id, CAST(e.label AS INT) AS label, top.knn_label,
+       |       top.n_votes,
+       |       CASE WHEN CAST(e.label AS INT) = top.knn_label
+       |            THEN 1 ELSE 0 END AS agree
+       |FROM embeddings e JOIN top ON e.vec_id = top.vec_id""".stripMargin
+
   // ---- IVF index training (deterministic seeded k-means) -------------
 
   /** Builds the coarse IVF partition from scratch — the upstream step

@@ -124,6 +124,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(dup.forall(_ >= 2L))
   }
 
+  test("chunkDocuments: stride/overlap cover every token, trailing chunk short") {
+    // doc 0: 100 tokens with size=10, overlap=2 → stride 8,
+    // nchunks = ceil(98/8) = 13; doc 1 fits one chunk; doc 2 is the
+    // n = size boundary (exactly one chunk, no overlap-only trailer)
+    val dir = docsDir(Seq(
+      (0L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (1L, "a b c"),
+      (2L, (1 to 10).map(i => s"v$i").mkString(" "))))
+    val rows = Corpus.chunkDocuments(spark, dir, size = 10, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.length == 13)
+    assert(d0.map(_._3).toSeq == (0 until 13).map(_ * 8L))
+    assert(d0.dropRight(1).forall(_._4 == 10L) && d0.last._4 == 4L) // 96..100
+    // full coverage: every token index falls in some chunk
+    val covered = d0.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 100L).toSet)
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 3L)))
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 10L)))
+    // identical windows hash identically: doc 0 chunk 0 vs a fresh doc
+    // with the same first 10 tokens
+    val dir2 = docsDir(Seq((7L, (1 to 10).map(i => s"w$i").mkString(" "))))
+    val h7 = Corpus.chunkDocuments(spark, dir2, size = 10, overlap = 2)
+      .collect().head.getLong(4)
+    val h0 = Corpus.chunkDocuments(spark, dir, size = 10, overlap = 2)
+      .filter(col("chunk_id") === 0L && col("doc_id") === 0L)
+      .collect().head.getLong(4)
+    assert(h7 == h0)
+  }
+
   test("corpusCoverage flags a re-crawled doc as redundant, novel content as not") {
     import spark.implicits._
     val seenText = (1 to 30).map(i => s"w$i").mkString(" ")

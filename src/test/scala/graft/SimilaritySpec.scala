@@ -220,6 +220,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("knnLabelVote equals a driver-side recount of the kNN edges") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = edges.groupBy(_._1).map { case (q, es) =>
+      val counts = es.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size) }
+      // majority, ties to the smaller label
+      val (lbl, n) = counts.toSeq.minBy { case (l, c) => (-c, l) }
+      q -> ((labels(q), lbl, n.toLong, if (labels(q) == lbl) 1 else 0))
+    }
+    val got = Similarity.knnLabelVote(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("semDedup: crafted duplicates drop to their smallest-id mate, rest keep") {
     import spark.implicits._
     val base = Array.tabulate(8)(i => 0.1f * (i + 1))
