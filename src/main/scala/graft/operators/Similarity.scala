@@ -402,7 +402,21 @@ object Similarity {
     * Output (query_id, neighbor_id, score, rank) — n·k edges of the
     * directed k-NN graph. */
   def knnGraph(spark: SparkSession, d: String, k: Int = 3, nprobe: Int = 2,
-               nlists: Int = 0, iters: Int = 2): DataFrame = {
+               nlists: Int = 0, iters: Int = 2): DataFrame =
+    knnGraphCache.computeIfAbsent((spark, d, k, nprobe, nlists, iters), _ =>
+      knnGraphBuild(spark, d, k, nprobe, nlists, iters).persist())
+
+  /** Session memo of the [[knnGraph]] edge relation (same hook as the
+    * trained-index memo it rides on): the graph is n·k rows — SMALLER
+    * than its input — and knn_label_vote re-consumes the identical
+    * edges, so a session pays the probe + rescore once. At 100 TB the
+    * edge relation is exactly what a pipeline would materialize as a
+    * table between the index build and its graph consumers. */
+  private val knnGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int, Int), DataFrame]()
+
+  private def knnGraphBuild(spark: SparkSession, d: String, k: Int, nprobe: Int,
+                            nlists: Int, iters: Int): DataFrame = {
     val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val nl = if (nlists > 0) nlists
       else math.max(8, math.ceil(math.sqrt(raw.count().toDouble)).toInt)

@@ -340,6 +340,12 @@ object TextOps {
 
   /** The (doc_id, shingle) set relation every Jaccard strategy and the
     * stats pass share — distinct bigram shingles per document. */
+  /** Distinct word-bigram shingles per document. Deliberately NOT
+    * session-memoized (unlike the pair-relation memo): an A/B bench
+    * showed the consumers' cost lives in their pair joins, not this
+    * scan, and the exploded relation is LARGER than its input — at
+    * 100 TB re-scanning the pruned parquet beats caching a blown-up
+    * intermediate. */
   private[graft] def shingleSets(spark: SparkSession, d: String): DataFrame =
     docs(spark, d)
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
