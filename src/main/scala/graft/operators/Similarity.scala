@@ -1006,6 +1006,57 @@ object Similarity {
        |  FROM adc
        |) WHERE rank <= $k""".stripMargin
 
+  /** Per-subspace quantization distortion of the PQ codebook — the
+    * index-quality telemetry every PQ deployment watches (a subspace
+    * whose MSE dwarfs the others needs more codes or an OPQ rotation;
+    * rising distortion on fresh data means the codebook no longer fits
+    * the distribution and needs retraining). One row per subspace:
+    * (sub_id, n_vectors, total_sqerr, mse), exact decimal sums.
+    *
+    * Scale: rides the [[pqCodebook]]/[[pqAssign]] chain (broadcast
+    * codebook, per-row argmin), then ONE nSub-group map-side-combined
+    * aggregate — the fixed-universe-group shape of
+    * embedding_dim_stats; no join beyond the broadcast. */
+  def pqDistortion(spark: SparkSession, d: String, nSub: Int = 8,
+                   nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val cent = pqCodebook(base, nSub, nCodes, iters, dim)
+    val sv = subvectors(base, nSub, dim)
+    val codes = pqAssign(sv, cent)
+    sv.join(codes, Seq("vec_id", "sub_id"))
+      .join(broadcast(cent), Seq("sub_id", "code"))
+      .select(col("sub_id"), exactSqDist("sv", "cemb").as("se"))
+      .groupBy("sub_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("se").cast("decimal(38,30)")).cast("double").as("total_sqerr"))
+      .select(col("sub_id"), col("n_vectors"), col("total_sqerr"),
+        (col("total_sqerr") / col("n_vectors")).as("mse"))
+  }
+
+  /** DuckDB twin of [[pqDistortion]]: the [[pqEncodeSql]] chain plus
+    * the per-(vec, sub) exact squared error and the nSub-group fold. */
+  def pqDistortionSql(nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                      dim: Int = 64): String =
+    s"""${pqSqlChain(nSub, nCodes, iters, dim)}, se AS (
+       |  SELECT e.vec_id, e.sub_id,
+       |    CAST(CAST(sum(CAST(CAST((e.v - c.cv) * (e.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS se
+       |  FROM e
+       |  JOIN a$iters a ON a.vec_id = e.vec_id AND a.sub_id = e.sub_id
+       |  JOIN c${iters - 1} c ON c.sub_id = e.sub_id AND c.code = a.code
+       |                      AND c.spos = e.spos
+       |  GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT sub_id, count(*) AS n_vectors,
+       |    CAST(CAST(sum(CAST(CAST(se AS VARCHAR) AS DECIMAL(38,30)))
+       |      AS VARCHAR) AS DOUBLE) AS total_sqerr
+       |  FROM se GROUP BY 1
+       |)
+       |SELECT sub_id, n_vectors, total_sqerr,
+       |       total_sqerr / n_vectors AS mse
+       |FROM agg""".stripMargin
+
   // ---- IVF-PQ: coarse cells + residual product quantization ----------
 
   /** IVF-PQ top-k — the billion-scale ANN architecture (IVFADC: Jégou,

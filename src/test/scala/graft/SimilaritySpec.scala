@@ -220,6 +220,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("pqDistortion: one row per subspace, richer codebooks fit no worse") {
+    val d16 = Similarity.pqDistortion(spark, sf, nCodes = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(d16.keySet == (0L until 8L).toSet)
+    d16.values.foreach { case (n, tot, mse) =>
+      assert(n > 0 && tot >= 0.0)
+      assert(math.abs(mse - tot / n) < 1e-12)
+    }
+    // a 1-code codebook (every subvector to one centroid) cannot beat 16
+    val d1 = Similarity.pqDistortion(spark, sf, nCodes = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    (0L until 8L).foreach { s => assert(d16(s)._3 <= d1(s) + 1e-12) }
+  }
+
   test("knnLabelVote equals a driver-side recount of the kNN edges") {
     val labels = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
