@@ -732,13 +732,19 @@ object TextOps {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
 
-  private def minhashLshCompute(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+  /** The (doc_id, band, x, y) LSH band relation of [[signatures]] —
+    * shared by the pair join and the [[lshBandStats]] tuning report. */
+  private def bandRelation(spark: SparkSession, d: String): DataFrame = {
     val sig = signatures(spark, d)
     val bandCols = MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
       struct(lit(bi).as("band"), col(s"h${ss.head}").as("x"), col(s"h${ss.last}").as("y"))
     }.toSeq
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
+  }
+
+  private def minhashLshCompute(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+    val bands = bandRelation(spark, d)
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
         col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
@@ -751,14 +757,17 @@ object TextOps {
     jaccardVerify(cands, sets, threshold)
   }
 
-  def minhashLshSql(threshold: Double = 0.5): String = {
+  /** DuckDB twin of the tokenize→shingle→signature→[[bandRelation]]
+    * prefix (t, sh, sig, bands CTEs) — shared by [[minhashLshSql]] and
+    * [[lshBandStatsSql]]. */
+  private def lshBandsSqlPrefix: String = {
     // same double-hashing family as [[signatures]]: one md5, two halves
     val lo = s"(md5_number_lower('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"
     val hi = s"(md5_number_upper('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"
     val h = (s: Int) =>
       if (s == 0) s"min($lo)"
       else s"min(((($lo)::HUGEINT + $s * ($hi)::HUGEINT) % ${HashPrime})::BIGINT)"
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |           FROM documents),
        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
        |              i -> toks[i] || ' ' || toks[i+1])) AS sh
@@ -767,7 +776,11 @@ object TextOps {
        |        FROM sh GROUP BY 1),
        |bands AS (${MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
                     s"SELECT doc_id, $bi AS band, h${ss.head} AS x, h${ss.last} AS y FROM sig"
-                  }.mkString(" UNION ALL ")}),
+                  }.mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  def minhashLshSql(threshold: Double = 0.5): String = {
+    s"""WITH $lshBandsSqlPrefix,
        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.x = b.x AND a.y = b.y
@@ -785,6 +798,40 @@ object TextOps {
        |JOIN sizes nb ON c.doc_b = nb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
   }
+
+  /** LSH band-tuning telemetry — the report that says whether the
+    * (bands × rows) parameters still fit the corpus: per band, the
+    * distinct bucket count, the LARGEST bucket (a viral bucket means a
+    * degenerate signature — stop-shingle-heavy near-empty docs — and
+    * quadratic candidate fanout), the exact candidate-pair volume
+    * Σ C(bucket, 2) the pair join would emit, and the banded doc
+    * count. Watch max_bucket and candidate_pairs grow out of
+    * proportion to n_docs → re-tune bands/rows or pre-filter
+    * degenerate docs. Output (band, n_buckets, max_bucket,
+    * candidate_pairs, n_docs).
+    *
+    * Scale: the [[signatures]] subtree plus one (band,x,y)-keyed
+    * map-side-combined count and one |bands|-group fold — strictly
+    * cheaper than the pair join it predicts; candidate_pairs comes
+    * from bucket COUNTS (cnt·(cnt−1)/2), never from materializing
+    * pairs. */
+  def lshBandStats(spark: SparkSession, d: String): DataFrame =
+    bandRelation(spark, d)
+      .groupBy("band", "x", "y").agg(count(lit(1)).as("cnt"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("cnt")).as("max_bucket"),
+        sum(expr("cnt * (cnt - 1) DIV 2")).as("candidate_pairs"),
+        sum(col("cnt")).as("n_docs"))
+
+  def lshBandStatsSql(): String =
+    s"""WITH $lshBandsSqlPrefix,
+       |bk AS (SELECT band, x, y, count(*) AS cnt FROM bands GROUP BY 1, 2, 3)
+       |SELECT band, count(*) AS n_buckets,
+       |       CAST(max(cnt) AS BIGINT) AS max_bucket,
+       |       CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS candidate_pairs,
+       |       CAST(sum(cnt) AS BIGINT) AS n_docs
+       |FROM bk GROUP BY 1""".stripMargin
 
   /** Incremental (cross-corpus) dedup — the "dedup the NEW crawl
     * against everything already ingested" pipeline stage, distinct

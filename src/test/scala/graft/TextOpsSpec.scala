@@ -51,6 +51,29 @@ class TextOpsSpec extends AnyFunSuite {
       (8829717554030173605L, 5455292087381511200L, 6748849742465155639L)))
   }
 
+  test("lshBandStats: identical docs collide in every band, counts consistent") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftlshs").toString
+    Seq((0L, a), (1L, a), (2L, b), (3L, b + " tail"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.lshBandStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set(0, 1, 2, 3)) // 4 bands
+    rows.values.foreach { case (nb, mx, cp, nd) =>
+      assert(nd == 4L)        // every doc has shingles, lands in each band
+      assert(mx >= 2L)        // docs 0/1 are identical → shared bucket
+      assert(cp >= 1L)        // ... which predicts at least their pair
+      assert(nb <= nd)        // buckets cannot exceed banded docs
+      // Σ C(cnt,2) over buckets is consistent with nb/mx bounds
+      assert(cp <= nd * (nd - 1) / 2)
+    }
+  }
+
   test("minhash LSH finds crafted near-duplicates and skips unrelated docs") {
     import spark.implicits._
     val base = ("w" + (1 to 40).mkString(" w")).split(" ").mkString(" ") // w1..w40
