@@ -21,6 +21,23 @@ class PlanAuditSpec extends AnyFunSuite {
     "attribution_asof", "contamination",
     "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup")
 
+  test("chunk_documents is one codegen scan — no shuffle, no join, no window") {
+    val df = SparkEntry.queries("chunk_documents")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "Window", "Sort").foreach { op =>
+      assert(!plan.contains(op),
+        s"chunk_documents plans a $op — the zero-shuffle contract broke:\n$plan")
+    }
+  }
+
+  test("lsh_band_stats derives candidate volume from bucket counts, " +
+    "never a pair join") {
+    val df = SparkEntry.queries("lsh_band_stats")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"lsh_band_stats materializes pairs instead of counting buckets:\n$plan")
+  }
+
   test("semdedup confines the pair quadratic to trained cells and never " +
     "references the static label partition") {
     val df = SparkEntry.queries("semdedup")(spark, sf)
