@@ -415,6 +415,41 @@ object DataPipeline {
        |JOIN cl USING (doc_id)
        |LEFT JOIN reps USING (cluster_id)""".stripMargin
 
+  /** The curation FUNNEL summary — what each pipeline decision cost in
+    * documents and tokens ("dedup bought X% of the token budget back"):
+    * [[curationPipeline]]'s per-doc decisions rolled up to (decision,
+    * n_docs, n_tokens), the headline numbers a run report / dataset
+    * card quotes next to the mixing weights. Exact int64 counts.
+    *
+    * Scale: inherits the (session-memoized) pipeline lineage, adds one
+    * tokenize scan for exact token counts, one doc_id join and a
+    * ≤5-group map-side-combined fold — nothing corpus-ordered. */
+  def curationReport(spark: SparkSession, d: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val dec = curationPipeline(spark, d, threshold)
+      .select(col("doc_id"), col("decision"))
+    val toks = Tables.documents(spark, d).select(col("doc_id"),
+      org.apache.spark.sql.functions.size(expr(graft.operators.TextOps.toksExpr))
+        .cast("long").as("n_toks"))
+    dec.join(toks, "doc_id")
+      .groupBy("decision")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  def curationReportSql(threshold: Double = 0.5): String =
+    s"""WITH cp AS (
+       |  SELECT * FROM (
+       |${curationPipelineSql(threshold)}
+       |  )
+       |), tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |)
+       |SELECT cp.decision, count(*) AS n_docs,
+       |       CAST(sum(tk.n_toks) AS BIGINT) AS n_tokens
+       |FROM cp JOIN tk USING (doc_id) GROUP BY 1""".stripMargin
+
   // ---- dataset card (one-row corpus datasheet) ------------------------
 
   /** The one-row corpus DATASHEET — the numbers every dataset card /

@@ -97,6 +97,19 @@ class DataPipelineSpec extends AnyFunSuite {
       3L -> ("too_short", 0L)))
   }
 
+  test("curationReport: rollup partitions the corpus, token sums exact") {
+    val base = "the quick brown fox " + (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7", "zz")
+    val dir = docsDir(Seq(0L -> base, 1L -> base, 2L -> near, 3L -> "tiny"))
+    val got = DataPipeline.curationReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one decision each (crafted in the pipeline test above); base/near
+    // are 34 whitespace tokens, 'tiny' is 1
+    assert(got == Map(
+      "kept" -> ((1L, 34L)), "exact_dup" -> ((1L, 34L)),
+      "near_dup" -> ((1L, 34L)), "too_short" -> ((1L, 1L))))
+  }
+
   test("dataset split: stable under corpus growth, fractions in range") {
     import spark.implicits._
     val full = DataPipeline.datasetSplit(spark, sf, 0.05, 0.05).collect()
