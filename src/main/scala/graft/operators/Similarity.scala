@@ -939,12 +939,32 @@ object Similarity {
     * integer row per (vec_id, sub_id); the codebook is trained inline
     * (deterministic, so encode is replayable end to end). */
   def pqEncode(spark: SparkSession, d: String, nSub: Int = 8, nCodes: Int = 16,
-               iters: Int = 2, dim: Int = 64): DataFrame = {
-    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
-    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val cent = pqCodebook(base, nSub, nCodes, iters, dim)
-    pqAssign(subvectors(base, nSub, dim), cent)
-  }
+               iters: Int = 2, dim: Int = 64): DataFrame =
+    pqCodesCache.computeIfAbsent((spark, d, nSub, nCodes, iters, dim), _ => {
+      require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+      val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val cent = pqRawCodebook(spark, d, nSub, nCodes, iters, dim)
+      pqAssign(subvectors(base, nSub, dim), cent).persist()
+    })
+
+  /** Session memos of the RAW-vector PQ artifacts (the trained-index-
+    * memo hook): pq_encode, pq_adc_topk and pq_distortion all start
+    * from the identical embeddings-table codebook (nSub·nCodes rows)
+    * and code relation (n·nSub integers) — both SMALLER than their
+    * input, both deterministic, so a session pays the Lloyd chain
+    * once and no result hash can change. ivf_pq_topk's RESIDUAL
+    * codebook is a different relation and keeps its own build. */
+  private def pqRawCodebook(spark: SparkSession, d: String, nSub: Int,
+                            nCodes: Int, iters: Int, dim: Int): DataFrame =
+    pqCbCache.computeIfAbsent((spark, d, nSub, nCodes, iters, dim), _ => {
+      val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      pqCodebook(base, nSub, nCodes, iters, dim).persist()
+    })
+
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int, Int), DataFrame]()
+  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int, Int), DataFrame]()
 
   /** PQ-ADC approximate top-k: queries score against the CODEBOOK once
     * (a per-query lookup table of nSub·nCodes exact subdistances), and
@@ -958,8 +978,8 @@ object Similarity {
                 dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val cent = pqCodebook(base, nSub, nCodes, iters, dim)
-    val codes = pqAssign(subvectors(base, nSub, dim), cent)
+    val cent = pqRawCodebook(spark, d, nSub, nCodes, iters, dim)
+    val codes = pqEncode(spark, d, nSub, nCodes, iters, dim)
     val qsv = subvectors(base.filter(col("vec_id") < nQueries), nSub, dim)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
     val lut = qsv.join(broadcast(cent), "sub_id")
@@ -1021,9 +1041,9 @@ object Similarity {
                    nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val cent = pqCodebook(base, nSub, nCodes, iters, dim)
+    val cent = pqRawCodebook(spark, d, nSub, nCodes, iters, dim)
     val sv = subvectors(base, nSub, dim)
-    val codes = pqAssign(sv, cent)
+    val codes = pqEncode(spark, d, nSub, nCodes, iters, dim)
     sv.join(codes, Seq("vec_id", "sub_id"))
       .join(broadcast(cent), Seq("sub_id", "code"))
       .select(col("sub_id"), exactSqDist("sv", "cemb").as("se"))
