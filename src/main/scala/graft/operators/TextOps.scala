@@ -287,21 +287,43 @@ object TextOps {
     * with word-wise AND + POPCNT inside one broadcast nested-loop join —
     * no 10⁷-row shuffle, no groupBy. C(n,2)·⌈vocab/64⌉ word-ops, chosen
     * only under the doc/vocab caps in [[chooseJaccardStrategy]]. */
+  /** Per-document word-bitmap relation (doc_id, w0..w{nWords−1}, n) of
+    * a distinct-shingle frame — the dense-regime encoding both
+    * [[bitmapJaccard]] and [[bitmapContainment]] score pairs over.
+    * Session-memoized keyed by the CANONICALIZED logical plan of
+    * `sets` (structural equality — the same corpus lineage hits
+    * regardless of which operator asks) + vocab: each consumer reads
+    * the bitmap twice (both join sides), two registered queries share
+    * it, and the relation is docs × nWords longs — far SMALLER than
+    * the shingle frame it folds. Deterministic build (stable
+    * shingle→bit ranking), so sharing cannot change a hash. */
+  private def docBitmaps(sets: DataFrame, vocab: Long): DataFrame =
+    bitmapCache.computeIfAbsent(
+      (sets.queryExecution.analyzed.canonicalized, vocab), _ => {
+        import org.apache.spark.sql.expressions.Window
+        val nWords = ((vocab + 63) / 64).toInt
+        // stable shingle → bit index; bounded by maxBitmapVocab, so the
+        // single-partition ranking window is trivially small
+        val vocabIdx = sets.select(col("sh")).distinct()
+          .withColumn("idx", row_number().over(Window.orderBy(col("sh"))) - 1)
+        val ids = sets.join(broadcast(vocabIdx), "sh").select(col("doc_id"), col("idx"))
+        // per-word OR via SUM: idx values are distinct per doc, so each
+        // bit is added exactly once — the simhash static-aggregate trick
+        val words = (0 until nWords).map { w =>
+          sum(when(expr("idx DIV 64") === w,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as(s"w$w")
+        }
+        ids.groupBy("doc_id")
+          .agg(words.head, (words.tail :+ count(lit(1)).as("n")): _*)
+          .persist()
+      })
+
+  private val bitmapCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
+
   private def bitmapJaccard(sets: DataFrame, vocab: Long, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nWords = ((vocab + 63) / 64).toInt
-    // stable shingle → bit index; bounded by maxBitmapVocab, so the
-    // single-partition ranking window is trivially small
-    val vocabIdx = sets.select(col("sh")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("sh"))) - 1)
-    val ids = sets.join(broadcast(vocabIdx), "sh").select(col("doc_id"), col("idx"))
-    // per-word OR via SUM: idx values are distinct per doc, so each bit
-    // is added exactly once — the simhash static-aggregate trick
-    val words = (0 until nWords).map { w =>
-      sum(when(expr("idx DIV 64") === w,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as(s"w$w")
-    }
-    val bm = ids.groupBy("doc_id").agg(words.head, (words.tail :+ count(lit(1)).as("n")): _*)
+    val bm = docBitmaps(sets, vocab)
     // keep the words as FLAT long columns (not an array): the popcount
     // sum below is then a plain builtin expression tree — whole-stage
     // codegen, zero allocation per pair (a zip_with/aggregate HOF form
@@ -561,16 +583,8 @@ object TextOps {
     * undirected intersection. */
   private[graft] def bitmapContainment(sets: DataFrame, vocab: Long,
                                        threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nWords = ((vocab + 63) / 64).toInt
-    val vocabIdx = sets.select(col("sh")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("sh"))) - 1)
-    val ids = sets.join(broadcast(vocabIdx), "sh").select(col("doc_id"), col("idx"))
-    val words = (0 until nWords).map { w =>
-      sum(when(expr("idx DIV 64") === w,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as(s"w$w")
-    }
-    val bm = ids.groupBy("doc_id").agg(words.head, (words.tail :+ count(lit(1)).as("n")): _*)
+    val bm = docBitmaps(sets, vocab)
     val a = bm.select(col("doc_id").as("da") +:
       (0 until nWords).map(w => col(s"w$w").as(s"a$w")) :+ col("n").as("nda"): _*)
     val b = bm.select(col("doc_id").as("db") +:
