@@ -964,22 +964,30 @@ object TextOps {
     * Hamming 0) while bigrams separate near-dups (≤12) from background
     * (≥15) cleanly. Bits 0..59 keep the value signed-safe in both
     * engines. */
-  def simhash(spark: SparkSession, d: String): DataFrame = {
-    val toks = docs(spark, d)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(shinglesExpr(2)))).as("tok"))
-      .withColumn("h", hash64(col("tok"), 42))
-    // 60 static vote aggregates instead of a 60× bit-explode: the
-    // shuffle carries 60 partial sums per doc, never |shingles|×60 rows
-    val votes = (0 until 60).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1)).as(s"v$i")
-    }
-    val value = (0 until 60)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), value.as("simhash"))
-  }
+  def simhash(spark: SparkSession, d: String): DataFrame =
+    simhashCache.computeIfAbsent((spark, d), _ => {
+      val toks = docs(spark, d)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(shinglesExpr(2)))).as("tok"))
+        .withColumn("h", hash64(col("tok"), 42))
+      // 60 static vote aggregates instead of a 60× bit-explode: the
+      // shuffle carries 60 partial sums per doc, never |shingles|×60 rows
+      val votes = (0 until 60).map { i =>
+        sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1)).as(s"v$i")
+      }
+      val value = (0 until 60)
+        .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), value.as("simhash"))
+        .persist()
+    })
+
+  /** Session memo of the simhash relation (one long per doc — tiny):
+    * simhash, simhash_pairs and edit_distance_pairs all fold the same
+    * tokenize→shingle→vote subtree; deterministic, so shared. */
+  private val simhashCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private val simhashCtes: String =
     s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
