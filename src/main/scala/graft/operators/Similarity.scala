@@ -1126,32 +1126,55 @@ object Similarity {
     * contributes (probed cells, residual LUT) is nprobe·nSub·nCodes
     * rows, so the broadcast budget is queries × that, independent of
     * the corpus. */
+  /** Session memo of the IVF-PQ INDEX bundle (cent, residual codebook,
+    * cell-tagged codes) — the per-call persists above covered only one
+    * call's plan; bench passes and the arbitrary-query overload
+    * rebuilt the training chain each time. All three artifacts are
+    * index-sized (nlists·dim, nSub·nCodes·subDim, n·nSub ints),
+    * deterministic, and query-independent — exactly what a production
+    * IVF-PQ system materializes once at build time. */
+  private def ivfPqIndex(spark: SparkSession, d: String, nlists: Int,
+                         ivfIters: Int, nSub: Int, nCodes: Int, iters: Int,
+                         dim: Int): (DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexCache.computeIfAbsent(
+      (spark, d, nlists, ivfIters, nSub, nCodes, iters, dim), _ => {
+        val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        // trained coarse quantizer: assignment + the centroids it was
+        // scored against (broadcast-sized: nlists rows). cent's LINEAGE
+        // is a full Lloyd iteration — persist so the probe and LUT
+        // branches don't re-train it (the table itself is nlists rows).
+        val (assign, cent0) = ivfTrainFull(spark, d, nlists, ivfIters)
+        val cent = cent0.persist()
+        // residual relation: r = v − centroid(assigned cell), element-
+        // wise. Materialized once: every Lloyd stage of the PQ chain
+        // (seeds join, per-iteration distance + recompute), the encode
+        // pass, and the cell join re-derive it otherwise — ~6 recomputes
+        // of the ivfTrain+join subtree. Production IVF-PQ materializes
+        // residual codes the same way; storage is n×dim doubles.
+        val resid = base.join(assign, "vec_id").join(broadcast(cent), "list_id")
+          .select(col("vec_id"), col("list_id"),
+            zip_with(col("embedding").cast("array<double>"), col("cemb"),
+              (x, y) => x - y).as("embedding"))
+          .persist()
+        val rb = resid.select(col("vec_id"), col("embedding"))
+        val cb = pqCodebook(rb, nSub, nCodes, iters, dim).persist()
+        val codes = pqAssign(subvectors(rb, nSub, dim), cb)
+          .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+          .persist()
+        (cent, cb, codes)
+      })
+
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int, Int, Int, Int),
+    (DataFrame, DataFrame, DataFrame)]()
+
   def ivfPqTopK(spark: SparkSession, d: String, queries: DataFrame, k: Int,
                 nprobe: Int, nlists: Int, ivfIters: Int,
                 nSub: Int, nCodes: Int, iters: Int, dim: Int): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    // trained coarse quantizer: assignment + the centroids it was
-    // scored against (broadcast-sized: nlists rows). cent's LINEAGE is
-    // a full Lloyd iteration — persist so the probe and LUT branches
-    // don't re-train it (the table itself is nlists rows).
-    val (assign, cent0) = ivfTrainFull(spark, d, nlists, ivfIters)
-    val cent = cent0.persist()
-    // residual relation: r = v − centroid(assigned cell), elementwise.
-    // Materialized once: every Lloyd stage of the PQ chain (seeds join,
-    // per-iteration distance + recompute), the encode pass, and the
-    // cell join re-derive it otherwise — ~6 recomputes of the
-    // ivfTrain+join subtree. Production IVF-PQ materializes residual
-    // codes the same way; storage is n×dim doubles, freed on GC.
-    val resid = base.join(assign, "vec_id").join(broadcast(cent), "list_id")
-      .select(col("vec_id"), col("list_id"),
-        zip_with(col("embedding").cast("array<double>"), col("cemb"),
-          (x, y) => x - y).as("embedding"))
-      .persist()
-    val rb = resid.select(col("vec_id"), col("embedding"))
-    val cb = pqCodebook(rb, nSub, nCodes, iters, dim)
-    val codes = pqAssign(subvectors(rb, nSub, dim), cb)
-      .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+    val (cent, cb, codes) =
+      ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
     // probe: top-nprobe cells per query by exact centroid distance
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qe"))
