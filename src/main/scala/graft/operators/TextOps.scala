@@ -1709,7 +1709,18 @@ object TextOps {
     * [[dupSpans]] (report) and [[scrubSpans]] (rewrite). One scan: the
     * positioned gram stream shuffles once on the gram hash and both
     * consumers (occurrence count, count join-back) read that exchange. */
-  private def dupGramPositions(spark: SparkSession, d: String, l: Int): DataFrame = {
+  private def dupGramPositions(spark: SparkSession, d: String, l: Int): DataFrame =
+    dupGramCache.computeIfAbsent((spark, d, l), _ =>
+      dupGramPositionsBuild(spark, d, l).persist())
+
+  /** Session memo of the duplicated-gram position SLIVER (covered
+    * positions only — far smaller than the gram stream it filters):
+    * dup_spans and scrub_spans share it, and each bench/verify pass
+    * re-paid the 1-md5-per-gram shuffle otherwise. Deterministic. */
+  private val dupGramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private def dupGramPositionsBuild(spark: SparkSession, d: String, l: Int): DataFrame = {
     require(l >= 2, "span gram order must be >= 2")
     val pos = docs(spark, d)
       .select(col("doc_id"), posexplode(expr(shinglesExpr(l))).as(Seq("pos", "g")))
