@@ -101,4 +101,40 @@ class SkewSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 3))
     }
   }
+
+  test("semdedup: the hot-cell pair quadratic is split by AQE skew join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftskewsem").toString
+    // same degenerate shape as the knn_graph scenario: 160 collapsed
+    // vectors -> one hot trained cell whose a<b pair join concentrates
+    def unit(i: Long): Array[Float] = {
+      val a = Array.fill(16)(0.0f); a((i % 16).toInt) = 1.0f; a
+    }
+    val hot = (0L until 160L).map { i =>
+      val a = Array.fill(16)(1.0f); a(0) = 1.0f + (i % 3) * 1e-3f
+      (i, a, i % 5)
+    }
+    val rest = (160L until 200L).map(i => (i, unit(i), i % 5))
+    (hot ++ rest).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    withSkewConfs {
+      val v = Similarity.semDedup(spark, dir, threshold = 0.9)
+      val plan = finalPlan(v)
+      assert(plan.contains("skew=true"),
+        s"hot semdedup cell was not skew-split:\n$plan")
+      val rows = v.collect()
+      assert(rows.length == 200) // total verdict relation survives the split
+      // every hot vector except each cell's minimum drops to a SMALLER
+      // hot mate (within-cell cosines ~1 >= 0.9); the quantizer may cut
+      // the collapsed cluster into several cells (one per crafted
+      // variant at most nlists), so bound by cell count, don't pin it
+      val hotRows = rows.filter(_.getLong(0) < 160L)
+      val drops = hotRows.filter(_.getString(2) == "drop")
+      assert(drops.length >= 160 - 15, s"only ${drops.length} hot drops")
+      drops.foreach { r =>
+        assert(r.getLong(3) < r.getLong(0) && r.getLong(3) < 160L)
+      }
+      assert(hotRows.find(_.getLong(0) == 0L).get.getString(2) == "keep")
+    }
+  }
 }
