@@ -1847,6 +1847,117 @@ object TextOps {
        |SELECT vec_id AS doc_id, list_id AS topic FROM ta$iters""".stripMargin
   }
 
+  /** Similar-document search WITHOUT an embedding model — the text-side
+    * twin of the ANN family: sparse TF-cosine top-k over
+    * [[docTermVectors]]' hashed vectors, with the quadratic confined to
+    * [[docTopics]]' trained topic cells (the semdedup shape: a
+    * document is only compared to its content cluster). Dots are
+    * EXACT int64 sums of integer term frequencies; only the final
+    * norm division is floating point — oracle-parity by construction.
+    * Output (doc_id, similar_id, score, rank) — k rows per document
+    * that shares a cell with at least one other document.
+    *
+    * Scale: pairs join on the trained cell only, ONE row per pair
+    * carrying a dense exact-int dot (the sparse (topic, dim)
+    * inverted-index alternative multiplies the pair stream by every
+    * shared dimension — measured 8× slower at sf0.1); cell count
+    * follows the corpus (kTopics = 0 → ⌈√n⌉ — [[Similarity.semDedup]]'s
+    * argument), one per-doc WindowGroupLimit, and the assignment rides
+    * the [[docTopics]] session memo. Caveat: a topically HOMOGENEOUS
+    * corpus collapses Lloyd cells regardless of their count, and
+    * within-cell pairs go quadratic — the same degenerate-input mode
+    * as every clustering-bounded pair op here (AQE skew-split bounds
+    * task times, not total work); prefer the embedding-side ANN family
+    * when an encoder is available. */
+  def docSimilarTopK(spark: SparkSession, d: String, k: Int = 3,
+                     kTopics: Int = 0, dim: Int = 64, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tv = docTermVectors(spark, d, dim)
+    // cells scale with the corpus (kTopics = 0 → ⌈√n⌉, floor 2) — the
+    // semdedup argument: fixed cells go quadratic at 100×
+    val nl = if (kTopics > 0) kTopics
+      else math.max(2, math.ceil(math.sqrt(
+        tv.select("doc_id").distinct().count().toDouble)).toInt)
+    val assign = docTopics(spark, d, nl, dim, iters)
+    // dense exact-integer vectors: ONE pair row carries the whole dot
+    // (the sparse (topic, dim) inverted-index join multiplies the pair
+    // stream by d̄ shared dims — measured 24× slower at sf0.1)
+    // double-valued arrays + the codegen dot kernel: every entry is an
+    // integer tf < 2^53, so products and the 64-term sum are EXACT in
+    // double arithmetic — bit-identical to the oracle's integer fold
+    // (the aggregate(zip_with(...)) HOF form allocates a pair-sized
+    // array per candidate; the native kernel measured >2× on this join)
+    val dense = tv.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("dim").cast("int").as("k"),
+          col("tf").cast("double").as("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("arr"))
+      .withColumn("n2", graft.plans.GraftFunctions.dotF64(col("arr"), col("arr")))
+      .join(assign, "doc_id")
+    val a = dense.select(col("doc_id").as("da"), col("topic"),
+      col("arr").as("aa"), col("n2").as("na2"))
+    val b = dense.select(col("doc_id").as("db"), col("topic"),
+      col("arr").as("ab"), col("n2").as("nb2"))
+    val dot = graft.plans.GraftFunctions.dotF64(col("aa"), col("ab"))
+    val scored = a.join(b, Seq("topic"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da").as("doc_id"), col("db").as("similar_id"),
+        (dot.cast("double") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("similar_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[docSimilarTopK]]: the [[docTopicsSql]] chain as
+    * the cell assignment, the same exact-integer dot fold, the same
+    * rank cut. */
+  def docSimilarTopKSql(k: Int = 3, kTopics: Int = 0, dim: Int = 64,
+                        iters: Int = 2): String = {
+    val eBody =
+      s"""SELECT d.doc_id AS vec_id, r.pos, CAST(coalesce(s.tf, 0) AS DOUBLE) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM sp) d
+         |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS pos) r
+         |  LEFT JOIN sp s ON s.doc_id = d.doc_id AND s.dim = r.pos""".stripMargin
+    val nlExpr = if (kTopics > 0) kTopics.toString
+      else "(SELECT GREATEST(2, CAST(ceil(sqrt(count(DISTINCT doc_id))) AS BIGINT)) FROM sp)"
+    // sparse dots equal the dense Spark fold (zeros contribute nothing);
+    // the LEFT JOIN + coalesce keeps the share-no-dim same-cell pairs
+    // the dense form scores at 0
+    s"""WITH sp AS (
+       |${docTermVectorsSql(dim)}
+       |), ${Similarity.ivfChainSqlFromDynamic(nlExpr, iters, "t", eBody)},
+       |assign AS (SELECT vec_id AS doc_id, list_id AS topic FROM ta$iters),
+       |n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM sp GROUP BY 1),
+       |cellpairs AS (
+       |  SELECT ta.doc_id AS da, tb.doc_id AS db
+       |  FROM assign ta JOIN assign tb
+       |    ON tb.topic = ta.topic AND tb.doc_id <> ta.doc_id
+       |), dots AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM sp a JOIN assign ta ON ta.doc_id = a.doc_id
+       |  JOIN assign tb ON tb.topic = ta.topic
+       |  JOIN sp b ON b.doc_id = tb.doc_id AND b.dim = a.dim
+       |           AND b.doc_id <> a.doc_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT cp.da AS doc_id, cp.db AS similar_id,
+       |         CAST(coalesce(dots.dot, 0) AS DOUBLE) /
+       |           (sqrt(na.n2) * sqrt(nb.n2)) AS score
+       |  FROM cellpairs cp
+       |  LEFT JOIN dots ON dots.da = cp.da AND dots.db = cp.db
+       |  JOIN n2 na ON cp.da = na.doc_id
+       |  JOIN n2 nb ON cp.db = nb.doc_id
+       |)
+       |SELECT doc_id, similar_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, similar_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** The interpretability face of [[docTopics]]: per topic, the `top`
     * highest-total-frequency tokens (tie-broken on the token) — the
     * "what is this cluster about" report attached to every model-free

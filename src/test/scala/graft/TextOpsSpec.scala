@@ -51,6 +51,27 @@ class TextOpsSpec extends AnyFunSuite {
       (8829717554030173605L, 5455292087381511200L, 6748849742465155639L)))
   }
 
+  test("docSimilarTopK: identical docs are mutual top matches at score 1") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftdst").toString
+    Seq((0L, a), (1L, a), (2L, b), (3L, b + " " + b))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.docSimilarTopK(spark, dir, k = 1, kTopics = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // identical content: rank-1 mutual match at cosine 1 (up to the
+    // sqrt(x)·sqrt(x) ulp)
+    assert(rows(0L)._1 == 1L && math.abs(rows(0L)._2 - 1.0) < 1e-12)
+    assert(rows(1L)._1 == 0L && math.abs(rows(1L)._2 - 1.0) < 1e-12)
+    // doc 3 repeats doc 2's tokens — same DIRECTION, so TF-cosine 1.0
+    assert(rows(2L)._1 == 3L && math.abs(rows(2L)._2 - 1.0) < 1e-12)
+    // ranks per doc are unique and every present doc got exactly k rows
+    assert(rows.size == 4)
+  }
+
   test("lshBandStats: identical docs collide in every band, counts consistent") {
     import spark.implicits._
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
