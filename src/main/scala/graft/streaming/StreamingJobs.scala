@@ -187,18 +187,21 @@ object StreamingJobs {
     * gate semantically-redundant vectors before they enter the corpus.
     *
     * Shapes: the corpus side (trained assignment + exact cell-mean
-    * centroids + member norms) is batch-built once at plan time; the
-    * ⌈√n⌉-row centroid table is collected into a LITERAL array column
-    * so the per-row argmax is a pure HOF expression — no stream-side
-    * aggregation is spent on the probe (append mode allows exactly
-    * one, and the verdict needs it). That collect is the documented
-    * LUT-broadcast trade (ivf_pq's arbitrary-query overload): fine to
-    * ~10⁵ cells; beyond that, probe with a coarser streaming quantizer.
-    * The member join is stateless stream-static on list_id (cell-sized
-    * fanout ≈ √n per arrival); verdicts aggregate per (event-time
-    * window, vec_id) under the watermark and emit once in append mode.
-    * Run on a batch frame the identical plan executes one-shot —
-    * parity-tested (StreamingDedupSpec). */
+    * centroids + member norms) is batch-built once at plan time and
+    * PERSISTED; the ⌈√n⌉-row centroid table stays a DataFrame and is
+    * broadcast-joined to the stream — no driver collect, no plan
+    * literal, so the model scales with executor (broadcast) memory,
+    * not with what fits in a serialized micro-batch plan. The probe is
+    * the min-by-struct argmax the batch path uses, expressed as the
+    * first of two CHAINED event-time-window aggregations (Spark's
+    * multiple-stateful-operator support: the second window re-derives
+    * event time via `window_time`): (1) per (window, vec_id) pick the
+    * best cell with a deterministic `max_by` ordering key
+    * (cosine, −list_id — ties to the LOWER list id); (2) after the
+    * stateless stream-static member join on list_id (cell-sized fanout
+    * ≈ √n per arrival), fold member verdicts per (window, vec_id) and
+    * emit once in append mode. Run on a batch frame the identical plan
+    * executes one-shot — parity-tested (StreamingDedupSpec). */
   def streamingSemDedup(vecs: DataFrame, corpus: DataFrame,
                         threshold: Double = 0.4,
                         wmDelay: String = "30 seconds",
@@ -206,10 +209,12 @@ object StreamingJobs {
     import graft.operators.Similarity
     val base = corpus.select(col("vec_id"), col("embedding"))
     val nl = math.max(8, math.ceil(math.sqrt(base.count().toDouble)).toInt)
-    val assign = Similarity.ivfTrainFullFrom(base, nl, 2)._1
+    // persisted: stream-static joins re-execute their batch subtree
+    // every micro-batch — train the quantizer once, not per trigger
+    val assign = Similarity.ivfTrainFullFrom(base, nl, 2)._1.persist()
     // probing centroids: exact element-wise means of the FINAL cells
-    // (the probeCentroids recipe), collected ordered by list_id
-    val centRows = base.join(assign, "vec_id")
+    // (the probeCentroids recipe), kept as a ⌈√n⌉-row DataFrame
+    val cents = base.join(assign, "vec_id")
       .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
       .groupBy("list_id", "pos")
       .agg((sum(col("fv").cast("double").cast("decimal(38,30)")).cast("double") /
@@ -217,36 +222,38 @@ object StreamingJobs {
       .groupBy("list_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
       .withColumn("cnorm", sqrt(Similarity.exactDot("cemb", "cemb")))
-      .orderBy("list_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+      .withColumn("_one", lit(1))
+      .persist()
     val members = base.join(assign, "vec_id")
       .withColumn("mn", sqrt(Similarity.exactDot("embedding", "embedding")))
       .select(col("list_id"), col("vec_id").as("mate_id"),
         col("embedding").as("me"), col("mn"))
-    vecs.withWatermark("ts", wmDelay)
+    val probed = vecs.withWatermark("ts", wmDelay)
       .withColumn("qn", sqrt(Similarity.exactDot("embedding", "embedding")))
-      .withColumn("_cent", typedLit(centRows))
-      // argmax cosine, ties to the LOWER list id (the -c._1 trick makes
-      // the lexicographic array_max prefer it)
-      .withColumn("_best", expr(
-        """array_max(transform(_cent, c -> struct(
-          |  aggregate(zip_with(embedding, c._2, (x, y) -> CAST(x AS DOUBLE) * y),
-          |            CAST(0 AS DOUBLE), (a, v) -> a + v) / (qn * c._3) AS s,
-          |  -c._1 AS nl)))""".stripMargin))
-      .select(col("ts"), col("vec_id"), col("embedding"), col("qn"),
-        (-col("_best.nl")).as("list_id"))
+      .withColumn("_one", lit(1))
+      .join(broadcast(cents), Seq("_one"))
+      .withColumn("cscore",
+        Similarity.exactDot("embedding", "cemb") / (col("qn") * col("cnorm")))
+      // stateful agg #1 — argmax cosine with a UNIQUE ordering key
+      // (list ids are distinct within a group), so max_by is
+      // deterministic and ties in cosine go to the LOWER list id
+      .groupBy(window(col("ts"), win), col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("qn"), col("list_id")),
+        struct(col("cscore"), (-col("list_id")).as("nl"))).as("b"))
+      .select(window_time(col("window")).as("wts"), col("vec_id"),
+        col("b.embedding").as("embedding"), col("b.qn").as("qn"),
+        col("b.list_id").as("list_id"))
+    probed
       .join(members, Seq("list_id"))
+      .withColumn("cos",
+        Similarity.exactDot("embedding", "me") / (col("qn") * col("mn")))
       // self-exclusion lives INSIDE the qualification (not a filter): a
       // corpus vector arriving into its own singleton cell must still
       // emit rows so the verdict agg can produce its `keep`
       .withColumn("m",
-        when(col("mate_id") =!= col("vec_id") &&
-          (Similarity.exactDot("embedding", "me") / (col("qn") * col("mn")))
-          >= threshold,
-          struct(col("mate_id"),
-            (Similarity.exactDot("embedding", "me") / (col("qn") * col("mn")))
-              .as("score"))))
-      .groupBy(window(col("ts"), win), col("vec_id"))
+        when(col("mate_id") =!= col("vec_id") && col("cos") >= threshold,
+          struct(col("mate_id"), col("cos").as("score"))))
+      .groupBy(window(col("wts"), win), col("vec_id"))
       .agg(min(col("m")).as("best"))
       .select(col("vec_id"),
         when(col("best").isNull, lit("keep")).otherwise(lit("drop")).as("verdict"),
