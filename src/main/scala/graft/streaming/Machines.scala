@@ -16,23 +16,23 @@ object Machines {
     * Emits on every failure that completes n consecutive fails whose
     * span fits in `withinUs`; the buffer slides (no clear on emit), so a
     * run of n+1 fails can warn twice — matching the CEP `next` pattern
-    * re-matching on each new failure. No timers needed: emission is
-    * match-driven, timeouts play no role.
-    */
+    * re-matching on each new failure.
+    *
+    * An instance of the [[Cep.nConsecutiveWithin]] combinator (the
+    * output rows are the match spans, tag dropped). */
   final class LoginFailMachine(n: Int, withinUs: Long)
       extends EventTimeStateMachine[Flagged, List[Long], (Long, Long)] {
-    def zero: List[Long] = Nil
-    def eventTime(e: Flagged): Long = e.tsUs
-    def onEvent(s: List[Long], e: Flagged): (List[Long], Seq[(Long, Long)], Option[Long]) =
-      if (!e.flag) (Nil, Nil, None) // success resets the run
-      else {
-        val buf = (s :+ e.tsUs).takeRight(n)
-        val out = if (buf.size == n && e.tsUs - buf.head <= withinUs)
-          Seq((buf.head, e.tsUs)) else Nil
-        (buf, out, None)
-      }
-    def onTimer(s: List[Long], t: Long): (List[Long], Seq[(Long, Long)], Option[Long]) =
-      (s, Nil, None)
+    private val cep = Cep.nConsecutiveWithin[Flagged](n, withinUs, _.flag, _.tsUs)
+    def zero: List[Long] = cep.zero
+    def eventTime(e: Flagged): Long = cep.eventTime(e)
+    def onEvent(s: List[Long], e: Flagged): (List[Long], Seq[(Long, Long)], Option[Long]) = {
+      val (s2, os, t) = cep.onEvent(s, e)
+      (s2, os.map(m => (m.startUs, m.endUs)), t)
+    }
+    def onTimer(s: List[Long], t: Long): (List[Long], Seq[(Long, Long)], Option[Long]) = {
+      val (s2, os, t2) = cep.onTimer(s, t)
+      (s2, os.map(m => (m.startUs, m.endUs)), t2)
+    }
   }
 
   /** A staged funnel event (kind: 1=view, 2=click, 3=purchase). */
@@ -77,24 +77,24 @@ object Machines {
     * pending create emits the reference's data-loss alarm
     * ("already payed but not found created log",
     * OrderTimeout_PF.scala:125-129) as status `paid_no_create`.
-    */
+    *
+    * An instance of the [[Cep.aThenBWithin]] combinator: A = create,
+    * B = pay, tags renamed to the reference's statuses. */
   final class OrderTimeoutMachine(timeoutUs: Long)
       extends EventTimeStateMachine[Flagged, List[Long], OrderOutcome] {
-    def zero: List[Long] = Nil
-    def eventTime(e: Flagged): Long = e.tsUs
-    def onEvent(s: List[Long], e: Flagged): (List[Long], Seq[OrderOutcome], Option[Long]) =
-      if (e.flag) { // create: enqueue, (re)arm at earliest pending + T
-        val pend = s :+ e.tsUs
-        (pend, Nil, Some(pend.head + timeoutUs))
-      } else if (s.isEmpty) { // pay with no create in flight: data-loss alarm
-        (Nil, Seq(OrderOutcome(e.tsUs, e.tsUs, "paid_no_create")), None)
-      } else { // pay: settles all pending creates (each within T — see doc)
-        (Nil, s.map(c => OrderOutcome(c, e.tsUs, "paid")), None)
-      }
+    private val cep = Cep.aThenBWithin[Flagged](timeoutUs, _.flag, e => !e.flag,
+      _.tsUs, matchedTag = "paid", timeoutTag = "timeout",
+      bAloneTag = Some("paid_no_create"))
+    private def conv(m: Cep.PatternMatch) = OrderOutcome(m.startUs, m.endUs, m.tag)
+    def zero: List[Long] = cep.zero
+    def eventTime(e: Flagged): Long = cep.eventTime(e)
+    def onEvent(s: List[Long], e: Flagged): (List[Long], Seq[OrderOutcome], Option[Long]) = {
+      val (s2, os, t) = cep.onEvent(s, e)
+      (s2, os.map(conv), t)
+    }
     def onTimer(s: List[Long], t: Long): (List[Long], Seq[OrderOutcome], Option[Long]) = {
-      val (expired, alive) = s.partition(_ + timeoutUs <= t)
-      (alive, expired.map(c => OrderOutcome(c, c + timeoutUs, "timeout")),
-        alive.headOption.map(_ + timeoutUs))
+      val (s2, os, t2) = cep.onTimer(s, t)
+      (s2, os.map(conv), t2)
     }
   }
 

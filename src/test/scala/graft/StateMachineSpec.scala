@@ -113,6 +113,55 @@ class StateMachineSpec extends AnyFunSuite {
       BlOutcome("pass", day + 1))) // clicks 4,5 suppressed; next day resets
   }
 
+  // ---- Cep combinators: a NEW pattern is one line --------------------
+
+  import graft.streaming.Cep
+  import graft.streaming.Cep.PatternMatch
+
+  // the third pattern (beyond the two reference CEP jobs): cart
+  // abandonment — a view (kind 1) followed by a purchase (kind 3)
+  // within 20, anything else in between ignored (CEP `followedBy`
+  // relaxed contiguity, which the named machines never exercise)
+  private def abandon = Cep.aThenBWithin[Staged](20, _.kind == 1, _.kind == 3, _.tsUs,
+    matchedTag = "converted", timeoutTag = "abandoned")
+
+  test("cep one-liner: view→purchase within T converts; intervening clicks ignored") {
+    assert(run(abandon, Staged(0, 1), Staged(5, 2), Staged(10, 3)) ==
+      List(PatternMatch(0, 10, "converted")))
+  }
+
+  test("cep one-liner: unpurchased view abandons at exactly view+T") {
+    // the click at 30 is neither A nor B: it must advance the watermark
+    // and fire the timer armed at 0+20 WITHOUT disturbing state
+    assert(run(abandon, Staged(0, 1), Staged(30, 2)) ==
+      List(PatternMatch(0, 20, "abandoned")))
+    assert(run(abandon, Staged(3, 1)) == List(PatternMatch(3, 23, "abandoned")))
+  }
+
+  test("cep one-liner: no bAlone tag means a lone B is silent") {
+    assert(run(abandon, Staged(7, 3)).isEmpty)
+  }
+
+  test("cep one-liner: three consecutive high-value events within T") {
+    val spike = Cep.nConsecutiveWithin[(Long, Long)](3, 10, _._2 > 100, _._1, tag = "spike")
+    assert(run(spike, (1L, 200L), (2L, 300L), (3L, 150L)) ==
+      List(PatternMatch(1, 3, "spike")))
+    // a low-value event breaks strict contiguity (CEP `next`)
+    assert(run(spike, (1L, 200L), (2L, 50L), (3L, 300L), (4L, 150L)).isEmpty)
+  }
+
+  test("cep instances: LoginFail and OrderTimeout equal their combinator forms") {
+    val loginCep = Cep.nConsecutiveWithin[Flagged](2, 2, _.flag, _.tsUs)
+    val evs = Seq(f(1), f(2), f(2, fail = false), f(3), f(4))
+    assert(run(new LoginFailMachine(2, 2), evs: _*) ==
+      run(loginCep, evs: _*).map(m => (m.startUs, m.endUs)))
+    val ordCep = Cep.aThenBWithin[Flagged](15, _.flag, e => !e.flag, _.tsUs,
+      matchedTag = "paid", timeoutTag = "timeout", bAloneTag = Some("paid_no_create"))
+    val oevs = Seq(create(0), create(5), pay(12), create(20), pay(40), create(50))
+    assert(run(new OrderTimeoutMachine(15), oevs: _*) ==
+      run(ordCep, oevs: _*).map(m => OrderOutcome(m.startUs, m.endUs, m.tag)))
+  }
+
   // ---- runPartition: key boundaries ----------------------------------
 
   test("runPartition flushes timers at key boundaries and partition end") {
