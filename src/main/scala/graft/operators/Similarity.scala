@@ -1383,17 +1383,53 @@ object Similarity {
     * all-pairs). Survivors get the exact cosine + threshold, with the
     * same two-phase refine as [[embeddingNearDup]]. */
   /** Long column whose low `nBits` bits are the hyperplane-dot signs of
-    * the `embedding` column. Sign via the cheap double fold when it's
+    * the vector column `emb`. Sign via the cheap double fold when it's
     * safely away from zero (|double − exact| < 1e-13, so |double| >
     * 1e-6 fixes the sign); the exact decimal fold only breaks the rare
-    * near-zero tie — deterministic and oracle-replicable either way. */
-  private def signBits(nBits: Int, dim: Int = 64): Column =
+    * near-zero tie — deterministic and oracle-replicable either way.
+    * Shared with TextOps.docSimilarTopK's hot-cell escalation (term
+    * vectors instead of embeddings — hence the column parameter). */
+  private[operators] def signBits(nBits: Int, dim: Int = 64,
+                                  emb: Column = col("embedding")): Column =
     (0 until nBits).map { j =>
       val plane = typedLit(hyperplane(j, dim))
-      val ad = graft.plans.GraftFunctions.dotF64(col("embedding"), plane)
-      val dot = when(abs(ad) > 1e-6, ad).otherwise(exactDotCols(col("embedding"), plane))
+      val ad = graft.plans.GraftFunctions.dotF64(emb, plane)
+      val dot = when(abs(ad) > 1e-6, ad).otherwise(exactDotCols(emb, plane))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded sign-LSH candidate pairs within `cellCol` cells — the
+    * shared hot-cell escalation of [[embeddingNearDup]], [[semDedup]]
+    * and TextOps.docSimilarTopK: `bands` projections of `w`
+    * hyperplane-sign bits each over the vector column `emb`; candidates
+    * are (lo, hi) id pairs agreeing on (cell, band, band-value) for ANY
+    * band, deduplicated. Pair volume is O(bands · E[subcell] · n) with
+    * E[subcell] ≈ cell/2^w — linear in corpus size, never
+    * all-pairs-per-cell. */
+  private[operators] def bandedCellPairs(e: DataFrame, cellCol: String,
+                                         idCol: String, emb: Column, dim: Int,
+                                         w: Int, bands: Int): DataFrame = {
+    val banded = e.withColumn("sbits", signBits(bands * w, dim, emb))
+      .select(col(cellCol), col(idCol),
+        explode(array((0 until bands).map(j => struct(
+          lit(j).as("band"),
+          shiftrightunsigned(col("sbits"), j * w)
+            .bitwiseAND(lit((1L << w) - 1)).as("bval"))): _*)).as("bb"))
+      .select(col(cellCol), col(idCol),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    banded.as("x").join(banded.as("y"),
+        col(s"x.$cellCol") === col(s"y.$cellCol") &&
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("lo"), col(s"y.$idCol").as("hi"))
+      .distinct()
+  }
+
+  /** Sub-cell width for the banded escalation: enough sign bits that
+    * the expected refined cell is back under `maxCell`. */
+  private[operators] def bandWidth(largest: Long, maxCell: Long): Int =
+    math.min(math.max(1,
+      math.ceil(math.log(largest.toDouble / maxCell) / math.log(2)).toInt), 16)
 
   def embeddingLshNearDup(spark: SparkSession, d: String, nBits: Int = 12,
                           threshold: Double = 0.4): DataFrame = {
@@ -1509,22 +1545,10 @@ object Similarity {
       .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     if (largest <= maxCell) cellNearDup(e, Seq("label"), threshold)
     else {
-      val w = math.min(math.max(1,
-        math.ceil(math.log(largest.toDouble / maxCell) / math.log(2)).toInt), 16)
+      val w = bandWidth(largest, maxCell)
       val bands = math.min(nBands, 64 / w)
-      val banded = e.withColumn("sbits", signBits(bands * w))
-        .select(col("label"), col("vec_id"),
-          explode(array((0 until bands).map(j => struct(
-            lit(j).as("band"),
-            shiftrightunsigned(col("sbits"), j * w)
-              .bitwiseAND(lit((1L << w) - 1)).as("bval"))): _*)).as("bb"))
-        .select(col("label"), col("vec_id"),
-          col("bb.band").as("band"), col("bb.bval").as("bval"))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
-            col("x.bval") === col("y.bval") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
+      val cand = bandedCellPairs(e, "label", "vec_id", col("embedding"), 64, w, bands)
+        .select(col("lo").as("vec_a"), col("hi").as("vec_b"))
       val withVecs = cand
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("norm").as("na")), "vec_a")
@@ -1592,7 +1616,8 @@ object Similarity {
     * shuffle (AQE skew-split pinned for the same join shape in
     * SkewSpec); everything else is broadcast or map-side. */
   def semDedup(spark: SparkSession, d: String, threshold: Double = 0.4,
-               nlists: Int = 0, iters: Int = 2): DataFrame = {
+               nlists: Int = 0, iters: Int = 2,
+               maxCell: Long = 4096, nBands: Int = 8): DataFrame = {
     val raw = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val nl = if (nlists > 0) nlists
       else math.max(8, math.ceil(math.sqrt(raw.count().toDouble)).toInt)
@@ -1600,14 +1625,35 @@ object Similarity {
     val e = withNorm(spark, d)
       .select(col("vec_id"), col("embedding"), col("norm"))
       .join(assign, "vec_id")
-    val a = e.select(col("list_id"), col("vec_id").as("dup_of"),
-      col("embedding").as("ea"), col("norm").as("na"))
-    val b = e.select(col("list_id"), col("vec_id"),
-      col("embedding").as("eb"), col("norm").as("nb"))
+    // degenerate-corpus bound (round 8): a topically homogeneous corpus
+    // collapses Lloyd cells regardless of their ceil(sqrt(n)) count and
+    // the within-cell join goes quadratic in the hot cell — the same
+    // stats-driven chooser as embeddingNearDup decides the physical
+    // plan from one tiny count over the memoized assignment, and
+    // beyond maxCell hot cells are REFINED by banded sign-LSH
+    // (bandedCellPairs), bounding pairs at O(nBands·maxCell·n) with the
+    // documented recall trade; both branches share the exact rescore
+    val largest = e.groupBy("list_id").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     val approx = graft.plans.GraftFunctions.dotF64(col("ea"), col("eb")) /
       (col("na") * col("nb"))
-    val pairs = a.join(b, "list_id")
-      .filter(col("dup_of") < col("vec_id"))
+    val rawPairs = if (largest <= maxCell) {
+      val a = e.select(col("list_id"), col("vec_id").as("dup_of"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      val b = e.select(col("list_id"), col("vec_id"),
+        col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, "list_id").filter(col("dup_of") < col("vec_id"))
+    } else {
+      val w = bandWidth(largest, maxCell)
+      val bands = math.min(nBands, 64 / w)
+      bandedCellPairs(e, "list_id", "vec_id", col("embedding"), 64, w, bands)
+        .select(col("lo").as("dup_of"), col("hi").as("vec_id"))
+        .join(e.select(col("vec_id").as("dup_of"), col("embedding").as("ea"),
+          col("norm").as("na")), "dup_of")
+        .join(e.select(col("vec_id"), col("embedding").as("eb"),
+          col("norm").as("nb")), "vec_id")
+    }
+    val pairs = rawPairs
       .filter(approx >= threshold - 1e-6)
       .select(col("vec_id"),
         col("dup_of"), (exactDot("ea", "eb") / (col("na") * col("nb"))).as("score"))

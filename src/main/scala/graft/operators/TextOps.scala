@@ -1863,14 +1863,18 @@ object TextOps {
     * shared dimension — measured 8× slower at sf0.1); cell count
     * follows the corpus (kTopics = 0 → ⌈√n⌉ — [[Similarity.semDedup]]'s
     * argument), one per-doc WindowGroupLimit, and the assignment rides
-    * the [[docTopics]] session memo. Caveat: a topically HOMOGENEOUS
-    * corpus collapses Lloyd cells regardless of their count, and
-    * within-cell pairs go quadratic — the same degenerate-input mode
-    * as every clustering-bounded pair op here (AQE skew-split bounds
-    * task times, not total work); prefer the embedding-side ANN family
-    * when an encoder is available. */
+    * the [[docTopics]] session memo. A topically HOMOGENEOUS corpus
+    * collapses Lloyd cells regardless of their count — the
+    * stats-driven chooser (the [[Similarity.embeddingNearDup]]
+    * pattern) guards it: one largest-cell count decides the plan, and
+    * beyond `maxCell` hot cells are refined by banded sign-LSH over
+    * the term vectors ([[Similarity.bandedCellPairs]]) so the pair
+    * stream stays O(nBands · maxCell · n); the top-k then ranks over
+    * the candidate set (the documented recall trade — near-identical
+    * term vectors agree on every band). */
   def docSimilarTopK(spark: SparkSession, d: String, k: Int = 3,
-                     kTopics: Int = 0, dim: Int = 64, iters: Int = 2): DataFrame = {
+                     kTopics: Int = 0, dim: Int = 64, iters: Int = 2,
+                     maxCell: Long = 4096, nBands: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tv = docTermVectors(spark, d, dim)
     // cells scale with the corpus (kTopics = 0 → ⌈√n⌉, floor 2) — the
@@ -1896,15 +1900,37 @@ object TextOps {
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("arr"))
       .withColumn("n2", graft.plans.GraftFunctions.dotF64(col("arr"), col("arr")))
       .join(assign, "doc_id")
-    val a = dense.select(col("doc_id").as("da"), col("topic"),
-      col("arr").as("aa"), col("n2").as("na2"))
-    val b = dense.select(col("doc_id").as("db"), col("topic"),
-      col("arr").as("ab"), col("n2").as("nb2"))
     val dot = graft.plans.GraftFunctions.dotF64(col("aa"), col("ab"))
-    val scored = a.join(b, Seq("topic"))
-      .filter(col("da") =!= col("db"))
-      .select(col("da").as("doc_id"), col("db").as("similar_id"),
-        (dot.cast("double") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("score"))
+    // hot-cell chooser: one tiny count over the memoized assignment
+    // decides the physical plan (see scaladoc)
+    val largest = dense.groupBy("topic").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    val scored = if (largest <= maxCell) {
+      val a = dense.select(col("doc_id").as("da"), col("topic"),
+        col("arr").as("aa"), col("n2").as("na2"))
+      val b = dense.select(col("doc_id").as("db"), col("topic"),
+        col("arr").as("ab"), col("n2").as("nb2"))
+      a.join(b, Seq("topic"))
+        .filter(col("da") =!= col("db"))
+        .select(col("da").as("doc_id"), col("db").as("similar_id"),
+          (dot.cast("double") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("score"))
+    } else {
+      val bw = Similarity.bandWidth(largest, maxCell)
+      val bands = math.min(nBands, 64 / bw)
+      val cand = Similarity.bandedCellPairs(
+        dense.select(col("topic"), col("doc_id"), col("arr")),
+        "topic", "doc_id", col("arr"), dim, bw, bands)
+      // band agreement is symmetric: one undirected candidate feeds
+      // both directed rows, like containment_pairs' bitmap regime
+      cand.select(col("lo").as("da"), col("hi").as("db"))
+        .union(cand.select(col("hi").as("da"), col("lo").as("db")))
+        .join(dense.select(col("doc_id").as("da"), col("arr").as("aa"),
+          col("n2").as("na2")), "da")
+        .join(dense.select(col("doc_id").as("db"), col("arr").as("ab"),
+          col("n2").as("nb2")), "db")
+        .select(col("da").as("doc_id"), col("db").as("similar_id"),
+          (dot.cast("double") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("score"))
+    }
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("similar_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

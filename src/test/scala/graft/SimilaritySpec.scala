@@ -284,6 +284,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup hot-cell escalation: forced cap equals the exact branch on a collapsed corpus") {
+    import spark.implicits._
+    // a topically HOMOGENEOUS corpus: 10 exact copies collapse the
+    // Lloyd cells into one hot cell regardless of the ceil(sqrt(n))
+    // cell count — the degenerate mode the maxCell chooser guards
+    val base = Array.tabulate(64)(i => 0.01f * ((i % 13) - 6))
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.3f)
+    val dir = java.nio.file.Files.createTempDirectory("graftsemhot").toString
+    ((0L to 9L).map(id => (id, base.clone(), 1)) ++
+      Seq((10L, far, 2), (11L, far.clone(), 2)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def verdicts(maxCell: Long) =
+      Similarity.semDedup(spark, dir, threshold = 0.99, maxCell = maxCell)
+        .collect().map(r => (r.getLong(0), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val exact = verdicts(4096)
+    val banded = verdicts(2) // hot cell (10 members) > 2 forces the refinement
+    // identical vectors agree on EVERY sign band: full recall, so the
+    // escaped branch reproduces the exact branch verdict for verdict
+    assert(banded == exact)
+    assert(exact.contains((0L, "keep", -1L)) && exact.contains((9L, "drop", 0L))
+      && exact.contains((11L, "drop", 10L)))
+  }
+
+  test("semDedup forced cap on the real corpus: drop subset, total relation") {
+    def drops(maxCell: Long) = Similarity.semDedup(spark, sf, maxCell = maxCell)
+      .collect().filter(_.getString(2) == "drop")
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exact = drops(4096)
+    val banded = drops(1)
+    // banded candidates are a subset: every banded drop is an exact
+    // drop, and its mate can only be >= the exact smallest mate
+    assert(banded.keySet.subsetOf(exact.keySet))
+    banded.foreach { case (v, d) => assert(exact(v) <= d) }
+    // the verdict relation stays TOTAL on the escaped branch
+    assert(Similarity.semDedup(spark, sf, maxCell = 1).count() ==
+      graft.sources.Tables.embeddings(spark, sf).count())
+    assert(drops(1) == banded) // deterministic across runs
+  }
+
   test("hyperplane LSH: identical vectors share a bucket and are found") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => 0.01f * ((i % 13) - 6))

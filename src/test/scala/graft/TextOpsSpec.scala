@@ -72,6 +72,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.size == 4)
   }
 
+  test("docSimilarTopK hot-cell escalation: forced cap keeps the planted matches") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graftdsthot").toString
+    Seq((0L, a), (1L, a), (2L, b), (3L, b + " " + b))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // maxCell=1 < cell size (2) forces the banded term-vector sign-LSH:
+    // identical / same-direction term vectors agree on every band, so
+    // the planted matches survive the escaped branch with equal scores
+    val rows = TextOps.docSimilarTopK(spark, dir, k = 1, kTopics = 2, maxCell = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(0L)._1 == 1L && math.abs(rows(0L)._2 - 1.0) < 1e-12)
+    assert(rows(1L)._1 == 0L && math.abs(rows(1L)._2 - 1.0) < 1e-12)
+    assert(rows(2L)._1 == 3L && math.abs(rows(2L)._2 - 1.0) < 1e-12)
+    assert(rows.size == 4)
+  }
+
+  test("docSimilarTopK forced cap on the real corpus: candidate subset, contiguous ranks") {
+    val sf = "/root/testdata/sf0.001"
+    def m(maxCell: Long) = TextOps.docSimilarTopK(spark, sf, maxCell = maxCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3)))).toMap
+    val exact = m(4096)
+    val banded = m(1)
+    assert(exact.nonEmpty && banded.nonEmpty)
+    // same exact-int arithmetic wherever both branches rank a pair
+    banded.foreach { case (pair, (s, _)) =>
+      exact.get(pair).foreach { case (es, _) => assert(s == es) } }
+    // ranks stay contiguous from 1 per doc on the candidate-restricted branch
+    banded.groupBy(_._1._1).foreach { case (_, rs) =>
+      val ranks = rs.values.map(_._2).toSeq.sorted
+      assert(ranks == (1 to ranks.size))
+    }
+    assert(m(1) == banded) // deterministic across runs
+  }
+
   test("lshBandStats: identical docs collide in every band, counts consistent") {
     import spark.implicits._
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
