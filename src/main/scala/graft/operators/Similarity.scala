@@ -403,7 +403,7 @@ object Similarity {
     * directed k-NN graph. */
   def knnGraph(spark: SparkSession, d: String, k: Int = 3, nprobe: Int = 2,
                nlists: Int = 0, iters: Int = 2): DataFrame =
-    knnGraphCache.computeIfAbsent((spark, d, k, nprobe, nlists, iters), _ =>
+    knnGraphCache.getOrBuild((spark, d, k, nprobe, nlists, iters))(
       knnGraphBuild(spark, d, k, nprobe, nlists, iters).persist())
 
   /** Session memo of the [[knnGraph]] edge relation (same hook as the
@@ -412,8 +412,8 @@ object Similarity {
     * edges, so a session pays the probe + rescore once. At 100 TB the
     * edge relation is exactly what a pipeline would materialize as a
     * table between the index build and its graph consumers. */
-  private val knnGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int, Int), DataFrame]()
+  private val knnGraphCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int, Int, Int), DataFrame]("knn_graph")
 
   private def knnGraphBuild(spark: SparkSession, d: String, k: Int, nprobe: Int,
                             nlists: Int, iters: Int): DataFrame = {
@@ -624,15 +624,15 @@ object Similarity {
     * index relation the ingest pipeline maintains. */
   private[operators] def ivfTrainFull(spark: SparkSession, d: String,
                                       nlists: Int, iters: Int): (DataFrame, DataFrame) =
-    trainCache.computeIfAbsent((spark, d, nlists, iters), _ => {
+    trainCache.getOrBuild((spark, d, nlists, iters)) {
       val (assign, cent) = ivfTrainFullFrom(
         Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
         nlists, iters)
       (assign.persist(), cent.persist())
-    })
+    }
 
-  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
+  private val trainCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int), (DataFrame, DataFrame)]("ivf_train")
 
   /** Session-memoized PROBING centroids of the trained index —
     * (list_id, cemb, cnorm): exact element-wise means of the FINAL
@@ -641,7 +641,7 @@ object Similarity {
     * [[annIvfTopKTrained]] (consumers must NOT unpersist it). */
   private[operators] def probeCentroids(spark: SparkSession, d: String,
                                         nlists: Int, iters: Int): DataFrame =
-    probeCentCache.computeIfAbsent((spark, d, nlists, iters), _ => {
+    probeCentCache.getOrBuild((spark, d, nlists, iters)) {
       val assign = ivfTrainFull(spark, d, nlists, iters)._1
       Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
         .join(assign, "vec_id")
@@ -653,10 +653,10 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
         .withColumn("cnorm", sqrt(exactDot("cemb", "cemb")))
         .persist()
-    })
+    }
 
-  private val probeCentCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), DataFrame]()
+  private val probeCentCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int), DataFrame]("probe_centroids")
 
   /** The Lloyd chain over an ARBITRARY (vec_id, embedding) frame —
     * shared by the embeddings-table path and vector sources built from
@@ -940,12 +940,12 @@ object Similarity {
     * (deterministic, so encode is replayable end to end). */
   def pqEncode(spark: SparkSession, d: String, nSub: Int = 8, nCodes: Int = 16,
                iters: Int = 2, dim: Int = 64): DataFrame =
-    pqCodesCache.computeIfAbsent((spark, d, nSub, nCodes, iters, dim), _ => {
+    pqCodesCache.getOrBuild((spark, d, nSub, nCodes, iters, dim)) {
       require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
       val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
       val cent = pqRawCodebook(spark, d, nSub, nCodes, iters, dim)
       pqAssign(subvectors(base, nSub, dim), cent).persist()
-    })
+    }
 
   /** Session memos of the RAW-vector PQ artifacts (the trained-index-
     * memo hook): pq_encode, pq_adc_topk and pq_distortion all start
@@ -956,15 +956,15 @@ object Similarity {
     * codebook is a different relation and keeps its own build. */
   private def pqRawCodebook(spark: SparkSession, d: String, nSub: Int,
                             nCodes: Int, iters: Int, dim: Int): DataFrame =
-    pqCbCache.computeIfAbsent((spark, d, nSub, nCodes, iters, dim), _ => {
+    pqCbCache.getOrBuild((spark, d, nSub, nCodes, iters, dim)) {
       val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
       pqCodebook(base, nSub, nCodes, iters, dim).persist()
-    })
+    }
 
-  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int, Int), DataFrame]()
-  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int, Int), DataFrame]()
+  private val pqCbCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int, Int, Int), DataFrame]("pq_codebook")
+  private val pqCodesCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int, Int, Int), DataFrame]("pq_codes")
 
   /** PQ-ADC approximate top-k: queries score against the CODEBOOK once
     * (a per-query lookup table of nSub·nCodes exact subdistances), and
@@ -1135,9 +1135,9 @@ object Similarity {
     * IVF-PQ system materializes once at build time. */
   private def ivfPqIndex(spark: SparkSession, d: String, nlists: Int,
                          ivfIters: Int, nSub: Int, nCodes: Int, iters: Int,
-                         dim: Int): (DataFrame, DataFrame, DataFrame) =
-    ivfPqIndexCache.computeIfAbsent(
-      (spark, d, nlists, ivfIters, nSub, nCodes, iters, dim), _ => {
+                         dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (cent, cb, codes, _) = ivfPqIndexCache.getOrBuild(
+      (spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)) {
         val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
         // trained coarse quantizer: assignment + the centroids it was
         // scored against (broadcast-sized: nlists rows). cent's LINEAGE
@@ -1161,12 +1161,15 @@ object Similarity {
         val codes = pqAssign(subvectors(rb, nSub, dim), cb)
           .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
           .persist()
-        (cent, cb, codes)
-      })
+        // resid rides in the cached value so eviction unpersists it too
+        (cent, cb, codes, resid)
+      }
+    (cent, cb, codes)
+  }
 
-  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+  private val ivfPqIndexCache = new graft.SessionMemo[
     (SparkSession, String, Int, Int, Int, Int, Int, Int),
-    (DataFrame, DataFrame, DataFrame)]()
+    (DataFrame, DataFrame, DataFrame, DataFrame)]("ivf_pq_index")
 
   def ivfPqTopK(spark: SparkSession, d: String, queries: DataFrame, k: Int,
                 nprobe: Int, nlists: Int, ivfIters: Int,

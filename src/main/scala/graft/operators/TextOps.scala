@@ -298,8 +298,11 @@ object TextOps {
     * the shingle frame it folds. Deterministic build (stable
     * shingle→bit ranking), so sharing cannot change a hash. */
   private def docBitmaps(sets: DataFrame, vocab: Long): DataFrame =
-    bitmapCache.computeIfAbsent(
-      (sets.queryExecution.analyzed.canonicalized, vocab), _ => {
+    // keyed by the OWNING session too (ADVICE r7): canonicalization
+    // normalizes expr ids, so logically identical plans from different
+    // sessions must not share a frame persisted under a stopped one
+    bitmapCache.getOrBuild(
+      (sets.sparkSession, sets.queryExecution.analyzed.canonicalized, vocab)) {
         import org.apache.spark.sql.expressions.Window
         val nWords = ((vocab + 63) / 64).toInt
         // stable shingle → bit index; bounded by maxBitmapVocab, so the
@@ -316,10 +319,12 @@ object TextOps {
         ids.groupBy("doc_id")
           .agg(words.head, (words.tail :+ count(lit(1)).as("n")): _*)
           .persist()
-      })
+      }
 
-  private val bitmapCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
+  private val bitmapCache = new graft.SessionMemo[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    DataFrame]("doc_bitmaps")
 
   private def bitmapJaccard(sets: DataFrame, vocab: Long, threshold: Double): DataFrame = {
     val nWords = ((vocab + 63) / 64).toInt
@@ -731,8 +736,8 @@ object TextOps {
     * corpus background (J≈0.03) bands almost never collide, so the
     * verify stage sees ~0.3 % of all pairs. */
   def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
-    pairCache.computeIfAbsent((spark, d, threshold),
-      _ => minhashLshCompute(spark, d, threshold).persist())
+    pairCache.getOrBuild((spark, d, threshold))(
+      minhashLshCompute(spark, d, threshold).persist())
 
   /** Session-scoped memo of the LSH-verified pair relation:
     * neardup_clusters, cluster_reps and curation_pipeline all consume
@@ -744,7 +749,7 @@ object TextOps {
     * cannot change any result hash. At 100 TB the same role is played
     * by a materialized pairs table the ingest pipeline maintains. */
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Double), DataFrame]("lsh_pairs")
 
   /** The (doc_id, band, x, y) LSH band relation of [[signatures]] —
     * shared by the pair join and the [[lshBandStats]] tuning report. */
@@ -965,7 +970,7 @@ object TextOps {
     * (≥15) cleanly. Bits 0..59 keep the value signed-safe in both
     * engines. */
   def simhash(spark: SparkSession, d: String): DataFrame =
-    simhashCache.computeIfAbsent((spark, d), _ => {
+    simhashCache.getOrBuild((spark, d)) {
       val toks = docs(spark, d)
         .select(col("doc_id"),
           explode(array_distinct(expr(shinglesExpr(2)))).as("tok"))
@@ -981,13 +986,13 @@ object TextOps {
       toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), value.as("simhash"))
         .persist()
-    })
+    }
 
   /** Session memo of the simhash relation (one long per doc — tiny):
     * simhash, simhash_pairs and edit_distance_pairs all fold the same
     * tokenize→shingle→vote subtree; deterministic, so shared. */
-  private val simhashCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val simhashCache = new graft.SessionMemo[
+    (SparkSession, String), DataFrame]("simhash")
 
   private val simhashCtes: String =
     s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -1710,15 +1715,15 @@ object TextOps {
     * positioned gram stream shuffles once on the gram hash and both
     * consumers (occurrence count, count join-back) read that exchange. */
   private def dupGramPositions(spark: SparkSession, d: String, l: Int): DataFrame =
-    dupGramCache.computeIfAbsent((spark, d, l), _ =>
+    dupGramCache.getOrBuild((spark, d, l))(
       dupGramPositionsBuild(spark, d, l).persist())
 
   /** Session memo of the duplicated-gram position SLIVER (covered
     * positions only — far smaller than the gram stream it filters):
     * dup_spans and scrub_spans share it, and each bench/verify pass
     * re-paid the 1-md5-per-gram shuffle otherwise. Deterministic. */
-  private val dupGramCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]()
+  private val dupGramCache = new graft.SessionMemo[
+    (SparkSession, String, Int), DataFrame]("dup_gram_positions")
 
   private def dupGramPositionsBuild(spark: SparkSession, d: String, l: Int): DataFrame = {
     require(l >= 2, "span gram order must be >= 2")
@@ -1811,7 +1816,7 @@ object TextOps {
     * and are absent, matching the oracle. */
   def docTopics(spark: SparkSession, d: String, k: Int = 6, dim: Int = 64,
                 iters: Int = 2): DataFrame =
-    topicCache.computeIfAbsent((spark, d, k, dim, iters), _ => {
+    topicCache.getOrBuild((spark, d, k, dim, iters)) {
       val dense = docTermVectors(spark, d, dim)
         .groupBy("doc_id")
         .agg(map_from_entries(
@@ -1823,7 +1828,7 @@ object TextOps {
       Similarity.ivfTrainFullFrom(dense, k, iters)._1
         .select(col("vec_id").as("doc_id"), col("list_id").as("topic"))
         .persist()
-    })
+    }
 
   /** Session memo of the [[docTopics]] assignment — the same hook as
     * [[minhashLsh]]'s pair relation and Similarity's trained-IVF index:
@@ -1832,8 +1837,8 @@ object TextOps {
     * n-row build per (session, dir, k, dim, iters) without any result
     * hash changing. At 100 TB this is the materialized topic-assignment
     * relation a curation pipeline maintains next to the corpus. */
-  private val topicCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int), DataFrame]()
+  private val topicCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int, Int), DataFrame]("doc_topics")
 
   def docTopicsSql(k: Int = 6, dim: Int = 64, iters: Int = 2): String = {
     val eBody =
