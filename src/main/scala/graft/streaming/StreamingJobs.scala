@@ -322,6 +322,26 @@ object StreamingJobs {
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Update-mode Top-N at SCALE — the 100 TB regime the complete-mode
+    * fixture ([[topNPerWindow]] inside Jobs.hotItemsStream's
+    * foreachBatch) documents but didn't run: a WATERMARKED
+    * [[windowedCounts]] executes in `update` output mode, so the state
+    * store holds only LIVE windows (a finalized window's rows are
+    * evicted once the watermark passes window.end + delay — state is
+    * O(live windows × keys), not O(all windows ever), proven by the
+    * bounded-state test over many window turnovers). Each micro-batch
+    * emits only the (window_end, key, cnt) rows that CHANGED; the
+    * caller folds those deltas into an upsert-able serving table
+    * (last-write-wins per (window_end, key) — production: any KV/OLAP
+    * upsert store; the test: a driver map) and ranks THERE. Ranking
+    * moves to the serving side precisely because Top-N is not an
+    * incremental operator — same stage split as the reference's
+    * re-key-by-windowEnd process function (HotItems.scala:81). */
+  def topNUpdate(counts: DataFrame)
+                (foldDelta: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream.outputMode("update")
+      .foreachBatch(foldDelta).start()
+
   /** Update-mode streaming face for BATCH-ONLY plans (multi-grouping-set
     * aggregates with exact countDistinct, OVER frames): accumulate each
     * micro-batch into a running snapshot, re-apply the shared plan

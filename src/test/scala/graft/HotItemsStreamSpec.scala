@@ -62,4 +62,60 @@ class HotItemsStreamSpec extends AnyFunSuite {
     val batch = keyed(StreamingJobs.topNPerWindow(counts, 5, "itemId").collect())
     assert(latest == batch)
   }
+
+  test("update-mode Top-N: state bounded across window turnover, folded result == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("itemId", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val counts = StreamingJobs.windowedCounts(
+      df, "10 seconds", None, Seq(col("itemId")), wmDelay = "0 seconds")
+    // the serving table: last-write-wins upsert per (window_end, item) —
+    // the sink side of the update-mode contract
+    val table = scala.collection.concurrent.TrieMap[(Long, Long), Long]()
+    val q = StreamingJobs.topNUpdate(counts) { (batch, _) =>
+      batch.select(col("window_end").cast("long"), col("itemId"), col("cnt"))
+        .collect().foreach(r => table((r.getLong(0), r.getLong(1))) = r.getLong(2))
+    }
+    val nWindows = 30
+    val keys = 4
+    var maxState = 0L
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    try {
+      (0 until nWindows).foreach { wi =>
+        val base = wi * 10L
+        // per window: item k occurs k+1+(wi%3) times, inside [base, base+4)
+        val rows = (0 until keys).flatMap(k =>
+          Seq.tabulate(k + 1 + (wi % 3))(j => (k.toLong, base + (j % 4))))
+        all ++= rows
+        input.addData(rows)
+        q.processAllAvailable()
+        Option(q.lastProgress).foreach { p =>
+          p.stateOperators.foreach(so => maxState = math.max(maxState, so.numRowsTotal))
+        }
+      }
+    } finally q.stop()
+    // the state store held only LIVE windows: never more than ~2 open
+    // windows × keys, though 30 windows × 4 keys = 120 distinct groups
+    // passed through — finalized windows left the store under the
+    // watermark (the 100 TB contract this operator exists for)
+    assert(maxState > 0 && maxState <= 4L * keys,
+      s"state not bounded: max $maxState rows for ${nWindows * keys} groups")
+    // every delta reached the serving table: fold == batch counts,
+    // and the served Top-N == the batch pipeline's Top-N
+    val batchDf = all.toSeq.toDF("itemId", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val batchTop = StreamingJobs.topNPerWindow(
+      StreamingJobs.windowedCounts(batchDf, "10 seconds", None, Seq(col("itemId"))),
+      2, "itemId").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_end").getTime / 1000,
+        r.getAs[Long]("itemId"), r.getAs[Long]("cnt"), r.getAs[Int]("rn"))).toSet
+    val served = table.groupBy(_._1._1).flatMap { case (w, m) =>
+      m.toSeq.map { case ((_, k), c) => (k, c) }
+        .sortBy { case (k, c) => (-c, k) }.take(2).zipWithIndex
+        .map { case ((k, c), i) => (w, k, c, i + 1) }
+    }.toSet
+    assert(served == batchTop && batchTop.nonEmpty)
+  }
 }
