@@ -126,7 +126,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Arbitrary-query-set face of the [[annCosineTopK]] overload,
+    * registered under the hash oracle (VERDICT r7 #6): the query set
+    * is every embeddings-table row matching `pred` (a SQL boolean over
+    * its columns), instead of the fixed vec_id < nQueries prefix. */
+  def annCosineTopKWhere(spark: SparkSession, d: String, pred: String,
+                         k: Int = 5): DataFrame =
+    annCosineTopK(spark, d,
+      Tables.embeddings(spark, d).filter(expr(pred))
+        .select(col("vec_id").as("query_id"), col("embedding")), k)
+
   def annCosineTopKSql(k: Int = 5, nQueries: Int = 10): String =
+    annCosineTopKSqlWhere(k, s"q.vec_id < $nQueries")
+
+  /** [[annCosineTopKSql]] with an arbitrary query-set predicate over
+    * the embeddings table (`q` is the query-side alias) — the oracle
+    * twin of the arbitrary-query [[annCosineTopK]] overload. */
+  def annCosineTopKSqlWhere(k: Int, queryPred: String): String =
     s"""WITH p AS (
        |  SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS i, embedding
        |  FROM embeddings
@@ -139,7 +155,7 @@ object Similarity {
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         CAST(CAST(sum(CAST(CAST(q.v * c.v AS VARCHAR) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dot
        |  FROM v q JOIN v c ON q.pos = c.pos AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $nQueries
+       |  WHERE $queryPred
        |  GROUP BY 1, 2
        |), scored AS (
        |  SELECT query_id, neighbor_id, dot / (qn.norm * cn.norm) AS score
@@ -1120,12 +1136,6 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding")),
       k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim)
 
-  /** IVF-PQ top-k over an ARBITRARY query set — the same (query_id,
-    * embedding) contract and broadcast-size bound as the
-    * [[annCosineTopK]]/[[annIvfTopK]] overloads; everything a query
-    * contributes (probed cells, residual LUT) is nprobe·nSub·nCodes
-    * rows, so the broadcast budget is queries × that, independent of
-    * the corpus. */
   /** Session memo of the IVF-PQ INDEX bundle (cent, residual codebook,
     * cell-tagged codes) — the per-call persists above covered only one
     * call's plan; bench passes and the arbitrary-query overload
@@ -1171,6 +1181,12 @@ object Similarity {
     (SparkSession, String, Int, Int, Int, Int, Int, Int),
     (DataFrame, DataFrame, DataFrame, DataFrame)]("ivf_pq_index")
 
+  /** IVF-PQ top-k over an ARBITRARY query set — the same (query_id,
+    * embedding) contract and broadcast-size bound as the
+    * [[annCosineTopK]]/[[annIvfTopK]] overloads; everything a query
+    * contributes (probed cells, residual LUT) is nprobe·nSub·nCodes
+    * rows, so the broadcast budget is queries × that, independent of
+    * the corpus. */
   def ivfPqTopK(spark: SparkSession, d: String, queries: DataFrame, k: Int,
                 nprobe: Int, nlists: Int, ivfIters: Int,
                 nSub: Int, nCodes: Int, iters: Int, dim: Int): DataFrame = {
@@ -1231,10 +1247,32 @@ object Similarity {
     * trains the coarse quantizer, the [[pqSqlChain]] Lloyd loop runs on
     * the residual `e` relation it yields, then probe → residual LUT →
     * cell-restricted ADC. */
+  /** Arbitrary-query-set face of the [[ivfPqTopK]] overload, registered
+    * under the hash oracle (VERDICT r7 #6) — same predicate contract as
+    * [[annCosineTopKWhere]]. */
+  def ivfPqTopKWhere(spark: SparkSession, d: String, pred: String,
+                     k: Int = 5, nprobe: Int = 2, nlists: Int = 8,
+                     ivfIters: Int = 2, nSub: Int = 8, nCodes: Int = 16,
+                     iters: Int = 2, dim: Int = 64): DataFrame =
+    ivfPqTopK(spark, d,
+      Tables.embeddings(spark, d).filter(expr(pred))
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim)
+
   def ivfPqTopKSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
                    nlists: Int = 8, ivfIters: Int = 2,
                    nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
-                   dim: Int = 64): String = {
+                   dim: Int = 64): String =
+    ivfPqTopKSqlWhere(k, s"q.vec_id < $nQueries", nprobe, nlists,
+      ivfIters, nSub, nCodes, iters, dim)
+
+  /** [[ivfPqTopKSql]] with an arbitrary query-set predicate over the
+    * embeddings table (`q` is the query-side alias) — the oracle twin
+    * of the arbitrary-query [[ivfPqTopK]] overload. */
+  def ivfPqTopKSqlWhere(k: Int, queryPred: String, nprobe: Int = 2,
+                        nlists: Int = 8, ivfIters: Int = 2,
+                        nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                        dim: Int = 64): String = {
     val subDim = dim / nSub
     val iN = ivfIters
     val residPrelude =
@@ -1250,7 +1288,7 @@ object Similarity {
        |    CAST(CAST(sum(CAST(CAST((q.v - c.cv) * (q.v - c.cv) AS VARCHAR)
        |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS cdist
        |  FROM ive q JOIN ivc${iN - 1} c ON q.pos = c.pos
-       |  WHERE q.vec_id < $nQueries
+       |  WHERE $queryPred
        |  GROUP BY 1, 2
        |), probe AS (
        |  SELECT query_id, list_id FROM (
@@ -1262,7 +1300,7 @@ object Similarity {
        |  FROM ive q
        |  JOIN probe pb ON pb.query_id = q.vec_id
        |  JOIN ivc${iN - 1} c ON c.list_id = pb.list_id AND c.pos = q.pos
-       |  WHERE q.vec_id < $nQueries
+       |  WHERE $queryPred
        |), rqe AS (
        |  SELECT query_id, list_id, CAST(pos // $subDim AS BIGINT) AS sub_id,
        |         pos % $subDim AS spos, v

@@ -281,12 +281,6 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Bitmap all-pairs: when the shingle VOCABULARY is small (the dense
-    * small-vocab regime where candidate pruning is hopeless), encode
-    * each doc's shingle set as ⌈vocab/64⌉ longs and score every pair
-    * with word-wise AND + POPCNT inside one broadcast nested-loop join —
-    * no 10⁷-row shuffle, no groupBy. C(n,2)·⌈vocab/64⌉ word-ops, chosen
-    * only under the doc/vocab caps in [[chooseJaccardStrategy]]. */
   /** Per-document word-bitmap relation (doc_id, w0..w{nWords−1}, n) of
     * a distinct-shingle frame — the dense-regime encoding both
     * [[bitmapJaccard]] and [[bitmapContainment]] score pairs over.
@@ -326,6 +320,12 @@ object TextOps {
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
     DataFrame]("doc_bitmaps")
 
+  /** Bitmap all-pairs: when the shingle VOCABULARY is small (the dense
+    * small-vocab regime where candidate pruning is hopeless), encode
+    * each doc's shingle set as ⌈vocab/64⌉ longs and score every pair
+    * with word-wise AND + POPCNT inside one broadcast nested-loop join —
+    * no 10⁷-row shuffle, no groupBy. C(n,2)·⌈vocab/64⌉ word-ops, chosen
+    * only under the doc/vocab caps in [[chooseJaccardStrategy]]. */
   private def bitmapJaccard(sets: DataFrame, vocab: Long, threshold: Double): DataFrame = {
     val nWords = ((vocab + 63) / 64).toInt
     val bm = docBitmaps(sets, vocab)
@@ -1132,6 +1132,44 @@ object TextOps {
       grams.filter(col("doc_id") % benchMod === benchRes)
         .select(col("doc_id").as("bench_id"), col("gram")),
       minShared)
+  }
+
+  /** [[contaminationWith]] driven by an ARBITRARY benchmark frame
+    * (VERDICT r7 #6 — the registered exercise of the public overload):
+    * the benchmark is one SOURCE slice of the corpus — the shape of a
+    * real held-out eval suite living in its own table — and the corpus
+    * is every other source. Same inverted-index join and scale
+    * argument as [[contamination]]. */
+  def contaminationBySource(spark: SparkSession, d: String,
+                            benchSource: String, n: Int = 4,
+                            minShared: Long = 2L): DataFrame = {
+    val g = docs(spark, d).filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
+    contaminationWith(
+      g.filter(col("source") =!= benchSource).select(col("doc_id"), col("gram")),
+      g.filter(col("source") === benchSource)
+        .select(col("doc_id").as("bench_id"), col("gram")),
+      minShared)
+  }
+
+  /** DuckDB twin of [[contaminationBySource]]. */
+  def contaminationBySourceSql(benchSource: String, n: Int = 4,
+                               minShared: Long = 2L): String = {
+    val parts = (1 to n).map(j => if (j == 1) "toks[i]" else s"toks[i+${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, source,
+       |             string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id, source,
+       |        unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |               i -> $parts)) AS gram
+       |      FROM t WHERE len(toks) >= $n)
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |FROM g c JOIN g b USING (gram)
+       |WHERE c.source <> '$benchSource' AND b.source = '$benchSource'
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
   }
 
   /** Core of [[contamination]]: corpus (doc_id, gram) × benchmark

@@ -451,6 +451,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rTr >= 0.30, f"ann_ivf_trained recall@5 $rTr%.2f below floor 0.30")
   }
 
+  test("recall@5 floors at sf0.1: the sf0.01 floors hold at 10x the corpus") {
+    // same quality pin one SF up (VERDICT r7 #7): the trained-cell
+    // indexes auto-scale nlists = ceil(sqrt(n)) while nprobe stays 2,
+    // so holding the floor across a 10x corpus growth is exactly the
+    // scale property the design claims. Measured values in PLANS.md.
+    val d = "/root/testdata/sf0.1"
+    def keys(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = keys(Similarity.annCosineTopK(spark, d).collect())
+    assert(exact.size == 50)
+    val rIvf = (keys(Similarity.annIvfTopK(spark, d).collect()) & exact).size
+      .toDouble / exact.size
+    val rPq = (keys(Similarity.ivfPqTopK(spark, d).collect()) & exact).size
+      .toDouble / exact.size
+    val rTr = (keys(Similarity.annIvfTopKTrained(spark, d).collect()) & exact).size
+      .toDouble / exact.size
+    info(f"sf0.1 recall@5: ann_ivf_topk=$rIvf%.2f ivf_pq_topk=$rPq%.2f " +
+      f"ann_ivf_trained=$rTr%.2f")
+    // measured 0.28 / 0.16 / 0.54 (deterministic: seeded index, fixed
+    // corpus) — floors just below; the fixed-nlists=8 IVF-PQ default
+    // degrades fastest with corpus growth (documented in PLANS.md),
+    // the auto-sqrt(n) trained index holds its sf0.01 level
+    assert(rIvf >= 0.20, f"ann_ivf_topk recall@5 $rIvf%.2f below floor")
+    assert(rPq >= 0.10, f"ivf_pq_topk recall@5 $rPq%.2f below floor")
+    assert(rTr >= 0.40, f"ann_ivf_trained recall@5 $rTr%.2f below floor")
+  }
+
+  test("doc_similar_topk: recall floor vs exact all-pairs sparse cosine") {
+    // the oracle pins deterministic replay; this pins SEARCH QUALITY
+    // (VERDICT r7 #7): kTopics=1 with an unbounded cell cap degrades
+    // the operator to exact all-pairs cosine — the ground truth the
+    // trained-cell default is measured against.
+    import graft.operators.TextOps
+    def keys(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("similar_id"))).toSet
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = keys(TextOps.docSimilarTopK(spark, d, kTopics = 1,
+        maxCell = Long.MaxValue).collect())
+      val got = keys(TextOps.docSimilarTopK(spark, d).collect())
+      val recall = (got & exact).size.toDouble / exact.size
+      info(f"$d doc_similar_topk recall@3 = $recall%.2f")
+      // measured 0.24 (sf0.01) / 0.19 (sf0.1): term-vector cosine mass
+      // is spread thin (median pair score ≈ 0), so the trained cells
+      // recover a five-times-chance share of the exact top-3 at probe
+      // cost 1/sqrt(n) of all-pairs — floor just below both values
+      assert(recall >= 0.15, f"$d doc_similar_topk recall $recall%.2f below floor")
+    }
+  }
+
+  test("knn_label_vote: vote stability under a changed probe budget") {
+    // stability pin (VERDICT r7 #7). True-label agreement is ~chance
+    // on this corpus (labels are assigned near-independently of the
+    // embedding geometry — the same fact that makes the trained
+    // quantizer beat label cells by +0.26 recall), so the meaningful
+    // quality metric is STABILITY: the winning vote should survive a
+    // widened search (k 3→5, nprobe 2→3) for most vectors. A broken
+    // index yields near-independent neighbor sets across budgets and
+    // collapses this toward the 1/|labels| chance rate.
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val narrow = Similarity.knnLabelVote(spark, d, k = 3, nprobe = 2)
+        .select(col("vec_id"), col("knn_label").as("l1"))
+      val wide = Similarity.knnLabelVote(spark, d, k = 5, nprobe = 3)
+        .select(col("vec_id"), col("knn_label").as("l2"))
+      val stable = narrow.join(wide, "vec_id")
+        .agg(avg(when(col("l1") === col("l2"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      info(f"$d knn_label_vote budget-stability = $stable%.2f")
+      // measured 0.56 (sf0.01) / 0.54 (sf0.1), deterministic; chance
+      // rate for near-independent neighbor sets would be ~0.13
+      assert(stable >= 0.40, f"$d knn vote stability $stable%.2f below floor")
+    }
+  }
+
   test("knnGraph auto-nlists scales the cell universe with corpus size") {
     // the ceil(sqrt(n)) rule: at n=500 the trained partition has 23
     // cells — more than the static label domain could ever provide —
