@@ -886,4 +886,129 @@ object Corpus {
        |       coalesce(n_oov, 0) AS n_oov,
        |       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
        |FROM documents d LEFT JOIN per_doc USING (doc_id)""".stripMargin
+
+  // ---- TextRank keyword extraction (iterative PageRank) ---------------
+
+  /** Rank-iteration fixed point scale: ranks start at `RankScale` and
+    * the damping base is `0.15 · RankScale`. 10⁹ keeps the per-edge
+    * product `r · w` far inside int64 at any realistic vocabulary
+    * (hub rank ≤ |V|·SCALE ≈ 10¹⁵ at a 10⁶-type vocab; × edge weights
+    * up to 10³ still < 2⁶³). */
+  private[graft] val RankScale = 1000000000L
+  private[graft] val RankBase  = RankScale * 15L / 100L // (1-d)·SCALE, d = 0.85
+
+  /** The symmetrized token co-occurrence graph + per-node strength,
+    * session-memoized because the 10 rank iterations (and repeated
+    * bench passes) all probe the same static relation. Schema:
+    * (x, y, w, s) — edge x→y with weight w = #adjacencies in either
+    * order and s = Σ_y w (x's total strength). */
+  private val textrankAdjCache =
+    new graft.SessionMemo[(SparkSession, String), DataFrame]("textrank_adj")
+
+  private def textrankAdj(spark: SparkSession, d: String): DataFrame =
+    textrankAdjCache.getOrBuild((spark, d)) {
+      val docs = Tables.documents(spark, d).withColumn("toks", cleanToksExpr)
+      val pos = docs
+        .select(explode(bigramsOfToks).as("bg"))
+        .select(col("bg.x").as("x"), col("bg.y").as("y"))
+        .filter(col("x") =!= col("y"))
+      val edges = pos
+        .union(pos.select(col("y").as("x"), col("x").as("y")))
+        .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      val strength = edges.groupBy("x").agg(sum(col("w")).as("s"))
+      edges.join(strength, Seq("x")).persist()
+    }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Texts" — public technique): weighted PageRank
+    * over the corpus-wide token co-occurrence graph; the top-k tokens
+    * by stationary rank are the corpus's keywords. The graph is the
+    * adjacent-token relation (window = 2), symmetrized (each unordered
+    * adjacency weights both directions), self-loops dropped.
+    *
+    * **Exact-arithmetic iteration** (the [[pmiBigrams]] lesson, taken
+    * one step further — here the whole ALGORITHM is integer):
+    * ranks live at fixed-point scale [[RankScale]];
+    * each of `iters` rounds computes, entirely in int64,
+    *
+    *   r'(y) = 0.15·SCALE + (85 · Σ_x (r(x)·w_xy div s_x)) div 100
+    *
+    * with `div` = floor division in both engines. Integer sums are
+    * associative, so partial aggregation and any merge order give
+    * bit-identical results — the DuckDB oracle (an UNROLLED chain of
+    * `iters` CTEs, same expression shapes) hash-matches exactly.
+    * Float PageRank could not be oracle-hashed: contribution sums
+    * reassociate across partitions and last-ulp drift compounds per
+    * iteration.
+    *
+    * Scale: this is the repo's iterative-graph-algorithm shape. The
+    * corpus is scanned ONCE (graph construction — map-side-combined
+    * bigram count); every iteration then runs over the vocab-sized
+    * edge relation, tiny next to the corpus, shuffled on a stable key
+    * (y) so AQE coalesces it. The static (edges ⋈ strength) relation
+    * is persisted via the session memo — the 10 iteration joins and
+    * the final top-k all reuse one materialization instead of
+    * re-tokenizing per iteration. Lineage grows linearly in `iters`
+    * (each step references the cached adjacency + the previous ranks);
+    * for 100s of iterations you would localCheckpoint every ~20 to cap
+    * plan depth — at the canonical 10 it is unnecessary. Final top-k
+    * is TakeOrdered (per-partition k-heap), never a global sort. */
+  def textrankKeywords(spark: SparkSession, d: String, k: Int = 30,
+                       iters: Int = 10): DataFrame = {
+    val adj = textrankAdj(spark, d)
+    var ranks = adj.select(col("x").as("token")).distinct()
+      .withColumn("r", lit(RankScale))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("x") === ranks("token"))
+        .select(col("y"), expr("(r * w) div s").as("contrib"))
+        .groupBy("y").agg(sum(col("contrib")).as("m"))
+        .select(col("y").as("token"),
+          (lit(RankBase) + expr("(85 * m) div 100")).as("r"))
+    }
+    ranks
+      .select(col("token"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("token"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[textrankKeywords]] — the `iters` rank rounds
+    * unrolled as chained CTEs (DuckDB, like PostgreSQL, forbids
+    * aggregates in a recursive CTE term, and a fixed iteration count
+    * is the algorithm's contract anyway). */
+  def textrankKeywordsSql(k: Int = 30, iters: Int = 10): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT a.y AS token,
+         |         CAST($RankBase + (85 * sum((r.r * a.w) // a.s)) // 100
+         |              AS BIGINT) AS r
+         |  FROM adj a JOIN r${i - 1} r ON r.token = a.x
+         |  GROUP BY a.y
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+       |                     tok -> length(tok) > 0) AS toks
+       |  FROM documents
+       |), pos AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS x,
+       |         unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS y
+       |  FROM t
+       |), pd AS (
+       |  SELECT x, y FROM pos WHERE x <> y
+       |), edges AS (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT x, y FROM pd UNION ALL SELECT y AS x, x AS y FROM pd
+       |  ) GROUP BY x, y
+       |), strength AS (
+       |  SELECT x, CAST(sum(w) AS BIGINT) AS s FROM edges GROUP BY x
+       |), adj AS (
+       |  SELECT e.x, e.y, e.w, s.s FROM edges e JOIN strength s ON s.x = e.x
+       |), r0 AS (
+       |  SELECT x AS token, CAST($RankScale AS BIGINT) AS r FROM strength
+       |),
+       |$iterCtes
+       |SELECT token, r AS rank_scaled FROM r$iters
+       |ORDER BY rank_scaled DESC, token
+       |LIMIT $k""".stripMargin
+  }
 }

@@ -603,6 +603,105 @@ object Similarity {
        |            THEN 1 ELSE 0 END AS agree
        |FROM embeddings e JOIN top ON e.vec_id = top.vec_id""".stripMargin
 
+  /** Multi-round label propagation over the k-NN graph (Zhu &
+    * Ghahramani 2002, "Learning from labeled and unlabeled data with
+    * label propagation" — public technique): a small SEED set keeps
+    * its ground-truth label (clamping); every other vector is
+    * re-labeled each round by the majority label of its [[knnGraph]]
+    * neighbors under the PREVIOUS round's labeling (synchronous
+    * update, ties to the smaller label, NULL while no neighbor is
+    * labeled yet). After `rounds` rounds a label has propagated up to
+    * `rounds` hops from the seeds — the standard way a curation
+    * pipeline turns a thin human-labeled slice into corpus-wide weak
+    * labels. Seeds here are `vec_id % seedMod = 0` — deterministic
+    * and oracle-expressible; a real pipeline would join its own seed
+    * table.
+    *
+    * Exactness: votes are integer counts with a total-order tie-break
+    * and the update is pure integer/CASE logic, so the unrolled-CTE
+    * DuckDB twin hash-matches bit-for-bit ([[knnGraphSql]] supplies
+    * the identical edge relation).
+    *
+    * Scale: one graph build (session-memoized, n·k edge rows) +
+    * per round one neighbor-keyed hash join, one (node, label)
+    * map-side-combined count, one per-node WindowGroupLimit — all
+    * over the n·k edge relation, never the embeddings. `rounds` is a
+    * small constant; lineage grows linearly over the CACHED edges
+    * (the textrank_keywords argument — localCheckpoint only matters
+    * at 100s of rounds). */
+  def labelSpread(spark: SparkSession, d: String, k: Int = 3,
+                  rounds: Int = 3, seedMod: Int = 4, nprobe: Int = 2,
+                  iters: Int = 2): DataFrame = {
+    val g = knnGraph(spark, d, k, nprobe, 0, iters)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").cast("int").as("true_label"),
+        (col("vec_id") % seedMod === 0).as("is_seed"))
+    var lbl = base.select(col("vec_id"),
+      when(col("is_seed"), col("true_label")).as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = g
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel")), "neighbor_id")
+        .filter(col("nlabel").isNotNull)
+        .groupBy("query_id", "nlabel").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("nlabel"))
+      val top = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id").as("vec_id"), col("nlabel"))
+      lbl = base.join(top, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("is_seed"), col("true_label"))
+            .otherwise(col("nlabel")).as("label"))
+    }
+    // seed is a pure function of vec_id — a projection, not a join
+    lbl.select(col("vec_id"),
+      when(col("vec_id") % seedMod === 0, 1).otherwise(0).as("seed"),
+      col("label"))
+  }
+
+  /** DuckDB twin of [[labelSpread]] — [[knnGraphSql]] as the edge CTE,
+    * then the `rounds` synchronous updates unrolled (the
+    * textrank_keywords pattern: fixed iteration count, chained CTEs). */
+  def labelSpreadSql(k: Int = 3, rounds: Int = 3, seedMod: Int = 4,
+                     nprobe: Int = 2, iters: Int = 2): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""v$i AS (
+         |  SELECT g.query_id AS vec_id, l.label AS nlabel, count(*) AS c
+         |  FROM g JOIN l${i - 1} l ON l.vec_id = g.neighbor_id
+         |  WHERE l.label IS NOT NULL
+         |  GROUP BY 1, 2
+         |), t$i AS (
+         |  SELECT vec_id, nlabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY c DESC, nlabel) AS rn
+         |    FROM v$i
+         |  ) WHERE rn = 1
+         |), l$i AS (
+         |  SELECT e.vec_id,
+         |         CASE WHEN e.vec_id % $seedMod = 0 THEN CAST(e.label AS INT)
+         |              ELSE t$i.nlabel END AS label
+         |  FROM embeddings e LEFT JOIN t$i ON t$i.vec_id = e.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${knnGraphSql(k, nprobe, iters)}
+       |  )
+       |), l0 AS (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id % $seedMod = 0 THEN CAST(label AS INT)
+       |         END AS label
+       |  FROM embeddings
+       |),
+       |$roundCtes
+       |SELECT e.vec_id,
+       |       CASE WHEN e.vec_id % $seedMod = 0 THEN 1 ELSE 0 END AS seed,
+       |       l$rounds.label
+       |FROM embeddings e JOIN l$rounds ON l$rounds.vec_id = e.vec_id""".stripMargin
+  }
+
   // ---- IVF index training (deterministic seeded k-means) -------------
 
   /** Builds the coarse IVF partition from scratch — the upstream step

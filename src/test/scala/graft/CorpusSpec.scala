@@ -333,4 +333,36 @@ class CorpusSpec extends AnyFunSuite {
     // empty doc: zero tokens, NULL rate, row survives
     assert(rows(2L) == ((0L, 0L, None)))
   }
+
+  test("textrankKeywords: hub centrality, symmetry, damping floor, mass bound") {
+    // star graph: hub adjacent to each of a b c (once each); x-y is an
+    // isolated 2-cycle. Symmetric leaves a b c must tie exactly; the hub
+    // (3 incident edges) must outrank every leaf.
+    val dir = docsDir(Seq(
+      (0L, "hub a"), (1L, "hub b"), (2L, "hub c"), (3L, "x y")))
+    val got = Corpus.textrankKeywords(spark, dir, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("hub", "a", "b", "c", "x", "y"))
+    assert(Set(got("a"), got("b"), got("c")).size == 1)
+    assert(got("hub") > got("a") && got("hub") > got("x"))
+    // x and y each give their whole (damped) rank to the other: the
+    // 2-cycle fixed point is SCALE (up to floor-division dust)
+    assert(got("x") == got("y"))
+    assert(math.abs(got("x") - Corpus.RankScale) <= 2)
+    // every node holds at least the damping base; total rank never
+    // exceeds the injected mass |V|·SCALE (floor division only loses)
+    assert(got.values.forall(_ >= Corpus.RankBase))
+    assert(got.values.sum <= got.size * Corpus.RankScale)
+  }
+
+  test("textrankKeywords is deterministic and k-bounded on real documents") {
+    val sf = "/root/testdata/sf0.001"
+    val a = Corpus.textrankKeywords(spark, sf, k = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b = Corpus.textrankKeywords(spark, sf, k = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq && a.length == 15)
+    // ranks are sorted desc, ties broken by token asc
+    assert(a.toSeq == a.sortBy { case (t, r) => (-r, t) }.toSeq)
+  }
 }

@@ -580,4 +580,29 @@ class SimilaritySpec extends AnyFunSuite {
     // mass, so its ratio approaches n-1 = 9 from either side
     assert(out(9L)._1 > 8.5 && out(9L)._1 < 9.5)
   }
+
+  test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
+    import spark.implicits._
+    // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4
+    // (label 7 — deliberately 'wrong' to prove clamping). cluster B:
+    // ids 9,10,11,13 — no id ≡ 0 (mod 4), so no seed ever reaches it.
+    val a = Array(1.0f, 0.0f); val b = Array(0.0f, 1.0f)
+    val rows = (0L to 7L).map(i => (i, a, if (i == 4L) 7 else 1)) ++
+      Seq(9L, 10L, 11L, 13L).map(i => (i, b, 2))
+    val dir = java.nio.file.Files.createTempDirectory("graftspread").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.labelSpread(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    assert(got.size == 12)
+    // seeds keep their own labels — including seed 4's outvoted 7
+    assert(got(0L) == ((1, Some(1))) && got(4L) == ((1, Some(7))))
+    // every A non-seed adopts the majority seed label within 3 rounds
+    Seq(1L, 2L, 3L, 5L, 6L, 7L).foreach(i =>
+      assert(got(i) == ((0, Some(1))), s"vec $i: ${got(i)}"))
+    // the seedless cluster is never reached: labels stay NULL
+    Seq(9L, 10L, 11L, 13L).foreach(i =>
+      assert(got(i) == ((0, None)), s"vec $i: ${got(i)}"))
+  }
 }
