@@ -41,8 +41,16 @@ object Profiling {
     * `ts` is profiled at microsecond precision (the [[Tables.events]]
     * ns→µs contract; the oracle profiles `epoch_us(ts)` so both
     * engines census the same value). */
-  def profileTable(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
+  def profileTable(spark: SparkSession, d: String): DataFrame =
+    profileFrom(Tables.events(spark, d))
+
+  /** Source-agnostic census body — also the plan function of the
+    * streaming face (`StreamingJobs.snapshotUpdate(stream,
+    * Profiling.profileFrom)`: a continuously-updated data-quality
+    * census over an ingest feed, exact at every snapshot — the
+    * StreamingProfileSpec parity test pins convergence to the batch
+    * answer). */
+  def profileFrom(ev: DataFrame): DataFrame = {
     val cols = ev.columns.toSeq
     def aggsFor(c: String): Seq[Column] = Seq(
       count(col(c)).as(s"nn_$c"),

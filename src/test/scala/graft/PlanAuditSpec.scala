@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "heavy_hitters", "tfidf_topk", "doc_quantiles", "doc_term_vectors",
     "ann_cosine_topk", "knn_graph", "embedding_dim_stats",
     "attribution_asof", "contamination",
-    "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup")
+    "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup",
+    "textrank_keywords", "label_spread", "profile_table", "key_skew_report")
 
   test("chunk_documents is one codegen scan — no shuffle, no join, no window") {
     val df = SparkEntry.queries("chunk_documents")(spark, sf)
@@ -58,6 +59,40 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
     }
+  }
+
+  test("textrank iterations ride the memoized adjacency, never re-tokenizing") {
+    val df = SparkEntry.queries("textrank_keywords")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // all 10 rank rounds must read the cached (x,y,w,s) relation; a
+    // documents FileScan OUTSIDE an InMemoryRelation's cached build
+    // subtree means an iteration rebuilt the graph from the corpus
+    // (InMemoryRelation PRINTS its build plan inline — drop those
+    // subtrees by tree indentation before scanning for FileScan)
+    def indent(l: String): Int = { val i = l.indexOf("+-"); if (i < 0) l.length else i }
+    val live = new StringBuilder
+    var skipBelow = -1
+    plan.linesIterator.foreach { l =>
+      if (skipBelow >= 0 && indent(l) <= skipBelow) skipBelow = -1
+      if (skipBelow < 0) {
+        if (l.contains("InMemoryRelation")) skipBelow = indent(l)
+        else live.append(l).append('\n')
+      }
+    }
+    assert(plan.contains("InMemoryTableScan"),
+      s"textrank_keywords does not consume the memoized adjacency:\n$plan")
+    assert(!live.toString.contains("FileScan"),
+      s"textrank_keywords re-scans the corpus inside the iteration:\n$plan")
+  }
+
+  test("profile_table is one scan — multi-distinct Expand, no join") {
+    val df = SparkEntry.queries("profile_table")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"profile_table must census in ONE scan:\n$plan")
+    assert(!plan.contains("Join"), s"profile_table plans a join:\n$plan")
+    assert(plan.contains("Expand"),
+      s"profile_table lost the multi-distinct Expand shape:\n$plan")
   }
 
   test("winnow_pairs reuses ONE fingerprint pipeline for both join sides") {

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingJobs
+import graft.operators.Profiling
+
+/** Streaming face of the per-column census: `snapshotUpdate` +
+  * `Profiling.profileFrom` is a continuously-updated data-quality
+  * report over an ingest feed. Fed the real events table in arbitrary
+  * micro-batch splits, the final snapshot census must equal the batch
+  * census bit-for-bit (exact counts — no approximation drift to
+  * tolerate). */
+class StreamingProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming census converges to the batch profile on real events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"),
+        graft.functions.ColumnFunctions.epochMicros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val state = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    val q = StreamingJobs.snapshotUpdate(stream, Profiling.profileFrom) { res =>
+      res.collect().foreach { r =>
+        state.put(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Profiling.profileTable(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    import scala.jdk.CollectionConverters._
+    assert(state.asScala.toMap == batch && batch.nonEmpty)
+  }
+}
