@@ -1081,6 +1081,59 @@ object Similarity {
   private val pqCodesCache = new graft.SessionMemo[
     (SparkSession, String, Int, Int, Int, Int), DataFrame]("pq_codes")
 
+  /** Scalar int8 quantization — the training-free third member of the
+    * compression family (IVF partitions, PQ codes, SQ8 scalars; the
+    * public FAISS ScalarQuantizer / vector-DB int8 shape): each vector
+    * is rescaled by its own max-|x| and every dimension rounds to a
+    * signed byte, code = ⌊x·127/scale + ½⌋ ∈ [−127, 127] — a 4× shrink
+    * with reconstruction error ≤ scale/254 per dimension, no codebook
+    * to train or broadcast.
+    *
+    * Exactness: scale is max(|x|) — an order-insensitive exact
+    * aggregate over the float→double-cast elements — and the code
+    * expression is one fixed-shape double chain (·127 / scale + 0.5,
+    * floor) evaluated identically by both engines, so the oracle
+    * hash-matches bit-for-bit (round-half-up via ⌊·+½⌋, NOT round():
+    * engines disagree on banker's-vs-away rounding, floor they agree
+    * on). Zero vectors emit code 0 with scale 0.
+    *
+    * Scale: a pure per-row projection — scale and codes both come
+    * from array HOFs on the vector column, so the plan is one codegen
+    * scan + posexplode with ZERO shuffle (pinned in PlanAuditSpec):
+    * at 100 TB this runs at scan speed, the point of SQ8. */
+  def sq8Encode(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("scale", expr("array_max(transform(emb, x -> abs(x)))"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        when(col("scale") > 0,
+          floor(col("v") * lit(127.0) / col("scale") + lit(0.5)).cast("int"))
+          .otherwise(lit(0)).as("code"),
+        col("scale"))
+
+  def sq8EncodeSql(): String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, emb,
+      |         list_max(list_transform(emb, x -> abs(x))) AS scale
+      |  FROM e
+      |), p AS (
+      |  SELECT vec_id, scale, emb,
+      |         unnest(range(1, len(emb)+1)) AS i
+      |  FROM s
+      |)
+      |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |       CASE WHEN scale > 0
+      |            THEN CAST(floor(emb[i] * 127.0 / scale + 0.5) AS INT)
+      |            ELSE 0 END AS code,
+      |       scale
+      |FROM p""".stripMargin
+
   /** PQ-ADC approximate top-k: queries score against the CODEBOOK once
     * (a per-query lookup table of nSub·nCodes exact subdistances), and
     * a vector's approximate distance is the sum of the nSub LUT

@@ -95,6 +95,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"profile_table lost the multi-distinct Expand shape:\n$plan")
   }
 
+  test("sq8_encode is one codegen scan — no shuffle, no join, no window") {
+    val df = SparkEntry.queries("sq8_encode")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "Window", "Sort").foreach { op =>
+      assert(!plan.contains(op),
+        s"sq8_encode plans a $op — the scan-speed contract broke:\n$plan")
+    }
+  }
+
   test("winnow_pairs reuses ONE fingerprint pipeline for both join sides") {
     val df = SparkEntry.queries("winnow_pairs")(spark, sf)
     df.collect() // finalize THIS frame's adaptive plan (count() would plan a new query)

@@ -581,6 +581,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(9L)._1 > 8.5 && out(9L)._1 < 9.5)
   }
 
+  test("sq8Encode: codes in [-127,127], round-trip error within scale/254") {
+    val rows = Similarity.sq8Encode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.nonEmpty && rows.forall { case (_, _, c, _) => c.abs <= 127 })
+    rows.foreach { case (id, pos, code, scale) =>
+      val x = emb(id)(pos.toInt)
+      assert(scale >= math.abs(x), s"scale of $id below |x|")
+      if (scale > 0) {
+        val recon = code * scale / 127.0
+        assert(math.abs(recon - x) <= scale / 254.0 + 1e-12,
+          s"vec $id pos $pos: |$recon - $x| > ${scale / 254.0}")
+      } else assert(code == 0)
+    }
+  }
+
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
     import spark.implicits._
     // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4
