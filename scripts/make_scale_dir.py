@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Build a K-times-sf0.1 synthetic dir for scale spot-runs (PLANS.md
+"measured scaling" table). Not used by the driver — dev tooling only.
+
+Usage: python3 scripts/make_scale_dir.py [K] [dst]
+
+Shapes (deliberately NOT exact duplication, which would be an
+unrealistically degenerate dedup input):
+ - documents: K copies with doc_id offsets; copies >0 get a per-copy
+   suffix token, so the corpus is NEAR-duplicate-heavy (clusters of
+   size K) — the realistic crawl shape for the dedup family.
+ - embeddings: K copies with seeded gaussian noise (sigma 0.05) on
+   copies >0 — near-duplicate clusters in cosine space.
+ - events: K copies with event_id offsets, ts shifted a day per copy,
+   and half the copies minting new user_ids (key cardinality grows
+   with volume, as real traffic does).
+"""
+import sys, os, shutil
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+def main():
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
+    src = '/root/testdata/sf0.1'
+    os.makedirs(dst, exist_ok=True)
+
+    t = pq.read_table(f'{src}/documents.parquet').to_pandas()
+    maxid = t.doc_id.max() + 1
+    parts = []
+    for i in range(K):
+        c = t.copy()
+        c['doc_id'] = c.doc_id + i * maxid
+        if i > 0:
+            c['text'] = c.text + f' copyv{i}'
+            c['n_chars'] = c.n_chars + len(f' copyv{i}')
+        parts.append(c)
+    pd.concat(parts, ignore_index=True).to_parquet(
+        f'{dst}/documents.parquet', index=False)
+
+    e = pq.read_table(f'{src}/embeddings.parquet').to_pandas()
+    rng = np.random.default_rng(42)
+    maxv = e.vec_id.max() + 1
+    eparts = []
+    for i in range(K):
+        c = e.copy()
+        c['vec_id'] = c.vec_id + i * maxv
+        if i > 0:
+            c['embedding'] = c.embedding.map(
+                lambda a: (np.asarray(a, dtype=np.float32) +
+                           rng.normal(0, 0.05, len(a)).astype(np.float32)).tolist())
+        eparts.append(c)
+    sch = pa.schema([('vec_id', pa.int64()),
+                     ('embedding', pa.list_(pa.float32())),
+                     ('label', pa.int32())])
+    pq.write_table(pa.Table.from_pandas(pd.concat(eparts, ignore_index=True),
+                                        schema=sch, preserve_index=False),
+                   f'{dst}/embeddings.parquet')
+
+    ev = pq.read_table(f'{src}/events.parquet').to_pandas()
+    maxe = ev.event_id.max() + 1
+    maxu = ev.user_id.max() + 1
+    vparts = []
+    for i in range(K):
+        c = ev.copy()
+        c['event_id'] = c.event_id + i * maxe
+        if i % 2 == 1:
+            c['user_id'] = c.user_id + (i // 2 + 1) * maxu
+        c['ts'] = c.ts + pd.Timedelta(days=i)
+        vparts.append(c)
+    pd.concat(vparts, ignore_index=True).to_parquet(
+        f'{dst}/events.parquet', index=False)
+
+    for tb in ['region', 'nation', 'customer', 'supplier', 'part',
+               'orders', 'lineitem']:
+        shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
+    print(f'wrote {dst} at {K}x sf0.1')
+
+if __name__ == '__main__':
+    main()

@@ -32,7 +32,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prev = previousQueries("/root/repo/bench_out.json")
     val spark = GraftSession("graft-bench")
+    // optional comma-separated subset (scale spot-runs on synthetic
+    // larger-than-sf0.1 dirs; the driver never sets it → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup: run everything once. Its per-query elapsed is REPORTED as
     // "cold" (ADVICE r7: the min-of-3 estimator reads warm session-memo
     // caches for the memoized relation family, so pass-1 cost is the

@@ -527,6 +527,97 @@ object TextOps {
     directJaccard(sets, threshold)
   }
 
+  /** The [[chooseJaccardStrategy]] cost model as a USER-FACING planning
+    * report — one row: corpus stats (docs, shingle vocabulary, posting
+    * rows), the candidate-volume estimates each strategy would pay
+    * (`direct_join_rows` = Σ df·(df−1)/2 hot-shingle join rows,
+    * `pf_rows` = the same sum over the df-ordered prefix relation,
+    * `bitmap_words` = the per-pair AND/POPCNT width), and the
+    * strategy the chooser would pick. The "should I even run exact
+    * all-pairs here?" check: on a near-dup-heavy crawl (the 10×-sf0.1
+    * scale run in PLANS.md) direct_join_rows grows ~quadratically in
+    * the duplication factor while the corpus only grows linearly — a
+    * pipeline reads this report and routes to minhash_lsh instead.
+    * Same decision inputs as the chooser (exact full-corpus stats,
+    * default caps), but computed as ONE DataFrame with no driver
+    * collect, so it is itself 100 TB-runnable: two map-side-combined
+    * aggregations over one shingle scan plus the prefix rollup (a
+    * window per doc over its own shingles — bounded by doc length).
+    *
+    * Exactness: every stat is an integer sum (df·(df−1) is even, so
+    * `div 2` is exact); the `chosen` CASE replicates the Scala cost
+    * comparison with the identical double expression shapes, so the
+    * DuckDB twin hash-matches bit-for-bit. */
+  def jaccardPlanReport(spark: SparkSession, d: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(spark, d)
+    val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sagg = dfreq.agg(
+      count(lit(1)).as("vocab"),
+      coalesce(sum(col("df")), lit(0L)).cast("long").as("shingle_rows"),
+      expr("coalesce(sum(df * (df - 1)), 0) div 2").as("direct_join_rows"))
+    val dagg = sets.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val pf = prefixRelation(sets, threshold)
+      .groupBy("sh").agg(count(lit(1)).as("pdf"))
+      .agg(expr("coalesce(sum(pdf * (pdf - 1)), 0) div 2").as("pf_rows"))
+    sagg.crossJoin(dagg).crossJoin(pf)
+      .select(col("n_docs"), col("vocab"), col("shingle_rows"),
+        col("direct_join_rows"), col("pf_rows"),
+        expr("(vocab + 63) div 64").as("bitmap_words"),
+        expr(
+          """CASE
+            |  WHEN n_docs < 2 OR vocab = 0 THEN 'direct'
+            |  WHEN n_docs <= 32768 AND vocab <= 16384 AND
+            |       CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 *
+            |         CAST((vocab + 63) div 64 AS DOUBLE)
+            |         <= 32.0 * CAST(direct_join_rows AS DOUBLE) THEN 'bitmap'
+            |  WHEN CAST(pf_rows AS DOUBLE) *
+            |         (1.0 + 2.0 * (CAST(shingle_rows AS DOUBLE) /
+            |                       CAST(n_docs AS DOUBLE)))
+            |         < CAST(direct_join_rows AS DOUBLE) THEN 'prefix'
+            |  ELSE 'direct'
+            |END""".stripMargin).as("chosen"))
+  }
+
+  def jaccardPlanReportSql(threshold: Double = 0.5): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |d AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)),
+       |             i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |      FROM t),
+       |dfreq AS (SELECT sh, count(*) AS df FROM d GROUP BY 1),
+       |sagg AS (SELECT count(*) AS vocab,
+       |                CAST(coalesce(sum(df), 0) AS BIGINT) AS shingle_rows,
+       |                CAST(coalesce(sum(df * (df - 1)), 0) // 2 AS BIGINT)
+       |                  AS direct_join_rows
+       |         FROM dfreq),
+       |dagg AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+       |pr AS (SELECT doc_id, sh FROM (
+       |         SELECT d.doc_id, d.sh, s.n,
+       |                row_number() OVER (PARTITION BY d.doc_id
+       |                                   ORDER BY f.df, d.sh) AS rn
+       |         FROM d JOIN dfreq f USING (sh) JOIN sizes s USING (doc_id))
+       |       WHERE rn <= n - CAST(ceil($threshold * n) AS BIGINT) + 1),
+       |pf AS (SELECT CAST(coalesce(sum(pdf * (pdf - 1)), 0) // 2 AS BIGINT)
+       |              AS pf_rows
+       |       FROM (SELECT sh, count(*) AS pdf FROM pr GROUP BY 1))
+       |SELECT n_docs, vocab, shingle_rows, direct_join_rows, pf_rows,
+       |       CAST((vocab + 63) // 64 AS BIGINT) AS bitmap_words,
+       |       CASE
+       |         WHEN n_docs < 2 OR vocab = 0 THEN 'direct'
+       |         WHEN n_docs <= 32768 AND vocab <= 16384 AND
+       |              CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 *
+       |                CAST((vocab + 63) // 64 AS DOUBLE)
+       |                <= 32.0 * CAST(direct_join_rows AS DOUBLE) THEN 'bitmap'
+       |         WHEN CAST(pf_rows AS DOUBLE) *
+       |                (1.0 + 2.0 * (CAST(shingle_rows AS DOUBLE) /
+       |                              CAST(n_docs AS DOUBLE)))
+       |                < CAST(direct_join_rows AS DOUBLE) THEN 'prefix'
+       |         ELSE 'direct'
+       |       END AS chosen
+       |FROM sagg CROSS JOIN dagg CROSS JOIN pf""".stripMargin
+
   def ngramJaccardSql(threshold: Double = 0.5): String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |           FROM documents),

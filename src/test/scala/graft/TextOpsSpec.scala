@@ -576,4 +576,23 @@ class TextOpsSpec extends AnyFunSuite {
       101L -> (("near", 2L)),
       102L -> (("keep", -1L))))
   }
+
+  test("jaccardPlanReport agrees with the chooser and its volume invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val r = TextOps.jaccardPlanReport(spark, sf).collect().head
+    val (nDocs, vocab, rows, direct, pf) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nDocs > 0 && vocab > 0 && rows >= vocab)
+    // the prefix relation is a subset of the postings: its candidate
+    // volume can never exceed the direct join's
+    assert(pf <= direct)
+    assert(r.getLong(5) == (vocab + 63) / 64)
+    // the report's CASE must reproduce the Scala chooser's pick
+    val expected = TextOps.chosenStrategy(spark, sf) match {
+      case TextOps.BitmapAllPairs => "bitmap"
+      case TextOps.PrefixFiltered => "prefix"
+      case TextOps.DirectInverted => "direct"
+    }
+    assert(r.getString(6) == expected)
+  }
 }
