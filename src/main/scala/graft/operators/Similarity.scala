@@ -661,6 +661,90 @@ object Similarity {
       col("label"))
   }
 
+  /** Per-node triangle count and local clustering coefficient of the
+    * k-NN graph (Watts & Strogatz 1998 "Collective dynamics of
+    * 'small-world' networks" — public technique): the structural
+    * quality report of an ANN index. A healthy semantic neighborhood
+    * is transitive — my neighbors are each other's neighbors — so low
+    * clustering flags regions where the quantizer's cells cut through
+    * true neighborhoods (the same failure recall floors catch, but
+    * label-free and per-vector). Edges are the UNDIRECTED support of
+    * [[knnGraph]] (canonical a<b pairs); a triangle {a,b,c} is
+    * enumerated once via the a<b<c ordered edge join; each node of it
+    * gets +1. Output per graph node: degree, triangle count, and
+    * clustering = 2·t / (deg·(deg−1)) (NULL when deg < 2).
+    *
+    * Exactness: degrees and triangle counts are integer aggregates;
+    * the coefficient is one final division of exact integers — the
+    * unrolled [[knnGraphSql]] oracle chain hash-matches.
+    *
+    * Scale: everything after the (memoized) graph build runs on the
+    * n·k edge relation: the triangle join is edges ⋈ edges on the
+    * shared middle node — fanout bounded by max degree ≤ 2k — then
+    * one membership semi-join against the canonical edge set and a
+    * node-keyed count. No embeddings are touched. */
+  def knnTriangles(spark: SparkSession, d: String, k: Int = 3,
+                   nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val g = knnGraph(spark, d, k, nprobe, 0, iters)
+    val und = g.select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    // ordered two-path a<b<c through middle node b, closed by (a,c)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val perNode = tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("clustering"))
+  }
+
+  /** DuckDB twin of [[knnTriangles]] — [[knnGraphSql]] as the edge CTE,
+    * then the identical canonicalize / ordered-triangle / count chain. */
+  def knnTrianglesSql(k: Int = 3, nprobe: Int = 2, iters: Int = 2): String =
+    s"""WITH g AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${knnGraphSql(k, nprobe, iters)}
+       |  )
+       |), und AS (
+       |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+       |                  GREATEST(query_id, neighbor_id) AS b
+       |  FROM g
+       |), deg AS (
+       |  SELECT v, count(*) AS degree FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+       |  ) GROUP BY 1
+       |), tri AS (
+       |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), per_node AS (
+       |  SELECT v, count(*) AS triangles FROM (
+       |    SELECT ta AS v FROM tri UNION ALL
+       |    SELECT tb AS v FROM tri UNION ALL
+       |    SELECT tc AS v FROM tri
+       |  ) GROUP BY 1
+       |)
+       |SELECT deg.v AS vec_id, deg.degree,
+       |       coalesce(per_node.triangles, 0) AS triangles,
+       |       CASE WHEN deg.degree >= 2
+       |            THEN CAST(coalesce(per_node.triangles, 0) * 2 AS DOUBLE) /
+       |                 CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+       |       END AS clustering
+       |FROM deg LEFT JOIN per_node ON per_node.v = deg.v""".stripMargin
+
   /** DuckDB twin of [[labelSpread]] — [[knnGraphSql]] as the edge CTE,
     * then the `rounds` synchronous updates unrolled (the
     * textrank_keywords pattern: fixed iteration count, chained CTEs). */

@@ -599,6 +599,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnTriangles: hand-computed triangles and clustering on crafted clusters") {
+    import spark.implicits._
+    // same two-cluster fixture as labelSpread: A = 8 identical vectors
+    // (ids 0-7, knn = 3 smallest other ids → K4 on {0,1,2,3} plus each
+    // of 4-7 attached to the {0,1,2} triangle), B = K4 on {9,10,11,13}
+    val a = Array(1.0f, 0.0f); val b = Array(0.0f, 1.0f)
+    val rows = (0L to 7L).map(i => (i, a, 1)) ++
+      Seq(9L, 10L, 11L, 13L).map(i => (i, b, 2))
+    val dir = java.nio.file.Files.createTempDirectory("grafttri").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.knnTriangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.size == 12)
+    // peripheral A nodes 4-7: attached to the {0,1,2} triangle — deg 3,
+    // 3 triangles, perfectly clustered
+    Seq(4L, 5L, 6L, 7L).foreach(i =>
+      assert(got(i) == ((3L, 3L, Some(1.0))), s"vec $i: ${got(i)}"))
+    // hub nodes 0,1,2: deg 7 (K4 + four peripherals), 11 triangles
+    Seq(0L, 1L, 2L).foreach(i =>
+      assert(got(i) == ((7L, 11L, Some(22.0 / 42.0))), s"vec $i: ${got(i)}"))
+    assert(got(3L) == ((3L, 3L, Some(1.0))))
+    // cluster B is a clean K4: every node deg 3, 3 triangles, c = 1
+    Seq(9L, 10L, 11L, 13L).foreach(i =>
+      assert(got(i) == ((3L, 3L, Some(1.0))), s"vec $i: ${got(i)}"))
+    // each triangle is counted once per member node: Σ = 3 · 20
+    assert(got.values.map(_._2).sum == 60L)
+  }
+
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
     import spark.implicits._
     // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4
