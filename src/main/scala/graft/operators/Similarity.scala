@@ -661,6 +661,57 @@ object Similarity {
       col("label"))
   }
 
+  /** Connected components over the [[embeddingNearDup]] pair graph —
+    * the embedding-space twin of TextOps.neardupClusters (symmetry the
+    * curation surface was missing: text pairs → clusters existed,
+    * embedding pairs → clusters did not). One row per vector:
+    * (vec_id, cluster_id = min vec_id of its component,
+    * is_canonical) — the downstream keep/drop unit of semantic dedup
+    * when verdicts should be transitive (A≈B≈C collapses to one
+    * cluster even when A-C alone misses the threshold).
+    *
+    * Scale: identical machinery and cost model as the text form —
+    * the pair stream is cell-bounded (never all-pairs), the
+    * cost-chosen component branch is driver union-find under the
+    * pair cap (a bounded aggregate, not corpus data) with
+    * distributed min-label propagation above it, and singletons are
+    * filled by a left join against the vectors table. */
+  def embeddingClusters(spark: SparkSession, d: String,
+                        threshold: Double = 0.4,
+                        maxDriverPairs: Long = 1L << 20): DataFrame = {
+    val pairs = embeddingNearDup(spark, d, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nPairs = pairs.count()
+    val clustered =
+      (if (nPairs <= maxDriverPairs) TextOps.driverUnionFind(spark, pairs)
+       else TextOps.propagateLabels(pairs))
+        .withColumnRenamed("doc_id", "vec_id")
+    Tables.embeddings(spark, d).select(col("vec_id"))
+      .join(clustered, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).cast("long").as("is_canonical"))
+  }
+
+  /** DuckDB twin of [[embeddingClusters]] — the neardupClustersSql
+    * recursive-reachability recipe over the embedding pair relation. */
+  def embeddingClustersSql(threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${embeddingNearDupSql(threshold)}
+       |), edges AS (
+       |  SELECT vec_a AS src, vec_b AS node FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS node FROM pairs
+       |), reach(node, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.node, r.r FROM reach r JOIN edges e ON e.src = r.node
+       |)
+       |SELECT node AS vec_id, min(r) AS cluster_id,
+       |       CAST(node = min(r) AS BIGINT) AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin
+
   /** Per-node triangle count and local clustering coefficient of the
     * k-NN graph (Watts & Strogatz 1998 "Collective dynamics of
     * 'small-world' networks" — public technique): the structural

@@ -599,6 +599,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingClusters: transitive closure over near-dup pairs, singleton kept") {
+    import spark.implicits._
+    // unit vectors at 0deg, 50deg, 100deg: cos(A,B)=cos(B,C)=0.64 >= 0.4
+    // but cos(A,C) = cos(100deg) = -0.17 < 0.4 — only transitivity puts
+    // A and C in one cluster. D points away from everything.
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val rows = Seq((0L, at(0), 1), (1L, at(50), 1), (2L, at(100), 1),
+      (3L, Array(0.0f, -1.0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graftecl").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((0L, 1L)), 1L -> ((0L, 0L)),
+      2L -> ((0L, 0L)), 3L -> ((3L, 1L))))
+  }
+
   test("knnTriangles: hand-computed triangles and clustering on crafted clusters") {
     import spark.implicits._
     // same two-cluster fixture as labelSpread: A = 8 identical vectors
