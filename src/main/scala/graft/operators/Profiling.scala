@@ -96,9 +96,15 @@ object Profiling {
     * Everything int64: counts are associative sums; percentile picks
     * are min-over-filter; top1_ppm = (max_cnt · 10⁶) div n_rows. */
   def keySkewReport(spark: SparkSession, d: String,
-                    key: String = "user_id"): DataFrame = {
-    val counts = Tables.events(spark, d)
-      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+                    key: String = "user_id"): DataFrame =
+    keySkewFrom(Tables.events(spark, d), key)
+
+  /** Source-agnostic body — also the plan function of the streaming
+    * face (`StreamingJobs.snapshotUpdate(stream, keySkewFrom(_))`: a
+    * continuously-updated skew monitor over an ingest feed; see
+    * StreamingProfileSpec's parity test). */
+  def keySkewFrom(ev: DataFrame, key: String = "user_id"): DataFrame = {
+    val counts = ev.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
       min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))

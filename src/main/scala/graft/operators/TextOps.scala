@@ -943,6 +943,76 @@ object TextOps {
        |       CAST(sum(cnt) AS BIGINT) AS n_docs
        |FROM bk GROUP BY 1""".stripMargin
 
+  /** MinHash calibration: estimated-vs-exact Jaccard for every LSH
+    * candidate pair — the quality-control report that closes the
+    * "measure, don't guess" loop on the banding parameters
+    * ([[lshBandStats]] predicts candidate VOLUME; this measures
+    * candidate QUALITY). Per band-collision pair: the number of
+    * agreeing signature components (the unbiased MinHash estimator —
+    * Broder 1997, "On the resemblance and containment of documents"),
+    * the implied estimate matches/8, and the exact bigram Jaccard
+    * (0.0 when a degenerate hash collision produced a candidate with
+    * no shared shingle). A calibration where high-estimate pairs
+    * score low exact Jaccard means the signature family is too short
+    * for the corpus's shingle distribution — add hashes or rows per
+    * band before trusting LSH verdicts at scale.
+    *
+    * Scale: the [[signatures]]/[[bandRelation]] subtree (shared with
+    * the pair join), the banded candidate join, one 8-column
+    * signature probe per side, and the candidates-only exact verify —
+    * the same sliver-sized relations minhash_lsh itself touches,
+    * never all-pairs. */
+  def minhashCalibration(spark: SparkSession, d: String): DataFrame = {
+    val sig = signatures(spark, d)
+    val bands = bandRelation(spark, d)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+        col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      MinhashSeeds.map(s => col(s"h$s").as(s"a$s")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      MinhashSeeds.map(s => col(s"h$s").as(s"b$s")): _*)
+    val matches = MinhashSeeds.map(s =>
+      when(col(s"a$s") === col(s"b$s"), 1L).otherwise(0L)).reduce(_ + _)
+    val exact = jaccardVerify(cands, shingleSets(spark, d), 0.0)
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), matches.as("sig_matches"))
+      .join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        (col("sig_matches").cast("double") / lit(8.0)).as("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
+  def minhashCalibrationSql(): String = {
+    val matches = MinhashSeeds
+      .map(s => s"CASE WHEN sa.h$s = sb.h$s THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $lshBandsSqlPrefix,
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |           AND a.doc_id < b.doc_id),
+       |m AS (SELECT c.doc_a, c.doc_b, CAST($matches AS BIGINT) AS sig_matches
+       |      FROM cands c
+       |      JOIN sig sa ON sa.doc_id = c.doc_a
+       |      JOIN sig sb ON sb.doc_id = c.doc_b),
+       |d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT m.doc_a, m.doc_b, m.sig_matches,
+       |       CAST(m.sig_matches AS DOUBLE) / 8.0 AS est_jaccard,
+       |       coalesce(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 0.0)
+       |         AS jaccard
+       |FROM m
+       |LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+       |JOIN sizes na ON m.doc_a = na.doc_id
+       |JOIN sizes nb ON m.doc_b = nb.doc_id""".stripMargin
+  }
+
   /** Incremental (cross-corpus) dedup — the "dedup the NEW crawl
     * against everything already ingested" pipeline stage, distinct
     * from [[minhashLsh]]'s whole-corpus self-join: only `newSource`

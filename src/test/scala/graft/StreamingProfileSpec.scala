@@ -49,4 +49,27 @@ class StreamingProfileSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(state.asScala.toMap == batch && batch.nonEmpty)
   }
+
+  test("streaming skew monitor converges to the batch key_skew_report") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("event_id", "user_id")
+    @volatile var last: Option[Seq[Long]] = None
+    val q = StreamingJobs.snapshotUpdate(stream, Profiling.keySkewFrom(_)) { res =>
+      last = Some(res.collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq)
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = graft.operators.Profiling.keySkewReport(spark, sf)
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    assert(last.contains(batch))
+  }
 }

@@ -577,6 +577,24 @@ class TextOpsSpec extends AnyFunSuite {
       102L -> (("keep", -1L))))
   }
 
+  test("minhashCalibration: identical docs estimate 1.0, estimator invariants hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, m, est, j) =>
+      assert(a < b && m >= 0 && m <= 8)
+      assert(est == m / 8.0)
+      assert(j >= 0.0 && j <= 1.0)
+      // identical shingle sets give identical signatures: exact J = 1
+      // must be estimated perfectly (the converse may not hold)
+      if (j == 1.0) assert(m == 8L, s"pair ($a,$b) J=1 but matches=$m")
+    }
+    // the corpus ships exact duplicates — at least one perfect pair
+    assert(rows.exists { case (_, _, m, _, j) => m == 8L && j == 1.0 })
+  }
+
   test("jaccardPlanReport agrees with the chooser and its volume invariants") {
     val sf = "/root/testdata/sf0.001"
     val r = TextOps.jaccardPlanReport(spark, sf).collect().head
