@@ -962,7 +962,17 @@ object TextOps {
     * signature probe per side, and the candidates-only exact verify —
     * the same sliver-sized relations minhash_lsh itself touches,
     * never all-pairs. */
-  def minhashCalibration(spark: SparkSession, d: String): DataFrame = {
+  def minhashCalibration(spark: SparkSession, d: String): DataFrame =
+    calibCache.getOrBuild((spark, d))(
+      minhashCalibrationCompute(spark, d).persist())
+
+  /** Session memo of the calibration relation (the [[pairCache]]
+    * rationale: a sliver-sized deterministic result over the same
+    * multi-second signature subtree — pay it once per session). */
+  private val calibCache =
+    new graft.SessionMemo[(SparkSession, String), DataFrame]("minhash_calibration")
+
+  private def minhashCalibrationCompute(spark: SparkSession, d: String): DataFrame = {
     val sig = signatures(spark, d)
     val bands = bandRelation(spark, d)
     val cands = bands.as("a").join(bands.as("b"),
