@@ -16,21 +16,39 @@ object Bench {
     * PREVIOUS invocation left behind (before this run overwrites it) —
     * feeds the "delta" map so a judge reads regressions directly
     * instead of diffing two rounds by hand. */
-  private def previousQueries(path: String): Map[String, Double] = {
+  private def previousJsonMap(path: String, key: String): Map[String, Double] = {
     try {
       val txt = Files.readString(Paths.get(path))
-      val qStart = txt.indexOf("\"queries\":{")
+      val qStart = txt.indexOf(s""""$key":{""")
       if (qStart < 0) return Map.empty
-      val body = txt.substring(qStart + "\"queries\":{".length,
+      val body = txt.substring(qStart + s""""$key":{""".length,
         txt.indexOf('}', qStart))
       "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
   }
 
+  private def previousScalar(path: String, key: String): Option[Double] = {
+    try {
+      val txt = Files.readString(Paths.get(path))
+      s""""$key":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val prev = previousQueries("/root/repo/bench_out.json")
+    // scale spot-runs redirect their output so they never clobber the
+    // driver's sf0.1 delta/cold-total continuity in bench_out.json
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    val prev = previousJsonMap(outPath, "queries")
+    // cold-total comparison only means anything against a run at the
+    // SAME sf dir
+    val prevSameSf =
+      try Files.readString(Paths.get(outPath)).contains(s""""sf":"$sfDir"""")
+      catch { case _: Throwable => false }
+    val prevColdTotal =
+      if (prevSameSf) previousScalar(outPath, "cold_total") else None
     val spark = GraftSession("graft-bench")
     // optional comma-separated subset (scale spot-runs on synthetic
     // larger-than-sf0.1 dirs; the driver never sets it → full suite)
@@ -42,10 +60,18 @@ object Bench {
     // caches for the memoized relation family, so pass-1 cost is the
     // honest cold-query number — conflated with JIT/codegen warmup for
     // the earliest queries, which is why it is a separate key and not
-    // part of the headline min)
+    // part of the headline min). Session memos are CLEARED before each
+    // warmup query (ADVICE r8): without it, any query sharing a memoized
+    // relation with an alphabetically-earlier one (knn_triangles after
+    // knn_graph, minhash_lsh after minhash_calibration, ...) would
+    // report a warm-cache time as "cold". The clear makes every cold
+    // number a genuinely from-scratch run — which is also why cold_total
+    // exceeds the sum a single cold SESSION would pay (shared relations
+    // are rebuilt per consumer here, by design of the measurement).
     val warmErrs = scala.collection.mutable.Map[String, String]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     names.foreach { n =>
+      Graft.clearSession(spark)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()
@@ -54,6 +80,8 @@ object Bench {
         warmErrs(n) = e.toString.take(300); cold(n) = None
       }
     }
+    // memos were cleared before the LAST warmup query — pass 1 of the
+    // timed loop rebuilds them; min-of-3 still reads warm passes 2-3
     // three timed passes INTERLEAVED across the whole suite (pass1 all
     // queries, pass2 all, pass3 all), min per query: the host shows
     // multi-minute noisy-neighbor bursts (identical binaries measured
@@ -123,12 +151,22 @@ object Bench {
     val coldJson = names.map { n =>
       s"${jstr(n)}:${cold.getOrElse(n, None).map(x => f"$x%.3f").getOrElse("null")}"
     }.mkString("{", ",", "}")
+    // cold-path regression gate (VERDICT r8 #7): session memoization
+    // must never silently hide a cold-path regression behind warm
+    // min-of-3 numbers, so the cold TOTAL is tracked and gated like the
+    // headline total. Threshold 1.5×: single-sample cold numbers carry
+    // noisy-neighbor variance the min estimator filters out elsewhere.
+    val coldTotal = cold.values.flatten.sum
+    val coldDelta = prevColdTotal.filter(_ > 0).map(coldTotal / _)
+    val coldRegressed = coldDelta.exists(_ > 1.5)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"passes":$passes,"delta":$delta,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"cold_total":${f"$coldTotal%.3f"},"cold_delta":${coldDelta.map(x => f"$x%.2f").getOrElse("null")},"cold_regressed":$coldRegressed,"passes":$passes,"delta":$delta,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
-    try Files.writeString(Paths.get("/root/repo/bench_out.json"), line + "\n")
+    try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    if (coldRegressed) System.err.println(
+      f"[bench] COLD-PATH REGRESSION: cold_total $coldTotal%.1fs is ${coldDelta.get}%.2fx the previous run's")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
   }
 }

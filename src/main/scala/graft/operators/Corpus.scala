@@ -890,10 +890,21 @@ object Corpus {
   // ---- TextRank keyword extraction (iterative PageRank) ---------------
 
   /** Rank-iteration fixed point scale: ranks start at `RankScale` and
-    * the damping base is `0.15 · RankScale`. 10⁹ keeps the per-edge
-    * product `r · w` far inside int64 at any realistic vocabulary
-    * (hub rank ≤ |V|·SCALE ≈ 10¹⁵ at a 10⁶-type vocab; × edge weights
-    * up to 10³ still < 2⁶³). */
+    * the damping base is `0.15 · RankScale`. Ranks themselves stay
+    * inside int64 (hub rank ≤ |V|·SCALE, and a corpus whose total rank
+    * mass exceeds 2⁶³ has no usable fixed-point encoding at ANY scale)
+    * — but the per-edge product `r · w` does NOT: `w` is a corpus-wide
+    * adjacent-bigram count (stop-word pairs grow linearly with corpus
+    * size, ~10¹² at the 100 TB regime), so `r · w` can pass 2⁶³ and
+    * would silently wrap in non-ANSI Spark (ADVICE r8). The iteration
+    * therefore widens exactly the two intermediates that can overflow
+    * — the edge product and the `85 · m` damping numerator — to 128-bit
+    * integer arithmetic (DECIMAL(38,0) in Spark, HUGEINT in DuckDB;
+    * 38 digits ≈ 2¹²⁶ covers r·w ≤ 10¹⁸·10¹² with 8 digits to spare),
+    * then narrows back to int64 after each floor division, whose
+    * quotient is ≤ r (since w ≤ s) resp. ≤ m. Floor division of
+    * non-negative 128-bit integers is bit-identical across both
+    * engines, so the oracle contract is unchanged. */
   private[graft] val RankScale = 1000000000L
   private[graft] val RankBase  = RankScale * 15L / 100L // (1-d)·SCALE, d = 0.85
 
@@ -929,7 +940,8 @@ object Corpus {
     * **Exact-arithmetic iteration** (the [[pmiBigrams]] lesson, taken
     * one step further — here the whole ALGORITHM is integer):
     * ranks live at fixed-point scale [[RankScale]];
-    * each of `iters` rounds computes, entirely in int64,
+    * each of `iters` rounds computes, entirely in exact integers
+    * (int64 state, 128-bit intermediates — see [[RankScale]]),
     *
     *   r'(y) = 0.15·SCALE + (85 · Σ_x (r(x)·w_xy div s_x)) div 100
     *
@@ -960,10 +972,15 @@ object Corpus {
       .withColumn("r", lit(RankScale))
     for (_ <- 1 to iters) {
       ranks = adj.join(ranks, adj("x") === ranks("token"))
-        .select(col("y"), expr("(r * w) div s").as("contrib"))
+        // widen ONLY the product: r·w can exceed 2^63 at corpus scale
+        // (w = corpus-wide bigram count); the div-s quotient is ≤ r,
+        // so `div` narrows safely back to int64 (RankScale scaladoc)
+        .select(col("y"),
+          expr("(cast(r as decimal(38,0)) * w) div s").as("contrib"))
         .groupBy("y").agg(sum(col("contrib")).as("m"))
         .select(col("y").as("token"),
-          (lit(RankBase) + expr("(85 * m) div 100")).as("r"))
+          (lit(RankBase) +
+            expr("(85 * cast(m as decimal(38,0))) div 100")).as("r"))
     }
     ranks
       .select(col("token"), col("r").as("rank_scaled"))
@@ -979,7 +996,8 @@ object Corpus {
     val iterCtes = (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT a.y AS token,
-         |         CAST($RankBase + (85 * sum((r.r * a.w) // a.s)) // 100
+         |         CAST($RankBase +
+         |              (85 * sum((CAST(r.r AS HUGEINT) * a.w) // a.s)) // 100
          |              AS BIGINT) AS r
          |  FROM adj a JOIN r${i - 1} r ON r.token = a.x
          |  GROUP BY a.y

@@ -675,7 +675,11 @@ object Similarity {
     * cost-chosen component branch is driver union-find under the
     * pair cap (a bounded aggregate, not corpus data) with
     * distributed min-label propagation above it, and singletons are
-    * filled by a left join against the vectors table. */
+    * filled by a left join against the vectors table. The pair
+    * relation comes persisted from [[embeddingNearDup]]'s session
+    * memo, so the strategy-picking `count()` and the clustering pass
+    * read ONE materialization — the cell-stats job and pair join run
+    * once per (session, params), not once per consumer (ADVICE r8). */
   def embeddingClusters(spark: SparkSession, d: String,
                         threshold: Double = 0.4,
                         maxDriverPairs: Long = 1L << 20): DataFrame = {
@@ -1862,9 +1866,25 @@ object Similarity {
     * plants no embedding dups — max within-cell cosine is ≈0.47 — so
     * the default threshold surfaces "most similar" pairs; detection of
     * true dups and the banded branch are covered by tests with crafted
-    * vectors and a forced cap.) */
+    * vectors and a forced cap.)
+    *
+    * The pair relation is session-memoized (the minhash_lsh pairCache
+    * rationale): it is sliver-sized, deterministic, and consumed by
+    * several operators per session — embedding_neardup itself,
+    * [[embeddingClusters]]'s count-then-cluster (which would otherwise
+    * evaluate the cell-stats job and the pair join twice per call —
+    * ADVICE r8), and repeated bench passes. */
   def embeddingNearDup(spark: SparkSession, d: String, threshold: Double = 0.4,
-                       maxCell: Long = 4096, nBands: Int = 8): DataFrame = {
+                       maxCell: Long = 4096, nBands: Int = 8): DataFrame =
+    nearDupPairCache.getOrBuild((spark, d, threshold, maxCell, nBands))(
+      embeddingNearDupCompute(spark, d, threshold, maxCell, nBands).persist())
+
+  private val nearDupPairCache = new graft.SessionMemo[
+    (SparkSession, String, Double, Long, Int), DataFrame]("embedding_neardup")
+
+  private def embeddingNearDupCompute(spark: SparkSession, d: String,
+                                      threshold: Double, maxCell: Long,
+                                      nBands: Int): DataFrame = {
     val e = withNorm(spark, d)
     // one tiny stats job (ngramJaccard-chooser pattern): cells per
     // label, max — at 100 TB this is a map-side-combined count, and the

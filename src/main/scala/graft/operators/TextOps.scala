@@ -991,7 +991,10 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), matches.as("sig_matches"))
       .join(exact, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("sig_matches"),
-        (col("sig_matches").cast("double") / lit(8.0)).as("est_jaccard"),
+        // denominator is the seed-family size, never a literal: if
+        // MinhashSeeds ever widens, the estimate stays correct (ADVICE r8)
+        (col("sig_matches").cast("double") / lit(MinhashSeeds.size.toDouble))
+          .as("est_jaccard"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
@@ -1014,7 +1017,8 @@ object TextOps {
        |          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT m.doc_a, m.doc_b, m.sig_matches,
-       |       CAST(m.sig_matches AS DOUBLE) / 8.0 AS est_jaccard,
+       |       CAST(m.sig_matches AS DOUBLE) / ${MinhashSeeds.size}.0
+       |         AS est_jaccard,
        |       coalesce(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 0.0)
        |         AS jaccard
        |FROM m
