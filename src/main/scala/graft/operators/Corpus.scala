@@ -961,16 +961,22 @@ object Corpus {
     * is persisted via the session memo — the 10 iteration joins and
     * the final top-k all reuse one materialization instead of
     * re-tokenizing per iteration. Lineage grows linearly in `iters`
-    * (each step references the cached adjacency + the previous ranks);
-    * for 100s of iterations you would localCheckpoint every ~20 to cap
-    * plan depth — at the canonical 10 it is unnecessary. Final top-k
+    * (each step references the cached adjacency + the previous ranks)
+    * but is CAPPED by [[graft.Checkpoints]]: every ~20 rounds the rank
+    * frame rebases onto an eager localCheckpoint (superseded
+    * checkpoints released), so arbitrary user-supplied `iters` keeps
+    * flat per-round planning cost. At the canonical 10 no checkpoint
+    * fires and the plan is identical to the unguarded form; results
+    * are value-identical either way (CorpusSpec pins it). Final top-k
     * is TakeOrdered (per-partition k-heap), never a global sort. */
   def textrankKeywords(spark: SparkSession, d: String, k: Int = 30,
-                       iters: Int = 10): DataFrame = {
+                       iters: Int = 10,
+                       checkpointEvery: Int = graft.Checkpoints.Every): DataFrame = {
     val adj = textrankAdj(spark, d)
+    val guard = graft.Checkpoints.guard(checkpointEvery)
     var ranks = adj.select(col("x").as("token")).distinct()
       .withColumn("r", lit(RankScale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = adj.join(ranks, adj("x") === ranks("token"))
         // widen ONLY the product: r·w can exceed 2^63 at corpus scale
         // (w = corpus-wide bigram count); the div-s quotient is ≤ r,
@@ -981,6 +987,7 @@ object Corpus {
         .select(col("y").as("token"),
           (lit(RankBase) +
             expr("(85 * cast(m as decimal(38,0))) div 100")).as("r"))
+      ranks = guard(ranks, i, iters)
     }
     ranks
       .select(col("token"), col("r").as("rank_scaled"))

@@ -625,13 +625,18 @@ object Similarity {
     * Scale: one graph build (session-memoized, n·k edge rows) +
     * per round one neighbor-keyed hash join, one (node, label)
     * map-side-combined count, one per-node WindowGroupLimit — all
-    * over the n·k edge relation, never the embeddings. `rounds` is a
-    * small constant; lineage grows linearly over the CACHED edges
-    * (the textrank_keywords argument — localCheckpoint only matters
-    * at 100s of rounds). */
+    * over the n·k edge relation, never the embeddings. Lineage grows
+    * linearly over the CACHED edges but is capped by
+    * [[graft.Checkpoints]] — every ~20 rounds the label frame rebases
+    * onto an eager localCheckpoint, so user-supplied `rounds` in the
+    * 100s keeps flat per-round planning cost; at the canonical 3 no
+    * checkpoint fires and results are value-identical either way
+    * (SimilaritySpec pins the invariance). */
   def labelSpread(spark: SparkSession, d: String, k: Int = 3,
                   rounds: Int = 3, seedMod: Int = 4, nprobe: Int = 2,
-                  iters: Int = 2): DataFrame = {
+                  iters: Int = 2,
+                  checkpointEvery: Int = graft.Checkpoints.Every): DataFrame = {
+    val guard = graft.Checkpoints.guard(checkpointEvery)
     val g = knnGraph(spark, d, k, nprobe, 0, iters)
       .select(col("query_id"), col("neighbor_id"))
     val base = Tables.embeddings(spark, d)
@@ -639,7 +644,7 @@ object Similarity {
         (col("vec_id") % seedMod === 0).as("is_seed"))
     var lbl = base.select(col("vec_id"),
       when(col("is_seed"), col("true_label")).as("label"))
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val votes = g
         .join(lbl.select(col("vec_id").as("neighbor_id"),
           col("label").as("nlabel")), "neighbor_id")
@@ -654,6 +659,7 @@ object Similarity {
         .select(col("vec_id"),
           when(col("is_seed"), col("true_label"))
             .otherwise(col("nlabel")).as("label"))
+      lbl = guard(lbl, round, rounds)
     }
     // seed is a pure function of vec_id — a projection, not a join
     lbl.select(col("vec_id"),

@@ -384,11 +384,8 @@ object StreamingJobs {
       }.start()
   }
 
-  /** Unpersists the block store behind a localCheckpoint'd frame
-    * (Dataset.unpersist only clears cacheManager entries — checkpoint
-    * blocks live on the LogicalRDD and otherwise wait for GC). */
+  /** See [[graft.Checkpoints.release]] — shared with the batch
+    * iterative operators' lineage guard. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.Checkpoints.release(df)
 }

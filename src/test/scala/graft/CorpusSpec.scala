@@ -365,4 +365,29 @@ class CorpusSpec extends AnyFunSuite {
     // ranks are sorted desc, ties broken by token asc
     assert(a.toSeq == a.sortBy { case (t, r) => (-r, t) }.toSeq)
   }
+
+  test("textrankKeywords: 100 deep rounds complete under the checkpoint guard, values invariant") {
+    val dir = docsDir(Seq(
+      (0L, "hub a hub b hub c a b"), (1L, "x y x z y z hub a"),
+      (2L, "a b c x y z hub hub")))
+    // invariance: a run that rebases every 7 rounds equals one that
+    // never checkpoints (lineage cut, values untouched)
+    def rowsOf(iters: Int, every: Int) =
+      Corpus.textrankKeywords(spark, dir, k = 10, iters = iters,
+        checkpointEvery = every)
+    assert(rowsOf(25, 7).collect().toSeq == rowsOf(25, 1000).collect().toSeq)
+    // deep iteration: 100 rounds with the DEFAULT guard completes and
+    // keeps plan depth flat — the final frame roots at the last rebase,
+    // so it carries at most Checkpoints.Every rounds of joins (+ the
+    // adjacency build), not all 100
+    val deep = rowsOf(100, graft.Checkpoints.Every)
+    val joinCount = deep.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joinCount <= 2 * graft.Checkpoints.Every, s"plan carries $joinCount joins")
+    val got = deep.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // PageRank invariants still hold at the deep fixed point
+    assert(got.values.forall(_ >= Corpus.RankBase))
+    assert(got("hub") == got.values.max)
+  }
 }

@@ -671,4 +671,30 @@ class SimilaritySpec extends AnyFunSuite {
     Seq(9L, 10L, 11L, 13L).foreach(i =>
       assert(got(i) == ((0, None)), s"vec $i: ${got(i)}"))
   }
+
+  test("labelSpread: checkpoint guard is value-invariant and caps plan depth") {
+    import spark.implicits._
+    val a = Array(1.0f, 0.0f); val b = Array(0.0f, 1.0f)
+    val rows = (0L to 7L).map(i => (i, a, if (i == 4L) 7 else 1)) ++
+      Seq(9L, 10L, 11L, 13L).map(i => (i, b, 2))
+    val dir = java.nio.file.Files.createTempDirectory("graftspreadckpt").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    // invariance: checkpointing cuts lineage, never values — a run that
+    // rebases 3 times equals one that never checkpoints
+    val guarded   = Similarity.labelSpread(spark, dir, rounds = 25, checkpointEvery = 7)
+    val unguarded = Similarity.labelSpread(spark, dir, rounds = 25, checkpointEvery = 1000)
+    assert(rowsOf(guarded) == rowsOf(unguarded))
+    // depth cap: the guarded 25-round plan roots at the last checkpoint
+    // (≤ 7 rounds of joins); the unguarded one carries all 25 rounds
+    def joins(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(guarded) < joins(unguarded))
+    assert(joins(guarded) <= 3 * 7)
+  }
 }
