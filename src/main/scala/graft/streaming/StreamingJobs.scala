@@ -358,11 +358,11 @@ object StreamingJobs {
     * (plus one during the handoff), not the whole history of them.
     * The recompute trade is deliberate and bounded by snapshot size:
     * per-batch latency still grows with the accumulated snapshot, so a
-    * LONG-RUNNING stream needs a retention bound — at 100 TB/day you'd
-    * partition the snapshot by the rollup's coarsest stable key (e.g.
-    * day), recompute only touched partitions, and age out closed ones
-    * (same builder, narrower input); the unbounded-history form
-    * belongs in batch. */
+    * LONG-RUNNING stream needs a retention bound — that variant is
+    * [[snapshotUpdatePartitioned]] (partition by the plan's coarsest
+    * stable key, recompute only touched partitions, age out closed
+    * ones); this unbounded-history form is for bounded replays and
+    * plans with no stable partitioning key. */
   def snapshotUpdate(stream: DataFrame, plan: DataFrame => DataFrame)
                     (upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var snapshot: Option[DataFrame] = None
@@ -381,6 +381,97 @@ object StreamingJobs {
         }
         snapshot = Some(next)
         upsert(plan(next))
+      }.start()
+  }
+
+  /** Retention-bounded [[snapshotUpdate]] — the long-running form
+    * (VERDICT r8 #1). The accumulated snapshot is held PARTITIONED by a
+    * caller-named coarse stable key (`partitionCol` — e.g. the day a
+    * rollup's hour buckets roll up into), one eager localCheckpoint per
+    * live partition, and each micro-batch:
+    *
+    *  1. appends the batch's rows to exactly the partitions it touches
+    *     (each rebased onto a fresh checkpoint, the superseded one's
+    *     blocks released);
+    *  2. ages out closed partitions — only the `retainPartitions`
+    *     LARGEST keys (natural order: days, epoch hours, ...) stay
+    *     live; evicted partitions' blocks are released and their keys
+    *     reported through `onEvict` so the serving table drops their
+    *     rows. Late rows for an already-evicted (or never-admitted,
+    *     below-horizon) partition are DROPPED — that is what a
+    *     retention bound means, same contract as a watermark;
+    *  3. re-applies `plan` to the touched partitions' rows ONLY and
+    *     hands the refreshed slice to `upsert` together with the
+    *     touched keys (delete-then-insert per partition key — the
+    *     serving contract).
+    *
+    * Per-batch cost is therefore O(rows of touched partitions), not
+    * O(everything ever ingested) — with a day key and day-grouped
+    * arrivals, constant over the stream's lifetime no matter how long
+    * it runs (pinned by the planned-input test in
+    * SnapshotRetentionSpec); state held is `retainPartitions`
+    * checkpoints, nothing grows without bound.
+    *
+    * Contract on `plan`: it must be DECOMPOSABLE along `partitionCol`
+    * — every output row derives from one partition's rows (true
+    * whenever the partition key is functionally determined by the
+    * plan's grouping keys, e.g. hour → day). Aggregates ABOVE the
+    * partition grain (a rollup's grand total) move to the serving
+    * side as a fold over per-partition rows — the same stage split as
+    * [[topNUpdate]]'s ranking, and for the same reason: they are not
+    * incremental over a retention-bounded window. */
+  def snapshotUpdatePartitioned(stream: DataFrame, partitionCol: String,
+                                plan: DataFrame => DataFrame,
+                                retainPartitions: Int = Int.MaxValue)
+                               (upsert: (DataFrame, Seq[Any]) => Unit,
+                                onEvict: Seq[Any] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainPartitions >= 1, "retainPartitions must be >= 1")
+    // driver-held partition index: coarse key -> checkpointed rows.
+    // Bounded by retainPartitions; values are block-store handles, the
+    // rows themselves live on executors.
+    val parts = scala.collection.mutable.HashMap[Any, DataFrame]()
+    val keyOrd: Ordering[Any] = (a: Any, b: Any) =>
+      if (a == null && b == null) 0 else if (a == null) -1
+      else if (b == null) 1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val touched = b.select(partitionCol).distinct().collect()
+          .map(_.get(0)).toSeq.sorted(keyOrd)
+        // the retention horizon: once retainPartitions newer keys are
+        // live, a smaller key can never be admitted (or re-admitted)
+        val horizon =
+          if (parts.size < retainPartitions) None
+          else Some(parts.keys.toSeq.sorted(keyOrd)
+            .apply(parts.size - retainPartitions))
+        val admitted = touched.filter(p =>
+          horizon.forall(h => keyOrd.compare(p, h) >= 0))
+        admitted.foreach { p =>
+          val slice = b.filter(
+            if (p == null) col(partitionCol).isNull
+            else col(partitionCol) <=> lit(p))
+          parts.get(p) match {
+            case Some(prev) =>
+              val next = prev.union(slice).localCheckpoint(true)
+              releaseCheckpoint(prev)
+              parts(p) = next
+            case None =>
+              parts(p) = slice.localCheckpoint(true)
+          }
+        }
+        // age out: keep only the retainPartitions largest keys
+        if (parts.size > retainPartitions) {
+          val doomed = parts.keys.toSeq.sorted(keyOrd)
+            .dropRight(retainPartitions)
+          doomed.foreach { k => releaseCheckpoint(parts(k)); parts -= k }
+          onEvict(doomed)
+        }
+        // recompute touched-and-still-live partitions only
+        val live = admitted.filter(parts.contains)
+        if (live.nonEmpty)
+          upsert(plan(live.map(parts).reduce(_ union _)), live)
       }.start()
   }
 

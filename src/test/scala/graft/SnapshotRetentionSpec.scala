@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingJobs
+import graft.operators.EventAnalytics
+
+import scala.jdk.CollectionConverters._
+
+/** Retention-bounded snapshot face (`snapshotUpdatePartitioned`) —
+  * the long-running form of the update-mode snapshot harness
+  * (VERDICT r8 #1): per-batch recompute touches only the partitions
+  * the batch touches, closed partitions age out (blocks released,
+  * serving rows dropped through onEvict), and late rows below the
+  * retention horizon are discarded like a watermark would. */
+class SnapshotRetentionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitioned pivot face converges to the batch answer on real events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(graft.functions.ColumnFunctions.epochSeconds(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    // day is functionally determined by the pivot's hour key, so the
+    // plan is decomposable along it — the documented contract
+    val stream = input.toDF().toDF("ts_s", "user_id", "event_type", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", to_date(col("ts")))
+    val state = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.eventPivotFrom(_)) ({ (res, _) =>
+      res.collect().foreach { r =>
+        state.put(r.getAs[Long]("hour"), (1 until r.size).map(i => r.getLong(i)))
+      }
+    })
+    try {
+      // event_id-hash splits: every micro-batch touches several days,
+      // exercising the multi-partition append + recompute path
+      rows.groupBy(_._4 % 3).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = EventAnalytics.eventPivot(spark, sf).collect().map { r =>
+      r.getAs[Long]("hour") -> (1 until r.size).map(i => r.getLong(i))
+    }.toMap
+    assert(state.asScala.toMap == batch && batch.nonEmpty)
+  }
+
+  test("age-out: serving table holds exactly the retained partitions; late rows below horizon are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("day", "k")
+    val served = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+    val evicted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", _.groupBy("day", "k").count(), retainPartitions = 3)(
+      upsert = { (res, _) =>
+        res.collect().foreach(r =>
+          served.put((r.getLong(0), r.getString(1)), r.getLong(2)))
+      },
+      onEvict = { keys =>
+        keys.foreach { d =>
+          val day = d.asInstanceOf[Long]
+          evicted += day
+          served.keySet().removeIf(_._1 == day)
+        }
+      })
+    try {
+      // one day per batch, two waves for day 2 (re-touch accumulates)
+      (0L to 6L).foreach { d =>
+        input.addData(Seq((d, "a"), (d, "a"), (d, "b")))
+        q.processAllAvailable()
+      }
+      input.addData(Seq((2L, "a"), (5L, "a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // days 0-3 aged out as 4-6 arrived; the late (2,"a") row fell below
+    // the horizon and was dropped, the late (5,"a") row accumulated
+    assert(evicted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(served.asScala.toMap == Map(
+      (4L, "a") -> 2L, (4L, "b") -> 1L,
+      (5L, "a") -> 3L, (5L, "b") -> 1L,
+      (6L, "a") -> 2L, (6L, "b") -> 1L))
+  }
+
+  test("per-batch planned input stays O(touched partitions) while total ingest grows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("day", "k")
+    val plannedInput = scala.collection.mutable.ArrayBuffer[Long]()
+    val rowsPerDay = 50
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day",
+      // instrumented plan: record how many rows the recompute reads
+      { df => plannedInput += df.count(); df.groupBy("day", "k").count() },
+      retainPartitions = 3)({ (_, _) => () })
+    try {
+      (0L until 10L).foreach { d =>
+        input.addData((0 until rowsPerDay).map(i => (d, s"k${i % 5}")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 500 rows ingested in total, but every batch touched one day, so
+    // every recompute read exactly that day's rows — the per-batch cost
+    // the unbounded snapshotUpdate could not bound
+    assert(plannedInput.size == 10)
+    assert(plannedInput.forall(_ == rowsPerDay.toLong),
+      s"planned input grew: $plannedInput")
+  }
+}

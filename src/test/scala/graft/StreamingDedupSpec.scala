@@ -339,4 +339,97 @@ class StreamingDedupSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streamingSemDedup: chained stateful state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the crafted two-cluster fixture: restart must not lose the argmax
+    // partials of the FIRST half (both stateful window aggs hold state
+    // for the still-open window when the stream stops)
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val b = Array.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val corpus = Seq((10L, a), (11L, a.clone()), (20L, b))
+      .toDF("vec_id", "embedding")
+    val nearA = a.clone(); nearA(0) = nearA(0) + 0.01f
+    val novel = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val base = java.nio.file.Files.createTempDirectory("graftsemckpt").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val input = MemoryStream[(Long, Long, Array[Float])]
+    def plan = StreamingJobs.streamingSemDedup(
+      input.toDF().toDF("vec_id", "secs", "embedding")
+        .withColumn("ts", timestamp_seconds(col("secs"))),
+      corpus, threshold = 0.9)
+    def start() =
+      plan.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    // phase 1: both arrivals land in the SAME open window; nothing can
+    // emit (watermark has not passed), so all progress lives in the two
+    // chained state stores captured by the checkpoint
+    val q1 = start()
+    try {
+      input.addData(Seq((100L, 10L, nearA)))
+      q1.processAllAvailable()
+      assert(!new java.io.File(out).exists() ||
+        spark.read.parquet(out).isEmpty)
+    } finally q1.stop()
+    // phase 2: restart from the checkpoint, add the second arrival and
+    // the watermark pusher — the flushed verdicts must equal the
+    // uninterrupted run's (StreamingDedupSpec's plain semdedup test)
+    val q2 = start()
+    try {
+      input.addData(Seq((101L, 11L, novel)))
+      q2.processAllAvailable()
+      input.addData(Seq((-1L, 600L, novel)))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert((got - (-1L)) == Map(100L -> (("drop", 10L)), 101L -> (("keep", -1L))),
+        s"post-recovery verdicts diverged: $got")
+    } finally q2.stop()
+  }
+
+  test("streamingCrossDedup: windowed verdict state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val rainbow = "red orange yellow green blue indigo violet amber teal " +
+      "cyan magenta maroon olive navy coral pearl slate bronze copper gold"
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, base), (10L, base),
+      (2L, rainbow)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graftxdckpt").toString
+    val (ckpt, out) = (s"$dir/ckpt", s"$dir/out")
+    val input = MemoryStream[(Long, Long, String)]
+    def plan = StreamingJobs.streamingCrossDedup(
+      input.toDF().toDF("doc_id", "secs", "text")
+        .withColumn("ts", timestamp_seconds(col("secs"))), corpus)
+    def start() =
+      plan.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      // exact twin + near-dup arrive into the open window, then STOP —
+      // their min-aggregated verdict partials exist only in the checkpoint
+      input.addData(Seq(
+        (100L, 10L, base),
+        (101L, 11L, rainbow.replace("gold", "silver"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Seq(
+        (102L, 12L, "completely different content sharing nothing at all")))
+      q2.processAllAvailable()
+      input.addData(Seq((999L, 600L, "late watermark pusher")))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert((got - 999L) == Map(
+        100L -> (("exact", 1L)),
+        101L -> (("near", 2L)),
+        102L -> (("keep", -1L))), s"post-recovery verdicts diverged: $got")
+    } finally q2.stop()
+  }
 }
