@@ -73,8 +73,24 @@ def main():
     pd.concat(vparts, ignore_index=True).to_parquet(
         f'{dst}/events.parquet', index=False)
 
-    for tb in ['region', 'nation', 'customer', 'supplier', 'part',
-               'orders', 'lineitem']:
+    # fact tables scale with volume (orderkey offsets keep the
+    # orders<->lineitem join consistent; custkey/partkey/suppkey stay in
+    # range — dims grow far slower than facts in every real warehouse,
+    # so they are copied at 1x)
+    o = pq.read_table(f'{src}/orders.parquet').to_pandas()
+    l = pq.read_table(f'{src}/lineitem.parquet').to_pandas()
+    maxo = o.o_orderkey.max() + 1
+    oparts, lparts = [], []
+    for i in range(K):
+        co = o.copy(); co['o_orderkey'] = co.o_orderkey + i * maxo
+        cl = l.copy(); cl['l_orderkey'] = cl.l_orderkey + i * maxo
+        oparts.append(co); lparts.append(cl)
+    pd.concat(oparts, ignore_index=True).to_parquet(
+        f'{dst}/orders.parquet', index=False)
+    pd.concat(lparts, ignore_index=True).to_parquet(
+        f'{dst}/lineitem.parquet', index=False)
+
+    for tb in ['region', 'nation', 'customer', 'supplier', 'part']:
         shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
     print(f'wrote {dst} at {K}x sf0.1')
 

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Per-query growth table between two Bench runs at different scales
+(PLANS.md "measured scaling" evidence — VERDICT r8 #1). Dev tooling;
+the driver never runs this.
+
+Usage: python3 scripts/scale_report.py <base_bench.json> <big_bench.json> [K]
+
+K = data-size ratio between the two runs (default 10). For each query
+present in both files, prints the warm min-time ratio, the implied
+growth exponent e = log_K(ratio), the predicted exponent class from
+the plan-shape table below, and a verdict (OK if measured ≤ predicted
++ margin; fixed per-query overhead makes measured exponents
+UNDERestimates, so any measured > predicted is a real flag, not noise).
+"""
+import json, math, sys
+
+# predicted growth exponents from the executed-plan shapes (PLANS.md):
+#   1.0  scan/agg/join-with-dim/window — linear in fact rows
+#   1.35 banded pair families on the dup-cluster-of-10 corpus: corpus
+#        grows K×, within-band candidate volume grows ~K^2 in the dup
+#        factor but stays sliver-bounded by banding; measured r8 ≈ 1.35
+#   1.5  trained-cell families: ~sqrt(n) cells × cell^2 work, and
+#        IVF probe cost n·sqrt(n)
+#   2.0  exact all-pairs candidate-bound (ngram_jaccard/containment on
+#        a dup-heavy corpus: df^2 growth — the documented routed-around
+#        regime, kept in the suite deliberately)
+PRED = {}
+def _cls(e, *names):
+    for n in names: PRED[n] = e
+_cls(1.35, 'minhash_lsh', 'lsh_band_stats', 'minhash_calibration',
+     'neardup_clusters', 'cluster_reps', 'cluster_size_hist',
+     'simhash_pairs', 'winnow_pairs', 'doc_fingerprint', 'dup_spans',
+     'scrub_spans', 'cross_dedup', 'curation_pipeline', 'curation_report',
+     'dup_rate_by_source', 'source_overlap', 'edit_distance_pairs',
+     'containment_bench', 'contamination_bench')
+_cls(1.5, 'semdedup', 'doc_similar_topk', 'embedding_neardup',
+     'embedding_lsh_neardup', 'embedding_clusters', 'knn_graph',
+     'knn_label_vote', 'knn_triangles', 'label_spread', 'ann_ivf_topk',
+     'ann_ivf_trained', 'ivf_train', 'ivf_pq_topk', 'ivf_pq_topk_set',
+     'pq_adc_topk', 'semantic_mix', 'doc_topics', 'topic_keywords')
+_cls(2.0, 'ngram_jaccard', 'containment_pairs')
+# ann brute force: n_query fixed slice x n corpus -> linear; everything
+# unlisted defaults to linear too
+DEFAULT = 1.0
+MARGIN = 0.18   # log10(1.5)/~2 — covers single-sample noise at K=10
+
+def load(p):
+    d = json.loads(open(p).read())
+    return ({k: v for k, v in d.get('queries', {}).items() if v is not None},
+            {k: v for k, v in (d.get('cold') or {}).items() if v is not None})
+
+def main():
+    base, big = sys.argv[1], sys.argv[2]
+    k = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    (bq, bc), (gq, gc) = load(base), load(big)
+    rows = []
+    for name in sorted(set(bq) & set(gq)):
+        r = gq[name] / bq[name] if bq[name] > 0 else float('nan')
+        e = math.log(r, k) if r > 0 else float('nan')
+        pred = PRED.get(name, DEFAULT)
+        verdict = 'OK' if e <= pred + MARGIN else 'EXCEEDS'
+        rows.append((name, bq[name], gq[name], r, e, pred, verdict))
+    rows.sort(key=lambda t: -t[4])
+    print(f'| query | t({base.split("/")[-1]}) s | t(K={k:g}) s | ratio | measured e | predicted e | verdict |')
+    print('|---|---|---|---|---|---|---|')
+    for name, t1, t2, r, e, pred, v in rows:
+        print(f'| {name} | {t1:.2f} | {t2:.2f} | {r:.1f}x | {e:.2f} | {pred:g} | {v} |')
+    flags = [t for t in rows if t[6] != 'OK']
+    print(f'\n{len(rows)} queries compared; {len(flags)} exceed predicted exponent'
+          + (': ' + ', '.join(t[0] for t in flags) if flags else ''))
+    tot1, tot2 = sum(bq[n] for n, *_ in rows), sum(gq[n] for n, *_ in rows)
+    print(f'warm totals: {tot1:.1f}s -> {tot2:.1f}s ({tot2/tot1:.1f}x, e={math.log(tot2/tot1,k):.2f})')
+
+if __name__ == '__main__':
+    main()

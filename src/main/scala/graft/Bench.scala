@@ -101,7 +101,12 @@ object Bench {
       }
     }
     def timedPass(): Map[String, Option[Double]] = names.map(n => n -> timeOne(n)).toMap
-    val allPasses = Seq(timedPass(), timedPass(), timedPass())
+    // pass count (dev knob for scale spot-runs, where a full pass is
+    // ~30 min and min-of-2 is precise enough for growth RATIOS; the
+    // driver never sets it → min-of-3 as always)
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt.max(1)).getOrElse(3)
+    val allPasses = Seq.fill(nPasses)(timedPass())
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val rerun = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     names.foreach { n =>
