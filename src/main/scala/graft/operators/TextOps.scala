@@ -1027,6 +1027,90 @@ object TextOps {
        |JOIN sizes nb ON m.doc_b = nb.doc_id""".stripMargin
   }
 
+  /** SimHash calibration — the [[minhashCalibration]] twin for the
+    * second LSH family (closes the same measure-don't-guess loop for
+    * the 60-bit fingerprint): per band-collision candidate pair, the
+    * Hamming distance, the observed bit-agreement fraction
+    * `(60 − hamming)/60` — Charikar 2002's random-hyperplane estimator
+    * of `1 − θ/π` — and the EXACT cosine between the two documents'
+    * distinct-bigram incidence vectors (`|A∩B| / √(|A|·|B|)`, the
+    * similarity the ±1 vote construction approximates). A pair planted
+    * as a near-dup must show bit_agree ≈ 1 − acos(cos)/π; degenerate
+    * band collisions surface as high-hamming/low-cos rows. The trig
+    * mapping itself is asserted in tests, not emitted: cos()/acos()
+    * are not correctly-rounded across engines, while every emitted
+    * column here is integer arithmetic, one IEEE division, and one
+    * IEEE sqrt — bit-identical in Spark and DuckDB.
+    *
+    * Scale: the [[simhash]] relation (memoized, one long per doc), its
+    * 4×15-bit band self-join (the same sliver [[simhashPairs]] buckets
+    * on), one XOR+POPCNT per candidate, and the candidates-only
+    * shingle-intersection verify — never all-pairs. Session-memoized
+    * like the minhash sliver (same rationale: deterministic,
+    * sliver-sized, probed by repeated bench passes). */
+  def simhashCalibration(spark: SparkSession, d: String): DataFrame =
+    simCalibCache.getOrBuild((spark, d))(
+      simhashCalibrationCompute(spark, d).persist())
+
+  private val simCalibCache =
+    new graft.SessionMemo[(SparkSession, String), DataFrame]("simhash_calibration")
+
+  private def simhashCalibrationCompute(spark: SparkSession, d: String): DataFrame = {
+    val sim = simhash(spark, d)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("shiftright(simhash, CAST(band * 15 AS INT)) & 32767"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    val sets = shingleSets(spark, d)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cands
+      .withColumn("hamming",
+        graft.plans.GraftFunctions.hamming64(col("ha"), col("hb")))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        ((lit(60) - col("hamming")).cast("double") / lit(60.0)).as("bit_agree"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+  }
+
+  def simhashCalibrationSql(): String =
+    s"""WITH $simhashCtes,
+       |bands AS (SELECT doc_id, simhash, band,
+       |            (simhash >> (band * 15)) & 32767 AS chunk
+       |          FROM sim, range(0, 4) r(band)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            a.simhash AS ha, b.simhash AS hb
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.chunk = b.chunk
+       |           AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            count(*) AS inter
+       |          FROM tok a JOIN tok b
+       |            ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(bit_count(xor(c.ha, c.hb)) AS INTEGER) AS hamming,
+       |       CAST(60 - bit_count(xor(c.ha, c.hb)) AS DOUBLE)
+       |         / CAST(60 AS DOUBLE) AS bit_agree,
+       |       COALESCE(CAST(i.inter AS DOUBLE), 0.0)
+       |         / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cos
+       |FROM cands c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes na ON na.doc_id = c.doc_a
+       |JOIN sizes nb ON nb.doc_id = c.doc_b""".stripMargin
+
   /** Incremental (cross-corpus) dedup — the "dedup the NEW crawl
     * against everything already ingested" pipeline stage, distinct
     * from [[minhashLsh]]'s whole-corpus self-join: only `newSource`

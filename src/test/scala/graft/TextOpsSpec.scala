@@ -595,6 +595,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.exists { case (_, _, m, _, j) => m == 8L && j == 1.0 })
   }
 
+  test("simhashCalibration: invariants, perfect pairs, Charikar mapping on real near-dups") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.simhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, h, agree, cos) =>
+      assert(a < b && h >= 0 && h <= 60)
+      assert(agree == (60 - h) / 60.0)
+      assert(cos >= 0.0 && cos <= 1.0 + 1e-12)
+      // identical shingle sets vote identically: cos = 1 forces hamming 0
+      if (cos >= 1.0 - 1e-12) assert(h == 0, s"pair ($a,$b) cos=1 but hamming=$h")
+    }
+    // the corpus ships exact duplicates — at least one perfect pair
+    assert(rows.exists { case (_, _, h, _, cos) => h == 0 && cos >= 1.0 - 1e-12 })
+    // every simhashPairs survivor appears with the same hamming (the
+    // calibration relation is the UNCAPPED candidate set)
+    val capped = TextOps.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val byPair = rows.map { case (a, b, h, _, _) => (a, b) -> h }.toMap
+    capped.foreach { case (p, h) =>
+      assert(byPair.get(p).contains(h), s"pair $p missing or hamming differs")
+    }
+    // Charikar mapping on genuinely similar candidates: bit agreement
+    // tracks 1 - acos(cos)/pi within estimator noise (60 bits => the
+    // binomial std dev is ~0.065 at p=0.5; use a generous band and
+    // only assert where the relation is meaningful)
+    val similar = rows.filter(_._5 >= 0.8)
+    assert(similar.nonEmpty)
+    similar.foreach { case (a, b, _, agree, cos) =>
+      val predicted = 1.0 - math.acos(math.min(cos, 1.0)) / math.Pi
+      assert(math.abs(agree - predicted) <= 0.25,
+        s"pair ($a,$b): agree=$agree predicted=$predicted cos=$cos")
+    }
+  }
+
   test("jaccardPlanReport agrees with the chooser and its volume invariants") {
     val sf = "/root/testdata/sf0.001"
     val r = TextOps.jaccardPlanReport(spark, sf).collect().head
