@@ -28,20 +28,50 @@ PRED = {}
 def _cls(e, *names):
     for n in names: PRED[n] = e
 _cls(1.35, 'minhash_lsh', 'lsh_band_stats', 'minhash_calibration',
+     'simhash_calibration',
      'neardup_clusters', 'cluster_reps', 'cluster_size_hist',
      'simhash_pairs', 'winnow_pairs', 'doc_fingerprint', 'dup_spans',
      'scrub_spans', 'cross_dedup', 'curation_pipeline', 'curation_report',
      'dup_rate_by_source', 'source_overlap', 'edit_distance_pairs',
-     'containment_bench', 'contamination_bench')
+     'contamination_bench')
 _cls(1.5, 'semdedup', 'doc_similar_topk', 'embedding_neardup',
      'embedding_lsh_neardup', 'embedding_clusters', 'knn_graph',
      'knn_label_vote', 'knn_triangles', 'label_spread', 'ann_ivf_topk',
      'ann_ivf_trained', 'ivf_train', 'ivf_pq_topk', 'ivf_pq_topk_set',
      'pq_adc_topk', 'semantic_mix', 'doc_topics', 'topic_keywords')
 _cls(2.0, 'ngram_jaccard', 'containment_pairs')
-# ann brute force: n_query fixed slice x n corpus -> linear; everything
-# unlisted defaults to linear too
-DEFAULT = 1.0
+# Every other query is EXPLICITLY classified linear (ann brute force:
+# n_query fixed slice x n corpus; scans/aggs/joins-with-dims/windows;
+# model-build families bounded by trained-model size). A query in the
+# bench json but in NEITHER table gets verdict UNCLASSIFIED and counts
+# as a flag (VERDICT r9 #6: a new pair-family query silently defaulting
+# to e=1.0 makes EXCEEDS spurious; defaulting is banned).
+_cls(1.0,
+     'ann_cosine_topk', 'ann_cosine_topk_set', 'attribution_asof',
+     'audio_windows', 'avg_value_udaf', 'blacklist',
+     'blacklist_stateful', 'cdc_chunks', 'channel_counts',
+     'chunk_documents', 'click_no_purchase', 'clicks_by_province',
+     'contamination', 'corpus_coverage', 'dataset_card',
+     'dataset_split', 'dedup_exact', 'doc_quantiles',
+     'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
+     'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',
+     'events_by_type_salted', 'frame_sample', 'funnel',
+     'heavy_hitters', 'hot_users_topn', 'hot_users_topn_sql',
+     'hourly_anomalies', 'jaccard_plan_report', 'key_skew_report',
+     'lang_id', 'late_events', 'latest_snapshot', 'lm_bigram_score',
+     'login_fail', 'login_fail_cep', 'media_features',
+     'mixture_sample', 'ngram_novelty', 'normalized_dedup', 'oov_rate',
+     'order_timeout', 'pack_documents', 'page_views', 'pii_scrub',
+     'pmi_bigrams', 'pq_distortion', 'pq_encode', 'profile_table',
+     'props_json_agg', 'q1_pricing_summary', 'q3_top_orders',
+     'q5_region_revenue', 'quality_filter', 'repetition_stats',
+     'rolling_hour_stats', 'session_windows', 'simhash',
+     'source_mix_report', 'source_quality', 'sq8_encode',
+     'stratified_sample', 'text_stats', 'textrank_keywords',
+     'tfidf_topk', 'token_freq_hist', 'token_topk', 'total_counts',
+     'tx_match', 'tx_match_join', 'unique_visitors',
+     'unique_visitors_approx', 'uv_bitmap', 'uv_udaf', 'vocab_growth',
+     'zorder_layout')
 MARGIN = 0.18   # log10(1.5)/~2 — covers single-sample noise at K=10
 
 def load(p):
@@ -57,8 +87,11 @@ def main():
     for name in sorted(set(bq) & set(gq)):
         r = gq[name] / bq[name] if bq[name] > 0 else float('nan')
         e = math.log(r, k) if r > 0 else float('nan')
-        pred = PRED.get(name, DEFAULT)
-        verdict = 'OK' if e <= pred + MARGIN else 'EXCEEDS'
+        pred = PRED.get(name)
+        if pred is None:
+            verdict, pred = 'UNCLASSIFIED', float('nan')
+        else:
+            verdict = 'OK' if e <= pred + MARGIN else 'EXCEEDS'
         rows.append((name, bq[name], gq[name], r, e, pred, verdict))
     rows.sort(key=lambda t: -t[4])
     print(f'| query | t({base.split("/")[-1]}) s | t(K={k:g}) s | ratio | measured e | predicted e | verdict |')

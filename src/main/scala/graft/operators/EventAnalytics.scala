@@ -450,6 +450,35 @@ object EventAnalytics {
         countDistinct(col("user_id")).as("users"),
         grouping_id().cast("long").as("gid"))
 
+  /** Epoch-DAY key of the event time — the coarse stable partition key
+    * the retention-bounded streaming faces hang on
+    * ([[graft.streaming.StreamingJobs.snapshotUpdatePartitioned]]).
+    * Functionally determined by [[hourBucket]] (86400 | hour bucket
+    * boundaries), which is exactly the decomposability contract: every
+    * hour-grained leaf row derives from one day's rows. Public so the
+    * stream side can pre-compute the SAME key it partitions on. */
+  def dayKey(ts: Column): Column =
+    floor(epochSeconds(ts) / 86400).cast("long")
+
+  /** Daily LEAF grain behind the retention-partitioned faces of
+    * [[eventRollupFrom]]/[[eventCubeFrom]]: one row per
+    * (day, event_type, hour) with the count AND the exact user bitmap
+    * ([[graft.plans.BitmapState]] — mergeable distinct state as data).
+    * Decomposable along `day` by construction, so
+    * `snapshotUpdatePartitioned` recomputes only touched days; every
+    * grouping-set row ABOVE the day grain (per-type subtotals, grand
+    * totals, per-hour cube slices) folds on the serving side from
+    * these leaves — sums for counts, OR+popcount for exact distinct
+    * users ([[graft.streaming.ServingFolds]]). This is the stage split
+    * the topNUpdate face documents: non-incremental aggregates move to
+    * the serving fold, the stream keeps the decomposable grain. */
+  def eventDailyLeafFrom(e: DataFrame): DataFrame =
+    e.withColumn("hour", hourBucket)
+      .withColumn("day", dayKey(col("ts")))
+      .groupBy("day", "event_type", "hour")
+      .agg(count(lit(1)).as("cnt"),
+        graft.plans.GraftFunctions.bitmapState(col("user_id")).as("users_bm"))
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,

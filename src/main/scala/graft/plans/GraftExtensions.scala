@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hamming distance of two 64-bit fingerprints — a native Catalyst
@@ -172,24 +172,18 @@ case class SqDistF64(left: Expression, right: Expression) extends ArrayF64Fold {
   * [0, numBits) fail fast with the contract in the message; the
   * HLL++ path ([[graft.operators.EventAnalytics.uniqueVisitorsApprox]])
   * remains the unbounded-domain answer. */
-case class BitmapDistinct(
-    child: Expression,
-    numBits: Int = 1 << 20,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+abstract class BitmapAggBase
   extends TypedImperativeAggregate[java.util.BitSet]
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  def child: Expression
+  def numBits: Int
 
-  require(numBits > 0, "bitmap_distinct capacity must be positive")
-
-  override def prettyName: String = "bitmap_distinct"
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bitmap_distinct requires an integral id column, got $other")
+      s"$prettyName requires an integral id column, got $other")
   }
 
   override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
@@ -204,7 +198,7 @@ case class BitmapDistinct(
       }
       if (id < 0 || id >= numBits)
         throw new IllegalArgumentException(
-          s"bitmap_distinct: id $id outside exact-bitmap domain [0, $numBits) — " +
+          s"$prettyName: id $id outside exact-bitmap domain [0, $numBits) — " +
             "raise the capacity argument or use approx_count_distinct (HLL++) " +
             "for unbounded id spaces")
       buf.set(id.toInt)
@@ -216,18 +210,65 @@ case class BitmapDistinct(
     b1.or(b2); b1
   }
 
-  override def eval(buf: java.util.BitSet): Any = buf.cardinality().toLong
-
   override def serialize(buf: java.util.BitSet): Array[Byte] = buf.toByteArray
 
   override def deserialize(bytes: Array[Byte]): java.util.BitSet =
     java.util.BitSet.valueOf(bytes)
+}
+
+case class BitmapDistinct(
+    child: Expression,
+    numBits: Int = 1 << 20,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggBase {
+
+  require(numBits > 0, "bitmap_distinct capacity must be positive")
+
+  override def prettyName: String = "bitmap_distinct"
+  override def dataType: DataType = LongType
+
+  override def eval(buf: java.util.BitSet): Any = buf.cardinality().toLong
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BitmapDistinct =
+    copy(child = newChild)
+}
+
+/** [[BitmapDistinct]]'s state-emitting twin: the same fixed-capacity
+  * exact bitmap, but `eval` returns the buffer BYTES instead of the
+  * cardinality — exact distinct-user state as DATA, mergeable
+  * downstream by bitwise OR (the groupBitmapState / sketch-as-column
+  * idiom, public in ClickHouse and Druid). This is what lets a
+  * retention-partitioned streaming face keep EXACT countDistinct
+  * foldable on the serving side: per-partition leaf rows carry their
+  * user bitmap, and any grouping-set row ABOVE the partition grain
+  * (a rollup's per-type subtotal, its grand total) is OR+popcount over
+  * leaf bitmaps — see [[graft.streaming.ServingFolds]]. Emitted bytes
+  * are `java.util.BitSet.toByteArray` little-endian, O(maxId/8) per
+  * group, same fixed ceiling as [[BitmapDistinct]]. */
+case class BitmapState(
+    child: Expression,
+    numBits: Int = 1 << 20,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggBase {
+
+  require(numBits > 0, "bitmap_state capacity must be positive")
+
+  override def prettyName: String = "bitmap_state"
+  override def dataType: DataType = BinaryType
+
+  override def eval(buf: java.util.BitSet): Any = buf.toByteArray
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapState =
     copy(child = newChild)
 }
 
@@ -470,6 +511,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // bitmap_state(id [, numBits]) — same literal-capacity contract as
+    // bitmap_distinct; emits the mergeable bitmap bytes
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_state"),
+      new ExpressionInfo(classOf[BitmapState].getName, "bitmap_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(id) => BitmapState(id)
+        case Seq(id, Literal(bits: Int, IntegerType)) => BitmapState(id, bits)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bitmap_state`",
+            "expectedNum" -> "1 (id) or 2 (id, INT literal capacity)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     // freq_sketch(token [, k]) — counter budget must be a literal so the
     // buffer bound is fixed at plan time
     ext.injectFunction((
@@ -511,6 +567,10 @@ object GraftFunctions {
   def bitmapDistinct(id: Column, numBits: Int): Column =
     org.apache.spark.sql.functions.call_function("bitmap_distinct", id,
       org.apache.spark.sql.functions.lit(numBits))
+
+  /** Column wrapper for [[BitmapState]] — the mergeable bitmap bytes. */
+  def bitmapState(id: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_state", id)
 
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =

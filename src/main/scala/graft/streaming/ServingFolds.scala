@@ -1,0 +1,64 @@
+package graft.streaming
+
+/** Serving-side folds over retention-partitioned LEAF rows — the other
+  * half of the stage split [[StreamingJobs.snapshotUpdatePartitioned]]
+  * documents: aggregates ABOVE the partition grain (a rollup's
+  * per-type subtotal, its grand total, a cube's per-hour slice) are
+  * not incremental over a retention-bounded window, so they move out
+  * of the stream into a fold over the serving store's per-partition
+  * leaf rows. Counts fold by sum; EXACT distinct users fold by
+  * bitwise-OR of the leaves' [[graft.plans.BitmapState]] bytes +
+  * popcount — which is why the leaf carries the bitmap, not the
+  * count: counts don't merge, bitmaps do.
+  *
+  * Scale shape: the fold input is one row per retained
+  * (day, event_type, hour) — days × |types| × 24, KiB-sized metadata
+  * regardless of event volume, the same reduction topNUpdate's
+  * serving-side ranking rides on. Runs wherever the serving store
+  * lives; plain Scala, no Spark session needed.
+  *
+  * gid convention matches `grouping_id()` with (event_type, hour)
+  * listed first-to-last = high-to-low bit, identical in Spark and
+  * DuckDB/Postgres: (type,hour)=0, (type)=1, (hour)=2, ()=3. */
+object ServingFolds {
+
+  /** One serving-store leaf row: the [[graft.operators.EventAnalytics
+    * .eventDailyLeafFrom]] grain minus the day key (folds don't care
+    * which retained day a leaf came from). */
+  final case class LeafCell(eventType: String, hour: Long, cnt: Long,
+                            usersBm: Array[Byte])
+
+  /** A folded grouping-set row: null eventType/hour = aggregated-out
+    * (subtotal), exactly like the SQL rollup/cube output rows. */
+  final case class SetRow(eventType: Option[String], hour: Option[Long],
+                          cnt: Long, users: Long, gid: Long)
+
+  private def orPop(bms: Iterable[Array[Byte]]): Long = {
+    val acc = new java.util.BitSet()
+    bms.foreach(b => acc.or(java.util.BitSet.valueOf(b)))
+    acc.cardinality().toLong
+  }
+
+  private def fold(leaves: Iterable[LeafCell],
+                   key: LeafCell => (Option[String], Option[Long]),
+                   gid: Long): Seq[SetRow] =
+    leaves.groupBy(key).map { case ((t, h), cells) =>
+      SetRow(t, h, cells.iterator.map(_.cnt).sum, orPop(cells.map(_.usersBm)), gid)
+    }.toSeq
+
+  /** ROLLUP(event_type, hour) from leaves: grouping sets
+    * (type,hour), (type), () — the [[graft.operators.EventAnalytics
+    * .eventRollupFrom]] output (cnt + exact users + gid) rebuilt
+    * exactly over whatever days the retention window holds. */
+  def rollupFold(leaves: Iterable[LeafCell]): Seq[SetRow] =
+    fold(leaves, c => (Some(c.eventType), Some(c.hour)), 0L) ++
+      fold(leaves, c => (Some(c.eventType), None), 1L) ++
+      fold(leaves, _ => (None, None), 3L)
+
+  /** CUBE(event_type, hour) from leaves: rollup's sets plus the
+    * per-hour slice (gid 2) — the [[graft.operators.EventAnalytics
+    * .eventCubeFrom]] output shape (which carries cnt + gid; its
+    * `users` here comes free from the same fold). */
+  def cubeFold(leaves: Iterable[LeafCell]): Seq[SetRow] =
+    rollupFold(leaves) ++ fold(leaves, c => (None, Some(c.hour)), 2L)
+}

@@ -427,6 +427,31 @@ object StreamingJobs {
                                 onEvict: Seq[Any] => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(retainPartitions >= 1, "retainPartitions must be >= 1")
+    // contract check BEFORE .start() (VERDICT r9 #2): the retention
+    // horizon orders keys with their external (JVM Comparable) values,
+    // so the partition column must be an orderable ATOMIC type — a
+    // struct/array key would otherwise surface as a ClassCastException
+    // deep inside the first micro-batch instead of here.
+    val keyField = stream.schema.fields.find(_.name == partitionCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshotUpdatePartitioned: partition column '$partitionCol' " +
+          s"not in stream schema ${stream.schema.fieldNames.mkString("[", ",", "]")}"))
+    val keyOrderable = {
+      import org.apache.spark.sql.types._
+      keyField.dataType match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false // struct/array/map/binary: external value not Comparable
+      }
+    }
+    if (!keyOrderable)
+      throw new IllegalArgumentException(
+        s"snapshotUpdatePartitioned: partition column '$partitionCol' has " +
+          s"non-orderable type ${keyField.dataType.simpleString}; the " +
+          "retention contract needs an orderable atomic key (day, epoch " +
+          "hour, ...) — derive one with to_date/date_trunc first")
     // driver-held partition index: coarse key -> checkpointed rows.
     // Bounded by retainPartitions; values are block-store handles, the
     // rows themselves live on executors.
@@ -472,6 +497,13 @@ object StreamingJobs {
         val live = admitted.filter(parts.contains)
         if (live.nonEmpty)
           upsert(plan(live.map(parts).reduce(_ union _)), live)
+        // the partition slices are independently checkpointed above, so
+        // the batch checkpoint is unreachable from any live plan — drop
+        // its blocks now instead of waiting for GC-driven ContextCleaner
+        // reclamation (ADVICE r9: without this, a long-running stream
+        // accumulates one batch's blocks per micro-batch in executor
+        // storage, contradicting the retention bound this API exists for)
+        releaseCheckpoint(b)
       }.start()
   }
 

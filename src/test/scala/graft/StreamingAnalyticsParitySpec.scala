@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.StreamingJobs
+import graft.streaming.{ServingFolds, StreamingJobs}
 import graft.operators.EventAnalytics
 
 /** Update-mode streaming parity for the batch-only analytics (rollup
@@ -31,53 +31,71 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
     input.toDF().toDF("ts_s", "user_id", "event_type", "event_id", "value")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
 
-  test("event_rollup: snapshot face converges to the batch rollup on real events") {
+  /** Serving-store upsert for the retention-partitioned leaf face:
+    * delete-then-insert the touched days' leaf rows (the
+    * snapshotUpdatePartitioned serving contract). */
+  private def leafUpsert(
+      leaves: java.util.concurrent.ConcurrentHashMap[(Long, String, Long), ServingFolds.LeafCell])
+      (res: org.apache.spark.sql.DataFrame, touched: Seq[Any]): Unit = {
+    val days = touched.map(_.asInstanceOf[Long]).toSet
+    leaves.keySet().removeIf(k => days.contains(k._1))
+    res.collect().foreach { r =>
+      leaves.put(
+        (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour")),
+        ServingFolds.LeafCell(r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+          r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+    }
+  }
+
+  test("event_rollup: retention-partitioned leaf face + serving fold converge to the batch rollup") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Long, String, Long, Double)]
-    val state = new java.util.concurrent.ConcurrentHashMap[
-      (Option[String], Option[Long], Long), (Long, Long)]()
-    val q = StreamingJobs.snapshotUpdate(
-      streamedEvents(input), EventAnalytics.eventRollupFrom) { result =>
-      result.collect().foreach { r =>
-        state.put(
-          (Option(r.getAs[String]("event_type")),
-            Option(r.getAs[java.lang.Long]("hour")).map(_.longValue()),
-            r.getAs[Long]("gid")),
-          (r.getAs[Long]("cnt"), r.getAs[Long]("users")))
-      }
-    }
+    val leaves = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String, Long), ServingFolds.LeafCell]()
+    // the production posture (VERDICT r9 #3): the stream carries only
+    // the day-decomposable LEAF grain (counts + exact user BITMAPS)
+    // through snapshotUpdatePartitioned; the rollup's above-day
+    // grouping sets — per-type subtotals, the grand total, and their
+    // exact countDistinct — fold on the serving side (sum / OR+popcount)
+    val stream = streamedEvents(input)
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.eventDailyLeafFrom)(leafUpsert(leaves))
     try {
       eventChunks(3).foreach { chunk =>
         input.addData(chunk)
         q.processAllAvailable()
       }
     } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val folded = ServingFolds.rollupFold(leaves.asScala.values)
+      .map(s => (s.eventType, s.hour, s.gid) -> (s.cnt, s.users)).toMap
     val batch = EventAnalytics.eventRollup(spark, sf).collect().map { r =>
       (Option(r.getAs[String]("event_type")),
         Option(r.getAs[java.lang.Long]("hour")).map(_.longValue()),
         r.getAs[Long]("gid")) -> (r.getAs[Long]("cnt"), r.getAs[Long]("users"))
     }.toMap
-    import scala.jdk.CollectionConverters._
-    assert(state.asScala.toMap == batch && batch.nonEmpty)
+    assert(folded == batch && batch.nonEmpty)
   }
 
-  test("event_cube and event_pivot: snapshot faces converge to the batch answers") {
+  test("event_cube and event_pivot: retention-partitioned faces converge to the batch answers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Long, String, Long, Double)]
-    val cubeState = new java.util.concurrent.ConcurrentHashMap[
-      (Option[String], Option[Long], Long), Long]()
+    val leaves = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String, Long), ServingFolds.LeafCell]()
     val pivotState = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
     val stream = streamedEvents(input)
-    val qCube = StreamingJobs.snapshotUpdate(stream, EventAnalytics.eventCubeFrom) { res =>
-      res.collect().foreach { r =>
-        cubeState.put((Option(r.getAs[String]("event_type")),
-          Option(r.getAs[java.lang.Long]("hour")).map(_.longValue()),
-          r.getAs[Long]("gid")), r.getAs[Long]("cnt"))
-      }
-    }
-    val qPivot = StreamingJobs.snapshotUpdate(stream, EventAnalytics.eventPivotFrom(_)) { res =>
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    // cube rides the SAME daily leaf face as rollup — one stream-side
+    // grain, two serving folds (cubeFold adds the per-hour set)
+    val qCube = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.eventDailyLeafFrom)(leafUpsert(leaves))
+    // the pivot plan groups by hour (day-determined), so it is
+    // decomposable AS-IS — partitioned face with no serving fold
+    val qPivot = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.eventPivotFrom(_)) { (res, _) =>
       res.collect().foreach { r =>
         pivotState.put(r.getAs[Long]("hour"),
           (1 until r.size).map(i => r.getLong(i)))
@@ -99,10 +117,17 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
       r.getAs[Long]("hour") -> (1 until r.size).map(i => r.getLong(i))
     }.toMap
     import scala.jdk.CollectionConverters._
-    assert(cubeState.asScala.toMap == batchCube && batchCube.nonEmpty)
+    val foldedCube = ServingFolds.cubeFold(leaves.asScala.values)
+      .map(s => (s.eventType, s.hour, s.gid) -> s.cnt).toMap
+    assert(foldedCube == batchCube && batchCube.nonEmpty)
     assert(pivotState.asScala.toMap == batchPivot && batchPivot.nonEmpty)
   }
 
+  // DELIBERATELY unbounded (VERDICT r9 #3 carve-out): the preceding-hour
+  // range frame crosses day boundaries (an event just after midnight
+  // reads the previous day's tail), so no coarse time key makes the
+  // plan decomposable under exact semantics — snapshotUpdate's
+  // documented bounded-replay scope applies.
   test("rolling_hour_stats: snapshot face converges to the batch OVER frame") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
