@@ -81,6 +81,9 @@ object Bench {
       } catch { case e: Throwable =>
         warmErrs(n) = e.toString.take(300); cold(n) = None
       }
+      // progress on stderr: multi-hour scale runs are otherwise a black
+      // box (a 10× run sat unobservable for hours in r10 — never again)
+      System.err.println(f"[bench] cold $n ${cold(n).map(x => f"$x%.1fs").getOrElse("FAILED")}")
     }
     // memos were cleared before the LAST warmup query — pass 1 of the
     // timed loop rebuilds them; min-of-3 still reads warm passes 2-3
@@ -96,7 +99,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t > 30) System.err.println(f"[bench] warm $n $t%.1fs")
+        Some(t)
       } catch { case e: Throwable =>
         errors(n) = e.toString.take(300)
         None
@@ -108,7 +113,10 @@ object Bench {
     // driver never sets it → min-of-3 as always)
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .map(_.toInt.max(1)).getOrElse(3)
-    val allPasses = Seq.fill(nPasses)(timedPass())
+    val allPasses = (1 to nPasses).map { p =>
+      System.err.println(s"[bench] timed pass $p/$nPasses")
+      timedPass()
+    }
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val rerun = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     names.foreach { n =>
