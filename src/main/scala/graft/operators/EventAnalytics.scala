@@ -479,6 +479,23 @@ object EventAnalytics {
       .agg(count(lit(1)).as("cnt"),
         graft.plans.GraftFunctions.bitmapState(col("user_id")).as("users_bm"))
 
+  /** Oracle-facing face of [[eventDailyLeafFrom]]: the leaf grain with
+    * the bitmap materialized back to its exact distinct count
+    * (`bitmap_card ∘ bitmap_state` ≡ `count(DISTINCT)`), so DuckDB
+    * hash-verifies the whole sketch-as-column path end-to-end. */
+  def eventDailyLeaf(spark: SparkSession, d: String): DataFrame =
+    eventDailyLeafFrom(events(spark, d))
+      .select(col("day"), col("event_type"), col("hour"), col("cnt"),
+        graft.plans.GraftFunctions.bitmapCard(col("users_bm")).as("users"))
+
+  val eventDailyLeafSql: String =
+    s"""SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+      |       event_type,
+      |       $HourBucketSql AS hour,
+      |       count(*) AS cnt,
+      |       count(DISTINCT user_id) AS users
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,

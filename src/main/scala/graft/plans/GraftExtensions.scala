@@ -272,6 +272,33 @@ case class BitmapState(
     copy(child = newChild)
 }
 
+/** Cardinality of [[BitmapState]] bytes — the scalar that closes the
+  * sketch-as-column loop: `bitmap_card(bitmap_state(id))` ≡
+  * `count(DISTINCT id)` (oracle-verified by the event_daily_leaf
+  * query), and after a serving-side OR-merge of leaf bitmaps it is the
+  * exact distinct count of the merged window. Codegen'd one-liner
+  * (BitSet popcount over the serialized words). */
+case class BitmapCard(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_card"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_card requires BINARY bitmap bytes, got $other")
+  }
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    java.util.BitSet.valueOf(bytes.asInstanceOf[Array[Byte]]).cardinality().toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(long) java.util.BitSet.valueOf((byte[]) $c).cardinality()")
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapCard =
+    copy(child = newChild)
+}
+
 /** Misra–Gries frequent-items sketch over a string column — at most
   * `k` counters per aggregation buffer, merged with the Agarwal et al.
   * ("Mergeable Summaries", PODS'12) rule: pointwise-sum, then subtract
@@ -526,6 +553,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // bitmap_card(bytes) — popcount of bitmap_state output
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_card"),
+      new ExpressionInfo(classOf[BitmapCard].getName, "bitmap_card"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b) => BitmapCard(b)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bitmap_card`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     // freq_sketch(token [, k]) — counter budget must be a literal so the
     // buffer bound is fixed at plan time
     ext.injectFunction((
@@ -571,6 +610,10 @@ object GraftFunctions {
   /** Column wrapper for [[BitmapState]] — the mergeable bitmap bytes. */
   def bitmapState(id: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_state", id)
+
+  /** Column wrapper for [[BitmapCard]] — popcount of bitmap bytes. */
+  def bitmapCard(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_card", bytes)
 
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =
