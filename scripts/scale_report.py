@@ -79,7 +79,21 @@ def load(p):
     return ({k: v for k, v in d.get('queries', {}).items() if v is not None},
             {k: v for k, v in (d.get('cold') or {}).items() if v is not None})
 
+def coverage(bench_json):
+    """--coverage <bench_out.json>: assert every registered query is
+    classified (VERDICT r9 #6) — exits 1 listing any unclassified key,
+    so a new pair-family query can't silently default."""
+    qs = set(json.loads(open(bench_json).read()).get('queries', {}))
+    missing = sorted(qs - set(PRED))
+    if missing:
+        print(f'UNCLASSIFIED ({len(missing)}): {", ".join(missing)}')
+        sys.exit(1)
+    print(f'all {len(qs)} queries classified '
+          f'({sum(1 for q in qs if PRED[q] > 1)} super-linear)')
+
 def main():
+    if sys.argv[1] == '--coverage':
+        return coverage(sys.argv[2])
     base, big = sys.argv[1], sys.argv[2]
     k = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     (bq, bc), (gq, gc) = load(base), load(big)
