@@ -496,6 +496,94 @@ object EventAnalytics {
       |       count(DISTINCT user_id) AS users
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** Cohort offsets (days) reported by [[retentionCohorts]]: next-day
+    * and next-week retention, the standard product-analytics pair. */
+  val RetentionOffsets: Seq[Long] = Seq(1L, 7L)
+
+  /** Bits of user-id space per retention shard: each shard's local id
+    * fits one [[graft.plans.BitmapState]] buffer at its default
+    * capacity (2^20 bits = 128 KiB ceiling). */
+  private val RetentionShardBits = 20
+
+  /** Day-over-day cohort retention, EXACT, via sharded bitmap-state
+    * set intersection: for each day d and offset k, how many of day
+    * d's active users were active again on day d+k, and what fraction.
+    *
+    * The set-operation half of the sketch-as-column idiom (public in
+    * ClickHouse groupBitmapAnd and Druid bitmap intersections), and the
+    * batch twin of the reference's Redis-bitmap UV state
+    * (hong/networkflow/analysis/UniqueVisitor_03_Bloom.scala:62-92 —
+    * there the bitmap answered ONE day's cardinality; held as data it
+    * also answers every cross-day intersection without re-scanning
+    * events).
+    *
+    * Shape: ONE event-volume shuffle builds per-(day, user-id-shard)
+    * exact bitmaps (map-side OR combine, ≤128 KiB per cell); ids are
+    * split as (id >> 20, id & 0xFFFFF) so the exact-bitmap domain is
+    * UNBOUNDED — cardinality beyond one buffer's capacity lands in
+    * more shards, never in a bigger buffer. Everything after is
+    * metadata-sized: days × shards bitmap rows self-joined
+    * shard-aligned at +k days (broadcast — the relation is
+    * O(days · users/2^20) KiB rows regardless of event volume), one
+    * codegen'd AND+popcount per row pair, then a days × offsets
+    * aggregate. At 100 TB the scan dominates end-to-end; the
+    * intersection matrix costs KiB. */
+  def retentionCohorts(spark: SparkSession, d: String): DataFrame =
+    retentionCohortsFrom(events(spark, d))
+
+  /** [[retentionCohorts]] over any frame with (ts TIMESTAMP,
+    * user_id BIGINT) — the face the multi-shard tests drive with ids
+    * crossing the 2^20 shard boundary. */
+  def retentionCohortsFrom(ev: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapCard, bitmapState}
+    val daily = ev
+      .groupBy(
+        dayKey(col("ts")).as("day"),
+        shiftright(col("user_id"), RetentionShardBits).as("shard"))
+      .agg(bitmapState(
+        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+
+    val cohorts = daily.groupBy("day")
+      .agg(sum(bitmapCard(col("bm"))).as("cohort_users"))
+
+    val later = daily.select(
+      col("day").as("rday"), col("shard").as("rshard"), col("bm").as("rbm"))
+
+    val retained = daily
+      .withColumn("offset_days", explode(array(RetentionOffsets.map(lit): _*)))
+      .join(broadcast(later),
+        col("rday") === col("day") + col("offset_days") &&
+          col("rshard") === col("shard"), "left")
+      .groupBy("day", "offset_days")
+      .agg(sum(coalesce(bitmapAndCard(col("bm"), col("rbm")), lit(0L)))
+        .as("retained_users"))
+
+    retained.join(broadcast(cohorts), Seq("day"))
+      .select(col("day"), col("offset_days"), col("cohort_users"),
+        col("retained_users"),
+        (col("retained_users") / col("cohort_users")).as("retention_rate"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+      |  FROM events
+      |),
+      |cohorts AS (SELECT day, count(*) AS cohort_users FROM daily GROUP BY 1),
+      |offsets AS (SELECT CAST(1 AS BIGINT) AS offset_days
+      |            UNION ALL SELECT CAST(7 AS BIGINT)),
+      |ret AS (
+      |  SELECT a.day, o.offset_days, count(b.user_id) AS retained_users
+      |  FROM daily a
+      |  CROSS JOIN offsets o
+      |  LEFT JOIN daily b
+      |    ON b.user_id = a.user_id AND b.day = a.day + o.offset_days
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r.day, r.offset_days, c.cohort_users, r.retained_users,
+      |       r.retained_users / CAST(c.cohort_users AS DOUBLE) AS retention_rate
+      |FROM ret r JOIN cohorts c USING (day)""".stripMargin
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,

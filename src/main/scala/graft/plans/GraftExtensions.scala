@@ -299,6 +299,58 @@ case class BitmapCard(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Byte kernels for [[BitmapState]] output, callable from generated
+  * code (static forwarders, the [[GraftStrings]] pattern). */
+object GraftBitmaps {
+  /** Popcount of the intersection of two serialized bitmaps — the
+    * exact |A ∩ B| of two bitmap_state columns. Byte-wise AND over the
+    * common prefix (BitSet.toByteArray is little-endian and trailing
+    * zero bytes are trimmed, so bits beyond the shorter array cannot
+    * intersect); no BitSet materialization, zero allocation. */
+  def andCard(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      c += java.lang.Integer.bitCount((a(i) & b(i)) & 0xff)
+      i += 1
+    }
+    c
+  }
+}
+
+/** Exact intersection cardinality of two [[BitmapState]] columns —
+  * `bitmap_and_card(bitmap_state(id) OF group A, ... OF group B)` ≡
+  * `count(DISTINCT id common to A and B)`. This is the set-operation
+  * half of the sketch-as-column idiom (ClickHouse groupBitmapAnd /
+  * Druid bitmap intersection): once distinct-user state is data,
+  * retention, overlap, and cross-segment audience questions are a
+  * join of KiB-sized bitmap rows + this popcount — no re-scan of the
+  * event volume. Codegen'd single static call, stays inside
+  * whole-stage codegen. */
+case class BitmapAndCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_and_card"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_and_card requires (BINARY, BINARY) bitmap bytes, " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftBitmaps.andCard(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.GraftBitmaps.andCard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndCard =
+    copy(left = l, right = r)
+}
+
 /** Misra–Gries frequent-items sketch over a string column — at most
   * `k` counters per aggregation buffer, merged with the Agarwal et al.
   * ("Mergeable Summaries", PODS'12) rule: pointwise-sum, then subtract
@@ -565,6 +617,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // bitmap_and_card(a, b) — exact |A ∩ B| of two bitmap_state columns
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_and_card"),
+      new ExpressionInfo(classOf[BitmapAndCard].getName, "bitmap_and_card"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => BitmapAndCard(a, b)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bitmap_and_card`", "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     // freq_sketch(token [, k]) — counter budget must be a literal so the
     // buffer bound is fixed at plan time
     ext.injectFunction((
@@ -614,6 +678,10 @@ object GraftFunctions {
   /** Column wrapper for [[BitmapCard]] — popcount of bitmap bytes. */
   def bitmapCard(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_card", bytes)
+
+  /** Column wrapper for [[BitmapAndCard]] — exact intersection count. */
+  def bitmapAndCard(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_and_card", a, b)
 
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =

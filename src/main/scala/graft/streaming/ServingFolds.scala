@@ -61,4 +61,44 @@ object ServingFolds {
     * `users` here comes free from the same fold). */
   def cubeFold(leaves: Iterable[LeafCell]): Seq[SetRow] =
     rollupFold(leaves) ++ fold(leaves, c => (None, Some(c.hour)), 2L)
+
+  /** A folded cohort-retention row: of `cohortUsers` distinct users
+    * active on `day`, `retainedUsers` were active again on
+    * `day + offsetDays`. */
+  final case class RetentionRow(day: Long, offsetDays: Long,
+                                cohortUsers: Long, retainedUsers: Long)
+
+  /** Cohort retention from DAY-KEYED leaves: OR a day's leaf bitmaps
+    * into its exact active-user set, then intersect day pairs at each
+    * offset — the serving-side twin of
+    * [[graft.operators.EventAnalytics.retentionCohorts]], over
+    * whatever days the retention window holds. Same KiB-sized input
+    * as the other folds; days whose +offset partner has aged out (or
+    * not arrived) report 0 retained, exactly like the batch query's
+    * trailing days.
+    *
+    * Domain note: leaves carry UNSHARDED bitmaps, so this fold is
+    * exact for id domains within one leaf bitmap's capacity (2^20
+    * default); the batch query's shard split is the unbounded-domain
+    * form. */
+  def retentionFold(leaves: Iterable[(Long, LeafCell)],
+                    offsets: Seq[Long] = Seq(1L, 7L)): Seq[RetentionRow] = {
+    val byDay: Map[Long, java.util.BitSet] = leaves.groupBy(_._1).map {
+      case (d, cs) =>
+        val acc = new java.util.BitSet()
+        cs.foreach { case (_, c) => acc.or(java.util.BitSet.valueOf(c.usersBm)) }
+        d -> acc
+    }
+    for {
+      (d, bm) <- byDay.toSeq
+      k <- offsets
+    } yield {
+      val retained = byDay.get(d + k).map { other =>
+        val x = bm.clone().asInstanceOf[java.util.BitSet]
+        x.and(other)
+        x.cardinality().toLong
+      }.getOrElse(0L)
+      RetentionRow(d, k, bm.cardinality().toLong, retained)
+    }
+  }
 }

@@ -20,7 +20,23 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_cosine_topk", "knn_graph", "embedding_dim_stats",
     "attribution_asof", "contamination",
     "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup",
-    "textrank_keywords", "label_spread", "profile_table", "key_skew_report")
+    "textrank_keywords", "label_spread", "profile_table", "key_skew_report",
+    "retention_cohorts")
+
+  test("retention_cohorts joins only broadcast bitmap relations — the " +
+    "event volume is touched by exactly one aggregation scan") {
+    val df = SparkEntry.queries("retention_cohorts")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the day×offset intersection matrix and the cohort join are both
+    // KiB-sized bitmap relations — broadcast, never shuffled pair-wise
+    assert(plan.contains("BroadcastHashJoin"),
+      s"retention_cohorts lost its broadcast joins:\n$plan")
+    Seq("SortMergeJoin", "CartesianProduct").foreach { op =>
+      assert(!plan.contains(op),
+        s"retention_cohorts plans a $op over the bitmap relations:\n$plan")
+    }
+  }
 
   test("chunk_documents is one codegen scan — no shuffle, no join, no window") {
     val df = SparkEntry.queries("chunk_documents")(spark, sf)

@@ -380,4 +380,75 @@ class SurfaceSpec extends AnyFunSuite {
     val b = Multimodal.sampleFrames(spark, sf, nFrames = 3).collect().map(key).toSet
     assert(a == b)
   }
+
+  test("bitmap_and_card kernel: popcount of intersection, length-robust") {
+    import spark.implicits._
+    def bs(xs: Long*): Array[Byte] = {
+      val b = new java.util.BitSet()
+      xs.foreach(i => b.set(i.toInt))
+      b.toByteArray
+    }
+    import graft.plans.GraftBitmaps.andCard
+    assert(andCard(bs(1, 2, 300), bs(2, 300, 4000)) == 2L)
+    assert(andCard(bs(), bs(1)) == 0L)
+    // unequal serialized lengths: toByteArray trims trailing zeros, so
+    // the longer bitmap's tail cannot intersect the shorter's
+    assert(andCard(bs(1, 9000), bs(1)) == 1L)
+    assert(andCard(bs(1), bs(1, 9000)) == 1L)
+    // SQL registration, inside codegen
+    Seq((bs(1, 2, 3), bs(2, 3, 4))).toDF("a", "b")
+      .createOrReplaceTempView("bmand_t")
+    assert(spark.sql("SELECT bitmap_and_card(a, b) FROM bmand_t")
+      .head().getLong(0) == 2L)
+  }
+
+  test("retention_cohorts: exact vs set-intersection reference; sharded ids") {
+    import spark.implicits._
+    // real data: equals the per-day user-set intersection, day by day
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(EventAnalytics.dayKey(col("ts")).as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dayUsers = daily.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val expect = (for {
+      (d, us) <- dayUsers.toSeq
+      k <- EventAnalytics.RetentionOffsets
+    } yield (d, k, us.size.toLong,
+        (us & dayUsers.getOrElse(d + k, Set.empty[Long])).size.toLong)).toSet
+    val got = EventAnalytics.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect && got.nonEmpty)
+    // rate is the single exact division of the two emitted counts
+    EventAnalytics.retentionCohorts(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2))
+    }
+    // sharded path: ids crossing the 2^20 boundary land in separate
+    // shard bitmaps and are re-summed exactly — user 2^20+5 is NOT
+    // confused with user 5 (same local bit, different shard)
+    val big = 1L << 20
+    val ev = Seq(
+      (0L, 5L), (0L, big + 5L), (0L, big + 6L), // day 0: three users
+      (1L, 5L), (1L, big + 6L),                 // day 1: two retained
+      (7L, big + 5L)                            // day 7: one retained
+    ).toDF("day", "user_id")
+      .select((col("day") * 86400).cast("timestamp").as("ts"), col("user_id"))
+    val rows = EventAnalytics.retentionCohortsFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows((0L, 1L)) == ((3L, 2L)))
+    assert(rows((0L, 7L)) == ((3L, 1L)))
+    assert(rows((1L, 1L)) == ((2L, 0L)))
+    assert(rows((7L, 7L)) == ((1L, 0L)))
+    // serving-side fold over the streaming leaf grain reproduces the
+    // batch query (testdata ids fit one unsharded leaf bitmap)
+    import graft.streaming.ServingFolds
+    val leaves = EventAnalytics.eventDailyLeafFrom(
+      graft.sources.Tables.events(spark, sf)).collect().map { r =>
+      (r.getAs[Long]("day"), ServingFolds.LeafCell(
+        r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+        r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+    }
+    val folded = ServingFolds.retentionFold(leaves.toSeq)
+      .map(r => (r.day, r.offsetDays, r.cohortUsers, r.retainedUsers)).toSet
+    assert(folded == got)
+  }
 }
