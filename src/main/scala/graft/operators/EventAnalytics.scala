@@ -584,6 +584,76 @@ object EventAnalytics {
       |       r.retained_users / CAST(c.cohort_users AS DOUBLE) AS retention_rate
       |FROM ret r JOIN cohorts c USING (day)""".stripMargin
 
+  /** Trailing window (days) for [[rollingActiveUsers]]: weekly active
+    * users, the standard engagement metric. */
+  val RollingActiveWindowDays = 7
+
+  /** Rolling exact distinct actives (WAU): for each day with data, the
+    * number of distinct users active in the trailing
+    * [[RollingActiveWindowDays]]-day window, plus how many of those
+    * days actually had data (short windows at series start surface
+    * honestly instead of deflating the metric silently).
+    *
+    * The union twin of [[retentionCohorts]], on the same sharded
+    * daily-bitmap relation: a distinct count across a SLIDING window
+    * cannot partial-aggregate from per-day counts (distincts don't
+    * sum), but it IS an OR-fold over per-day bitmaps — the new
+    * `bitmap_merge_card` aggregate. Shape: one event-volume shuffle
+    * builds (day, shard) bitmaps; each fans out to the ≤7 serve-days
+    * it covers (KiB rows × 7, not event rows × 7); per-(serve_day,
+    * shard) OR-fold, then a sum over shards. Every post-scan relation
+    * is O(days · users/2^20) — volume-independent, exact at any id
+    * cardinality. */
+  def rollingActiveUsers(spark: SparkSession, d: String): DataFrame =
+    rollingActiveUsersFrom(events(spark, d))
+
+  /** [[rollingActiveUsers]] over any (ts TIMESTAMP, user_id BIGINT)
+    * frame — the multi-shard test face. */
+  def rollingActiveUsersFrom(ev: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapMergeCard, bitmapState}
+    val daily = ev
+      .groupBy(
+        dayKey(col("ts")).as("day"),
+        shiftright(col("user_id"), RetentionShardBits).as("shard"))
+      .agg(bitmapState(
+        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+
+    // a day's bitmap serves the window of every day in [day, day+6]
+    val fanned = daily
+      .withColumn("off", explode(array((0 until RollingActiveWindowDays)
+        .map(i => lit(i.toLong)): _*)))
+      .withColumn("serve_day", col("day") + col("off"))
+      .drop("off")
+    // …but only days that themselves have data are reported
+    val present = daily.select(col("day").as("serve_day")).distinct()
+    val windowRows = fanned.join(broadcast(present), Seq("serve_day"))
+
+    val users = windowRows
+      .groupBy("serve_day", "shard")
+      .agg(bitmapMergeCard(col("bm")).as("card"))
+      .groupBy("serve_day")
+      .agg(sum("card").as("active_users"))
+    val cover = windowRows
+      .groupBy("serve_day")
+      .agg(countDistinct(col("day")).as("days_covered"))
+
+    users.join(broadcast(cover), Seq("serve_day"))
+      .select(col("serve_day").as("day"), col("days_covered"),
+        col("active_users"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+      |  FROM events
+      |)
+      |SELECT d.day,
+      |       count(DISTINCT e.day) AS days_covered,
+      |       count(DISTINCT e.user_id) AS active_users
+      |FROM (SELECT DISTINCT day FROM daily) d
+      |JOIN daily e ON e.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1""".stripMargin
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,

@@ -351,6 +351,60 @@ case class BitmapAndCard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** OR-fold aggregate over serialized [[BitmapState]] columns:
+  * `bitmap_merge_card(bm)` unions the group's bitmaps and returns the
+  * exact cardinality — `count(DISTINCT id)` across PRE-AGGREGATED
+  * bitmap rows without touching the rows the bitmaps came from. The
+  * union complement of [[BitmapAndCard]], and the aggregate that makes
+  * rolling-window distinct counts (7-day active users from daily
+  * bitmaps) a fold over KiB-sized relations: merge = OR is exactly
+  * BitSet semantics, so partial aggregation and map-side combine work
+  * unchanged. Buffer ceiling is the largest input bitmap (the inputs'
+  * own capacity contract), independent of group row count. */
+case class BitmapMergeCard(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.BitSet]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_merge_card"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_merge_card requires BINARY bitmap bytes, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+
+  override def update(buf: java.util.BitSet,
+                      input: org.apache.spark.sql.catalyst.InternalRow): java.util.BitSet = {
+    val v = child.eval(input)
+    if (v != null) buf.or(java.util.BitSet.valueOf(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
+    b1.or(b2); b1
+  }
+
+  override def eval(buf: java.util.BitSet): Any = buf.cardinality().toLong
+
+  override def serialize(buf: java.util.BitSet): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
+    java.util.BitSet.valueOf(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMergeCard =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapMergeCard =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapMergeCard =
+    copy(child = newChild)
+}
+
 /** Misra–Gries frequent-items sketch over a string column — at most
   * `k` counters per aggregation buffer, merged with the Agarwal et al.
   * ("Mergeable Summaries", PODS'12) rule: pointwise-sum, then subtract
@@ -617,6 +671,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // bitmap_merge_card(bm) — OR-fold aggregate over bitmap_state bytes
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_merge_card"),
+      new ExpressionInfo(classOf[BitmapMergeCard].getName, "bitmap_merge_card"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b) => BitmapMergeCard(b)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bitmap_merge_card`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     // bitmap_and_card(a, b) — exact |A ∩ B| of two bitmap_state columns
     ext.injectFunction((
       new FunctionIdentifier("bitmap_and_card"),
@@ -682,6 +748,10 @@ object GraftFunctions {
   /** Column wrapper for [[BitmapAndCard]] — exact intersection count. */
   def bitmapAndCard(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_and_card", a, b)
+
+  /** Column wrapper for [[BitmapMergeCard]] — exact union count. */
+  def bitmapMergeCard(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_merge_card", bytes)
 
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =

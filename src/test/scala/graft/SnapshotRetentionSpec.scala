@@ -158,4 +158,44 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     assert(plannedInput.forall(_ == rowsPerDay.toLong),
       s"planned input grew: $plannedInput")
   }
+
+  test("streaming daily leaf + serving retention fold == batch cohort query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.ServingFolds
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(graft.functions.ColumnFunctions.epochSeconds(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = input.toDF().toDF("ts_s", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val served = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String, Long), ServingFolds.LeafCell]()
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.eventDailyLeafFrom(_))({ (res, _) =>
+      res.collect().foreach { r =>
+        served.put(
+          (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour")),
+          ServingFolds.LeafCell(r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+            r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+      }
+    })
+    try {
+      rows.groupBy(_._4 % 3).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // serving store holds day-keyed leaves; retention is a fold over
+    // them — no event re-scan, and it matches the batch query exactly
+    val folded = ServingFolds.retentionFold(
+      served.asScala.toSeq.map { case ((d, _, _), c) => (d, c) })
+      .map(r => (r.day, r.offsetDays, r.cohortUsers, r.retainedUsers)).toSet
+    val batch = EventAnalytics.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(folded == batch && batch.nonEmpty)
+  }
 }
