@@ -101,4 +101,30 @@ object ServingFolds {
       RetentionRow(d, k, bm.cardinality().toLong, retained)
     }
   }
+
+  /** A folded rolling-actives row: `activeUsers` distinct users were
+    * active in the trailing `daysCovered`-days-with-data window ending
+    * at `day` (window span = windowDays; daysCovered < windowDays at
+    * series start or across gaps). */
+  final case class RollingActiveRow(day: Long, daysCovered: Long,
+                                    activeUsers: Long)
+
+  /** Trailing-window exact distinct actives (WAU for windowDays = 7)
+    * from DAY-KEYED leaves — the serving-side twin of
+    * [[graft.operators.EventAnalytics.rollingActiveUsers]]: OR the
+    * window's leaf bitmaps, popcount. One row per day with data, over
+    * whatever days the retention window holds. Same domain note as
+    * [[retentionFold]] (unsharded leaf bitmaps). */
+  def rollingActiveFold(leaves: Iterable[(Long, LeafCell)],
+                        windowDays: Int = 7): Seq[RollingActiveRow] = {
+    val byDay: Map[Long, Iterable[LeafCell]] =
+      leaves.groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2) }
+    byDay.keysIterator.map { d =>
+      val window = ((d - windowDays + 1) to d).filter(byDay.contains)
+      val acc = new java.util.BitSet()
+      window.foreach(wd =>
+        byDay(wd).foreach(c => acc.or(java.util.BitSet.valueOf(c.usersBm))))
+      RollingActiveRow(d, window.size.toLong, acc.cardinality().toLong)
+    }.toSeq
+  }
 }

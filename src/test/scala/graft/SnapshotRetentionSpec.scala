@@ -189,13 +189,19 @@ class SnapshotRetentionSpec extends AnyFunSuite {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // serving store holds day-keyed leaves; retention is a fold over
-    // them — no event re-scan, and it matches the batch query exactly
-    val folded = ServingFolds.retentionFold(
-      served.asScala.toSeq.map { case ((d, _, _), c) => (d, c) })
+    // serving store holds day-keyed leaves; retention and rolling
+    // actives are folds over them — no event re-scan, and both match
+    // their batch queries exactly
+    val dayLeaves = served.asScala.toSeq.map { case ((d, _, _), c) => (d, c) }
+    val folded = ServingFolds.retentionFold(dayLeaves)
       .map(r => (r.day, r.offsetDays, r.cohortUsers, r.retainedUsers)).toSet
     val batch = EventAnalytics.retentionCohorts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(folded == batch && batch.nonEmpty)
+    val foldedWau = ServingFolds.rollingActiveFold(dayLeaves)
+      .map(r => (r.day, r.daysCovered, r.activeUsers)).toSet
+    val batchWau = EventAnalytics.rollingActiveUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(foldedWau == batchWau && batchWau.nonEmpty)
   }
 }
