@@ -111,4 +111,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
     assert(partitioned == perKey)
   }
+
+  test("bitmap set algebra == Scala Set algebra over random id sets") {
+    val rnd = new Random(7)
+    def randSet() = Set.fill(rnd.nextInt(200))(rnd.nextInt(5000).toLong)
+    def bs(xs: Set[Long]): Array[Byte] = {
+      val b = new java.util.BitSet()
+      xs.foreach(i => b.set(i.toInt))
+      b.toByteArray
+    }
+    (1 to 100).foreach { _ =>
+      val (a, c) = (randSet(), randSet())
+      assert(graft.plans.GraftBitmaps.andCard(bs(a), bs(c)) == (a & c).size.toLong)
+      // OR-fold across simulated partials (split c arbitrarily) —
+      // update/merge associativity of the bitmap_merge_card aggregate
+      val agg = graft.plans.BitmapMergeCard(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.BinaryType, nullable = false))
+      val (c1, c2) = c.splitAt(c.size / 2)
+      val b1 = agg.createAggregationBuffer()
+      agg.update(b1, org.apache.spark.sql.catalyst.InternalRow(bs(a)))
+      agg.update(b1, org.apache.spark.sql.catalyst.InternalRow(bs(c1)))
+      val b2 = agg.createAggregationBuffer()
+      agg.update(b2, org.apache.spark.sql.catalyst.InternalRow(bs(c2)))
+      val merged = agg.merge(agg.deserialize(agg.serialize(b1)), b2)
+      assert(agg.eval(merged) == (a | c).size.toLong)
+    }
+  }
 }
