@@ -363,11 +363,33 @@ object StreamingJobs {
     * stable key, recompute only touched partitions, age out closed
     * ones); this unbounded-history form is for bounded replays and
     * plans with no stable partitioning key. */
-  def snapshotUpdate(stream: DataFrame, plan: DataFrame => DataFrame)
+  def snapshotUpdate(stream: DataFrame, plan: DataFrame => DataFrame,
+                     checkpointLocation: Option[String] = None,
+                     reseed: Option[() => DataFrame] = None)
                     (upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var snapshot: Option[DataFrame] = None
-    stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    var firstBatchSeen = false
+    val writer = stream.writeStream.outputMode("append")
+    checkpointLocation.foreach(c => writer.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!firstBatchSeen) {
+          firstBatchSeen = true
+          // restart guard: committed batches do NOT replay, but the
+          // accumulated snapshot lives in driver memory — resuming a
+          // checkpoint with an empty snapshot would silently drop
+          // everything ingested before the restart. Re-seed from the
+          // durable source, or fail fast.
+          if (batchId > 0 && snapshot.isEmpty) reseed match {
+            case Some(f) => snapshot = Some(f().localCheckpoint(true))
+            case None => throw new IllegalStateException(
+              s"snapshotUpdate: resuming from a checkpoint (batchId=$batchId) " +
+                "with an empty driver snapshot — rows ingested before the " +
+                "restart are gone from the recompute. Pass reseed=() => " +
+                "<already-ingested rows from the durable source>, or start " +
+                "with a fresh checkpoint location over the full replay.")
+          }
+        }
         val b = batch.localCheckpoint(true)
         val next = snapshot match {
           case Some(prev) =>
@@ -412,6 +434,15 @@ object StreamingJobs {
     * SnapshotRetentionSpec); state held is `retainPartitions`
     * checkpoints, nothing grows without bound.
     *
+    * Restart contract: the partition index is DRIVER state (block
+    * handles, not a state store), and committed batches do not replay
+    * — so resuming from `checkpointLocation` requires `reseed` (return
+    * the retained window's rows from the durable source; the face
+    * re-partitions them and continues exactly). Resuming without it
+    * fails fast on the first batch instead of silently undercounting
+    * partitions that straddle the restart (pinned in
+    * SnapshotRetentionSpec).
+    *
     * Contract on `plan`: it must be DECOMPOSABLE along `partitionCol`
     * — every output row derives from one partition's rows (true
     * whenever the partition key is functionally determined by the
@@ -422,7 +453,9 @@ object StreamingJobs {
     * incremental over a retention-bounded window. */
   def snapshotUpdatePartitioned(stream: DataFrame, partitionCol: String,
                                 plan: DataFrame => DataFrame,
-                                retainPartitions: Int = Int.MaxValue)
+                                retainPartitions: Int = Int.MaxValue,
+                                checkpointLocation: Option[String] = None,
+                                reseed: Option[() => DataFrame] = None)
                                (upsert: (DataFrame, Seq[Any]) => Unit,
                                 onEvict: Seq[Any] => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -460,8 +493,38 @@ object StreamingJobs {
       if (a == null && b == null) 0 else if (a == null) -1
       else if (b == null) 1
       else a.asInstanceOf[Comparable[Any]].compareTo(b)
-    stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    var firstBatchSeen = false
+    val writer = stream.writeStream.outputMode("append")
+    checkpointLocation.foreach(c => writer.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!firstBatchSeen) {
+          firstBatchSeen = true
+          // restart guard: the partition index lives in driver memory
+          // and committed batches do NOT replay — resuming a checkpoint
+          // with an empty index would recompute straddling partitions
+          // from post-restart rows only (silent undercount). Re-seed
+          // the retained window from the durable source, or fail fast.
+          if (batchId > 0 && parts.isEmpty) reseed match {
+            case Some(f) =>
+              val seeded = f().localCheckpoint(true)
+              val keys = seeded.select(partitionCol).distinct().collect()
+                .map(_.get(0)).toSeq.sorted(keyOrd)
+              keys.takeRight(retainPartitions).foreach { p =>
+                parts(p) = seeded.filter(
+                  if (p == null) col(partitionCol).isNull
+                  else col(partitionCol) <=> lit(p)).localCheckpoint(true)
+              }
+              releaseCheckpoint(seeded)
+            case None => throw new IllegalStateException(
+              s"snapshotUpdatePartitioned: resuming from a checkpoint " +
+                s"(batchId=$batchId) with an empty driver partition index — " +
+                "partitions straddling the restart would recompute from " +
+                "post-restart rows only. Pass reseed=() => <retained-window " +
+                "rows from the durable source>, or start with a fresh " +
+                "checkpoint location over the full replay.")
+          }
+        }
         val b = batch.localCheckpoint(true)
         val touched = b.select(partitionCol).distinct().collect()
           .map(_.get(0)).toSeq.sorted(keyOrd)

@@ -204,4 +204,43 @@ class SnapshotRetentionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(foldedWau == batchWau && batchWau.nonEmpty)
   }
+
+  test("checkpoint restart: fail-fast without reseed, exact continuation with it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def causeChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graftsnapckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("day", "k")
+    val served = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+    def face(reseed: Option[() => org.apache.spark.sql.DataFrame]) =
+      StreamingJobs.snapshotUpdatePartitioned(
+        stream, "day", _.groupBy("day", "k").count(), retainPartitions = 3,
+        checkpointLocation = Some(s"$base/ckpt"), reseed = reseed)({ (res, _) =>
+        res.collect().foreach(r =>
+          served.put((r.getLong(0), r.getString(1)), r.getLong(2)))
+      })
+    // phase 1: two days committed, then stop
+    val phase1 = Seq((0L, "a"), (0L, "a"), (1L, "a"))
+    val q1 = face(None)
+    try { input.addData(phase1); q1.processAllAvailable() } finally q1.stop()
+    // phase 2: resuming with an empty driver index and no reseed must
+    // fail fast — NOT silently recompute day 1 from post-restart rows
+    input.addData(Seq((1L, "a")))
+    val q2 = face(None)
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    assert(causeChain(e).exists(_.contains("reseed")), causeChain(e).mkString("|"))
+    // phase 3: same checkpoint, reseed = the durable source's retained
+    // rows; the uncommitted (1,"a") batch replays, day 1 straddles the
+    // restart and still counts exactly
+    val q3 = face(Some(() => phase1.toDF("day", "k")))
+    try {
+      input.addData(Seq((2L, "b")))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(served.asScala.toMap == Map(
+      (0L, "a") -> 2L, (1L, "a") -> 2L, (2L, "b") -> 1L))
+  }
 }
