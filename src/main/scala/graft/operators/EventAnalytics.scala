@@ -521,13 +521,13 @@ object EventAnalytics {
     * exact bitmaps (map-side OR combine, ≤128 KiB per cell); ids are
     * split as (id >> 20, id & 0xFFFFF) so the exact-bitmap domain is
     * UNBOUNDED — cardinality beyond one buffer's capacity lands in
-    * more shards, never in a bigger buffer. Everything after is
-    * metadata-sized: days × shards bitmap rows self-joined
-    * shard-aligned at +k days (broadcast — the relation is
-    * O(days · users/2^20) KiB rows regardless of event volume), one
-    * codegen'd AND+popcount per row pair, then a days × offsets
-    * aggregate. At 100 TB the scan dominates end-to-end; the
-    * intersection matrix costs KiB. */
+    * more shards, never in a bigger buffer. Everything after runs on
+    * the days × shards bitmap relation — O(users/8) bytes per day
+    * regardless of event volume — self-joined shard-aligned at +k
+    * days (AQE-chosen: broadcast while it fits, shard-aligned shuffle
+    * join at extreme user-day volumes), one codegen'd AND+popcount
+    * per row pair, then a days × offsets aggregate. At 100 TB the
+    * event scan dominates end-to-end. */
   def retentionCohorts(spark: SparkSession, d: String): DataFrame =
     retentionCohortsFrom(events(spark, d))
 
@@ -549,9 +549,13 @@ object EventAnalytics {
     val later = daily.select(
       col("day").as("rday"), col("shard").as("rshard"), col("bm").as("rbm"))
 
+    // no broadcast hint on the bitmap relation: it is O(users/8) bytes
+    // per day (users/2^20 shards × ≤128 KiB), tiny at most scales but
+    // past any broadcast limit at extreme user-day volumes — AQE picks
+    // broadcast when it fits and a shard-aligned shuffle join beyond
     val retained = daily
       .withColumn("offset_days", explode(array(RetentionOffsets.map(lit): _*)))
-      .join(broadcast(later),
+      .join(later,
         col("rday") === col("day") + col("offset_days") &&
           col("rshard") === col("shard"), "left")
       .groupBy("day", "offset_days")

@@ -82,7 +82,9 @@ object ServingFolds {
     * default); the batch query's shard split is the unbounded-domain
     * form. */
   def retentionFold(leaves: Iterable[(Long, LeafCell)],
-                    offsets: Seq[Long] = Seq(1L, 7L)): Seq[RetentionRow] = {
+                    offsets: Seq[Long] =
+                      graft.operators.EventAnalytics.RetentionOffsets)
+      : Seq[RetentionRow] = {
     val byDay: Map[Long, java.util.BitSet] = leaves.groupBy(_._1).map {
       case (d, cs) =>
         val acc = new java.util.BitSet()
@@ -116,15 +118,15 @@ object ServingFolds {
     * whatever days the retention window holds. Same domain note as
     * [[retentionFold]] (unsharded leaf bitmaps). */
   def rollingActiveFold(leaves: Iterable[(Long, LeafCell)],
-                        windowDays: Int = 7): Seq[RollingActiveRow] = {
+                        windowDays: Int =
+                          graft.operators.EventAnalytics.RollingActiveWindowDays)
+      : Seq[RollingActiveRow] = {
     val byDay: Map[Long, Iterable[LeafCell]] =
       leaves.groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2) }
     byDay.keysIterator.map { d =>
       val window = ((d - windowDays + 1) to d).filter(byDay.contains)
-      val acc = new java.util.BitSet()
-      window.foreach(wd =>
-        byDay(wd).foreach(c => acc.or(java.util.BitSet.valueOf(c.usersBm))))
-      RollingActiveRow(d, window.size.toLong, acc.cardinality().toLong)
+      RollingActiveRow(d, window.size.toLong,
+        orPop(window.flatMap(wd => byDay(wd).map(_.usersBm))))
     }.toSeq
   }
 }

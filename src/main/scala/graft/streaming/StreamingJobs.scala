@@ -365,7 +365,7 @@ object StreamingJobs {
     * plans with no stable partitioning key. */
   def snapshotUpdate(stream: DataFrame, plan: DataFrame => DataFrame,
                      checkpointLocation: Option[String] = None,
-                     reseed: Option[() => DataFrame] = None)
+                     reseed: Option[Long => DataFrame] = None)
                     (upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var snapshot: Option[DataFrame] = None
     var firstBatchSeen = false
@@ -379,14 +379,18 @@ object StreamingJobs {
           // accumulated snapshot lives in driver memory — resuming a
           // checkpoint with an empty snapshot would silently drop
           // everything ingested before the restart. Re-seed from the
-          // durable source, or fail fast.
+          // durable source, or fail fast. The closure receives the
+          // RESUMING batch id and must return rows of batches < that id
+          // ONLY — this very batch replays right after the seed, so
+          // including its rows in the seed would double-count them.
           if (batchId > 0 && snapshot.isEmpty) reseed match {
-            case Some(f) => snapshot = Some(f().localCheckpoint(true))
+            case Some(f) => snapshot = Some(f(batchId).localCheckpoint(true))
             case None => throw new IllegalStateException(
               s"snapshotUpdate: resuming from a checkpoint (batchId=$batchId) " +
                 "with an empty driver snapshot — rows ingested before the " +
-                "restart are gone from the recompute. Pass reseed=() => " +
-                "<already-ingested rows from the durable source>, or start " +
+                "restart are gone from the recompute. Pass reseed = id => " +
+                "<rows of committed batches (< id) from the durable source; " +
+                "batch id itself replays and must NOT be included>, or start " +
                 "with a fresh checkpoint location over the full replay.")
           }
         }
@@ -436,11 +440,13 @@ object StreamingJobs {
     *
     * Restart contract: the partition index is DRIVER state (block
     * handles, not a state store), and committed batches do not replay
-    * — so resuming from `checkpointLocation` requires `reseed` (return
-    * the retained window's rows from the durable source; the face
-    * re-partitions them and continues exactly). Resuming without it
-    * fails fast on the first batch instead of silently undercounting
-    * partitions that straddle the restart (pinned in
+    * — so resuming from `checkpointLocation` requires `reseed`: given
+    * the resuming batch id, return the retained window's rows from
+    * batches BEFORE it (that batch itself replays immediately after
+    * the seed — including its rows would double-count them); the face
+    * re-partitions the seed and continues exactly. Resuming without
+    * `reseed` fails fast on the first batch instead of silently
+    * undercounting partitions that straddle the restart (pinned in
     * SnapshotRetentionSpec).
     *
     * Contract on `plan`: it must be DECOMPOSABLE along `partitionCol`
@@ -455,7 +461,7 @@ object StreamingJobs {
                                 plan: DataFrame => DataFrame,
                                 retainPartitions: Int = Int.MaxValue,
                                 checkpointLocation: Option[String] = None,
-                                reseed: Option[() => DataFrame] = None)
+                                reseed: Option[Long => DataFrame] = None)
                                (upsert: (DataFrame, Seq[Any]) => Unit,
                                 onEvict: Seq[Any] => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -505,9 +511,13 @@ object StreamingJobs {
           // with an empty index would recompute straddling partitions
           // from post-restart rows only (silent undercount). Re-seed
           // the retained window from the durable source, or fail fast.
+          // The closure receives the RESUMING batch id and must return
+          // rows of batches < that id ONLY — this very batch replays
+          // right after the seed, so including its rows in the seed
+          // would double-count them.
           if (batchId > 0 && parts.isEmpty) reseed match {
             case Some(f) =>
-              val seeded = f().localCheckpoint(true)
+              val seeded = f(batchId).localCheckpoint(true)
               val keys = seeded.select(partitionCol).distinct().collect()
                 .map(_.get(0)).toSeq.sorted(keyOrd)
               keys.takeRight(retainPartitions).foreach { p =>
@@ -520,9 +530,10 @@ object StreamingJobs {
               s"snapshotUpdatePartitioned: resuming from a checkpoint " +
                 s"(batchId=$batchId) with an empty driver partition index — " +
                 "partitions straddling the restart would recompute from " +
-                "post-restart rows only. Pass reseed=() => <retained-window " +
-                "rows from the durable source>, or start with a fresh " +
-                "checkpoint location over the full replay.")
+                "post-restart rows only. Pass reseed = id => <retained-window " +
+                "rows of committed batches (< id) from the durable source; " +
+                "batch id itself replays and must NOT be included>, or start " +
+                "with a fresh checkpoint location over the full replay.")
           }
         }
         val b = batch.localCheckpoint(true)

@@ -215,7 +215,7 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("day", "k")
     val served = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
-    def face(reseed: Option[() => org.apache.spark.sql.DataFrame]) =
+    def face(reseed: Option[Long => org.apache.spark.sql.DataFrame]) =
       StreamingJobs.snapshotUpdatePartitioned(
         stream, "day", _.groupBy("day", "k").count(), retainPartitions = 3,
         checkpointLocation = Some(s"$base/ckpt"), reseed = reseed)({ (res, _) =>
@@ -232,10 +232,14 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     val q2 = face(None)
     val e = intercept[Exception] { q2.processAllAvailable() }
     assert(causeChain(e).exists(_.contains("reseed")), causeChain(e).mkString("|"))
-    // phase 3: same checkpoint, reseed = the durable source's retained
-    // rows; the uncommitted (1,"a") batch replays, day 1 straddles the
-    // restart and still counts exactly
-    val q3 = face(Some(() => phase1.toDF("day", "k")))
+    // phase 3: same checkpoint, reseed = rows of batches BEFORE the
+    // replaying one (phase1 was batch 0; the uncommitted (1,"a") batch
+    // replays as batch 1 and must NOT be in the seed — it arrives again
+    // right after). Day 1 straddles the restart and still counts exactly.
+    val q3 = face(Some { id =>
+      assert(id == 1L, s"expected to resume at batch 1, got $id")
+      phase1.toDF("day", "k")
+    })
     try {
       input.addData(Seq((2L, "b")))
       q3.processAllAvailable()
