@@ -52,7 +52,7 @@ _cls(1.0,
      'blacklist_stateful', 'cdc_chunks', 'channel_counts',
      'chunk_documents', 'click_no_purchase', 'clicks_by_province',
      'contamination', 'corpus_coverage', 'dataset_card', 'event_daily_leaf',
-     'retention_cohorts', 'rolling_active_users',
+     'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
      'dataset_split', 'dedup_exact', 'doc_quantiles',
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',

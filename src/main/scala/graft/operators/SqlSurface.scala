@@ -36,4 +36,36 @@ object SqlSurface {
          |  )
          |) WHERE rn <= $n""".stripMargin)
   }
+
+  /** The sharded bitmap cohort-retention query in pure SQL — the
+    * injected extension functions (`bitmap_state`, `bitmap_card`,
+    * `bitmap_and_card`) driven from SQL text, byte-identical to
+    * [[EventAnalytics.retentionCohorts]] (the DataFrame form shares
+    * its DuckDB oracle). */
+  def retentionCohortsSqlText(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d).createOrReplaceTempView("events")
+    spark.sql(
+      """WITH daily AS (
+        |  SELECT CAST(floor(CAST(CAST(ts AS TIMESTAMP_LTZ) AS BIGINT) / 86400) AS BIGINT) AS day,
+        |         shiftright(user_id, 20) AS shard,
+        |         bitmap_state(user_id & 1048575) AS bm
+        |  FROM events
+        |  GROUP BY 1, 2
+        |),
+        |cohorts AS (
+        |  SELECT day, sum(bitmap_card(bm)) AS cohort_users FROM daily GROUP BY 1
+        |),
+        |ret AS (
+        |  SELECT a.day, o.offset_days,
+        |         sum(coalesce(bitmap_and_card(a.bm, b.bm), 0L)) AS retained_users
+        |  FROM daily a
+        |  CROSS JOIN (SELECT explode(array(1L, 7L)) AS offset_days) o
+        |  LEFT JOIN daily b
+        |    ON b.day = a.day + o.offset_days AND b.shard = a.shard
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.day, r.offset_days, c.cohort_users, r.retained_users,
+        |       r.retained_users / c.cohort_users AS retention_rate
+        |FROM ret r JOIN cohorts c USING (day)""".stripMargin)
+  }
 }

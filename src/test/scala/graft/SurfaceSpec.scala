@@ -381,6 +381,14 @@ class SurfaceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("SQL-text retention == DataFrame retention, row for row") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val sql = key(SqlSurface.retentionCohortsSqlText(spark, sf))
+    assert(sql == key(EventAnalytics.retentionCohorts(spark, sf)) && sql.nonEmpty)
+  }
+
   test("bitmap_and_card kernel: popcount of intersection, length-robust") {
     import spark.implicits._
     def bs(xs: Long*): Array[Byte] = {
