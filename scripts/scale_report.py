@@ -53,6 +53,7 @@ _cls(1.0,
      'chunk_documents', 'click_no_purchase', 'clicks_by_province',
      'contamination', 'corpus_coverage', 'dataset_card', 'event_daily_leaf',
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
+     'acquisition_cohorts',
      'dataset_split', 'dedup_exact', 'doc_quantiles',
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',

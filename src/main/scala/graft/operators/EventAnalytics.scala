@@ -646,6 +646,55 @@ object EventAnalytics {
         col("active_users"))
   }
 
+  /** Acquisition-cohort retention matrix (the classic "triangle"):
+    * group users by the day they were FIRST seen, then for each cohort
+    * and age (days since first seen) count how many of the cohort were
+    * active — the signup-cohort complement of the activity-pair
+    * [[retentionCohorts]]. Exact, no sketches needed: after the
+    * per-(day, user) distinct, each user contributes at most one row
+    * per (cohort_day, age_days), so `count(*)` IS the distinct count.
+    *
+    * Shape: distinct (day, user) pairs (one event-volume shuffle with
+    * partial dedup), a user-keyed min-day aggregate, a user-keyed join
+    * back (AQE co-partitions the chain on the shared key — same plan
+    * family as funnel's user-keyed hops), then a cohort × age
+    * aggregate over user-day rows. All shuffles carry at most one row
+    * per user-day — 100 TB of events reduce to users × active-days
+    * rows after stage one. */
+  def acquisitionCohorts(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .select(dayKey(col("ts")).as("day"), col("user_id")).distinct()
+    val firstSeen = daily.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = firstSeen.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    daily.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("age_days"), col("cohort_size"),
+        col("active_users"),
+        (col("active_users") / col("cohort_size")).as("retention_rate"))
+  }
+
+  val acquisitionCohortsSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+      |  FROM events
+      |),
+      |first_seen AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY 1
+      |),
+      |sizes AS (
+      |  SELECT cohort_day, count(*) AS cohort_size FROM first_seen GROUP BY 1
+      |)
+      |SELECT f.cohort_day, d.day - f.cohort_day AS age_days, s.cohort_size,
+      |       count(*) AS active_users,
+      |       count(*) / CAST(s.cohort_size AS DOUBLE) AS retention_rate
+      |FROM daily d
+      |JOIN first_seen f USING (user_id)
+      |JOIN sizes s USING (cohort_day)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val rollingActiveUsersSql: String =
     """WITH daily AS (
       |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id

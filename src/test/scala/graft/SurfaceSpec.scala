@@ -460,6 +460,26 @@ class SurfaceSpec extends AnyFunSuite {
     assert(folded == got)
   }
 
+  test("acquisition_cohorts: triangle matches a brute-force first-seen replay") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(EventAnalytics.dayKey(col("ts")).as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstSeen = daily.groupBy(_._2).map { case (u, xs) => u -> xs.map(_._1).min }
+    val cohortSize = firstSeen.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val expect = daily
+      .groupBy { case (d, u) => (firstSeen(u), d - firstSeen(u)) }
+      .map { case ((c, a), xs) => (c, a, cohortSize(c), xs.length.toLong) }.toSet
+    val got = EventAnalytics.acquisitionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect && got.nonEmpty)
+    // triangle invariants: age 0 is the full cohort; cohorts partition
+    // the user base exactly once
+    got.filter(_._2 == 0L).foreach { case (_, _, size, active) =>
+      assert(active == size)
+    }
+    assert(got.filter(_._2 == 0L).map(_._3).sum == firstSeen.size.toLong)
+  }
+
   test("rolling_active_users: exact trailing-window union; sharded ids") {
     import spark.implicits._
     val daily = graft.sources.Tables.events(spark, sf)
