@@ -503,7 +503,7 @@ object EventAnalytics {
   /** Bits of user-id space per retention shard: each shard's local id
     * fits one [[graft.plans.BitmapState]] buffer at its default
     * capacity (2^20 bits = 128 KiB ceiling). */
-  private val RetentionShardBits = 20
+  private[graft] val RetentionShardBits = 20
 
   /** Day-over-day cohort retention, EXACT, via sharded bitmap-state
     * set intersection: for each day d and offset k, how many of day

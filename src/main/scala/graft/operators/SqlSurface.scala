@@ -44,11 +44,12 @@ object SqlSurface {
     * its DuckDB oracle). */
   def retentionCohortsSqlText(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d).createOrReplaceTempView("events")
+    val shardBits = EventAnalytics.RetentionShardBits
     spark.sql(
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT CAST(floor(CAST(CAST(ts AS TIMESTAMP_LTZ) AS BIGINT) / 86400) AS BIGINT) AS day,
-        |         shiftright(user_id, 20) AS shard,
-        |         bitmap_state(user_id & 1048575) AS bm
+        |         shiftright(user_id, $shardBits) AS shard,
+        |         bitmap_state(user_id & ${(1L << shardBits) - 1}) AS bm
         |  FROM events
         |  GROUP BY 1, 2
         |),
@@ -59,7 +60,8 @@ object SqlSurface {
         |  SELECT a.day, o.offset_days,
         |         sum(coalesce(bitmap_and_card(a.bm, b.bm), 0L)) AS retained_users
         |  FROM daily a
-        |  CROSS JOIN (SELECT explode(array(1L, 7L)) AS offset_days) o
+        |  CROSS JOIN (SELECT explode(array(${EventAnalytics.RetentionOffsets
+             .map(o => s"${o}L").mkString(", ")})) AS offset_days) o
         |  LEFT JOIN daily b
         |    ON b.day = a.day + o.offset_days AND b.shard = a.shard
         |  GROUP BY 1, 2
