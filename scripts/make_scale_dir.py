@@ -3,6 +3,13 @@
 "measured scaling" table). Not used by the driver — dev tooling only.
 
 Usage: python3 scripts/make_scale_dir.py [K] [dst]
+       python3 scripts/make_scale_dir.py --events-only K dst
+
+--events-only scales ONLY the events fact table K-fold (every other
+table copied 1x): the measurement point where the event-volume shuffle
+of the cohort/event-analytics family must dominate (VERDICT r10 task 4
+— at uniform K the events table is a small slice of sf0.1, so the
+family's measured exponents were near-flat partly by arithmetic).
 
 Shapes (deliberately NOT exact duplication, which would be an
 unrealistically degenerate dedup input):
@@ -21,7 +28,39 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+def scale_events(src, dst, K):
+    """K copies of events: event_id offsets, ts shifted a day per copy,
+    half the copies minting new user_ids (same recipe as the uniform
+    path — key cardinality grows with volume, as real traffic does)."""
+    ev = pq.read_table(f'{src}/events.parquet').to_pandas()
+    maxe = ev.event_id.max() + 1
+    maxu = ev.user_id.max() + 1
+    vparts = []
+    for i in range(K):
+        c = ev.copy()
+        c['event_id'] = c.event_id + i * maxe
+        if i % 2 == 1:
+            c['user_id'] = c.user_id + (i // 2 + 1) * maxu
+        c['ts'] = c.ts + pd.Timedelta(days=i)
+        vparts.append(c)
+    pd.concat(vparts, ignore_index=True).to_parquet(
+        f'{dst}/events.parquet', index=False)
+
+def events_only(K, dst):
+    src = '/root/testdata/sf0.1'
+    os.makedirs(dst, exist_ok=True)
+    scale_events(src, dst, K)
+    for tb in ['region', 'nation', 'customer', 'supplier', 'part',
+               'orders', 'lineitem', 'documents', 'embeddings']:
+        shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
+    print(f'wrote {dst}: events at {K}x sf0.1, all other tables 1x')
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == '--events-only':
+        if len(sys.argv) < 4:
+            print('usage: make_scale_dir.py --events-only K dst')
+            sys.exit(1)
+        return events_only(int(sys.argv[2]), sys.argv[3])
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
     src = '/root/testdata/sf0.1'
@@ -59,19 +98,7 @@ def main():
                                         schema=sch, preserve_index=False),
                    f'{dst}/embeddings.parquet')
 
-    ev = pq.read_table(f'{src}/events.parquet').to_pandas()
-    maxe = ev.event_id.max() + 1
-    maxu = ev.user_id.max() + 1
-    vparts = []
-    for i in range(K):
-        c = ev.copy()
-        c['event_id'] = c.event_id + i * maxe
-        if i % 2 == 1:
-            c['user_id'] = c.user_id + (i // 2 + 1) * maxu
-        c['ts'] = c.ts + pd.Timedelta(days=i)
-        vparts.append(c)
-    pd.concat(vparts, ignore_index=True).to_parquet(
-        f'{dst}/events.parquet', index=False)
+    scale_events(src, dst, K)
 
     # fact tables scale with volume (orderkey offsets keep the
     # orders<->lineitem join consistent; custkey/partkey/suppkey stay in

@@ -53,7 +53,7 @@ _cls(1.0,
      'chunk_documents', 'click_no_purchase', 'clicks_by_province',
      'contamination', 'corpus_coverage', 'dataset_card', 'event_daily_leaf',
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
-     'acquisition_cohorts',
+     'rolling_active_users_sql', 'acquisition_cohorts',
      'dataset_split', 'dedup_exact', 'doc_quantiles',
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',
@@ -93,9 +93,18 @@ def coverage(bench_json):
     print(f'all {len(qs)} queries classified '
           f'({sum(1 for q in qs if PRED[q] > 1)} super-linear)')
 
+USAGE = ('usage: scale_report.py <base_bench.json> <big_bench.json> [K]\n'
+         '       scale_report.py --coverage <bench_out.json>')
+
 def main():
+    if len(sys.argv) < 2:
+        print(USAGE); sys.exit(1)
     if sys.argv[1] == '--coverage':
+        if len(sys.argv) < 3:
+            print(USAGE); sys.exit(1)
         return coverage(sys.argv[2])
+    if len(sys.argv) < 3:
+        print(USAGE); sys.exit(1)
     base, big = sys.argv[1], sys.argv[2]
     k = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     (bq, bc), (gq, gc) = load(base), load(big)

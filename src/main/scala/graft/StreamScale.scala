@@ -69,6 +69,11 @@ object StreamScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfbig10")
     val work = sys.env.getOrElse("SPARK_GRAFT_STREAM_WORK", "/tmp/stream_scale")
     val spark = GraftSession("graft-stream-scale")
+    // recentProgress is a bounded ring buffer (default ~100 entries);
+    // with maxFilesPerTrigger=1 over many slices the reported batch
+    // count / peak-state metrics would silently undercount the early
+    // micro-batches (ADVICE r10) — size it past any slice count here
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
     import graft.operators.EventAnalytics
     import graft.sources.Tables
     import graft.streaming.StreamingJobs
@@ -138,21 +143,90 @@ object StreamScale {
         s""","arrivals":$nArrivals"""))
     }
 
-    // ---- face 3: retention-partitioned snapshot (daily leaf grain) ----
+    // ---- face 3: retention-partitioned snapshot (daily leaf grain),
+    // with a MID-INGEST STOP + reseed-from-parquet resume (VERDICT r10
+    // task 5): the stop/fail/reseed/continue contract was unit-pinned
+    // (SnapshotRetentionSpec) but never exercised at scale — this run
+    // kills the query roughly halfway through the day files, restarts
+    // from the same checkpoint with reseed = committed days re-read
+    // from the durable event parquet, finishes the ingest, and asserts
+    // the final serving store (including the day that STRADDLES the
+    // restart) equals the batch leaf query over the retained days. ----
     locally {
-      val stream = spark.readStream.schema(evSchema)
-        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      val ckpt = s"$work/snap_ckpt"
+      // fresh checkpoint per spot-run (work dir is /tmp scratch)
+      val ckptPath = java.nio.file.Paths.get(ckpt)
+      if (java.nio.file.Files.exists(ckptPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptPath).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getLong(0))
+      val retain = 3
+      // serving store: delete-then-insert per touched day + evict drops
+      val served = new java.util.concurrent.ConcurrentHashMap[
+        (Long, String, Long, Long), Long]()
       @volatile var leafRows = 0L
+      def upsert(res: DataFrame, touched: Seq[Any]): Unit = {
+        val t = touched.map(_.asInstanceOf[Long]).toSet
+        served.keySet().removeIf(k => t.contains(k._1))
+        res.collect().foreach { r =>
+          leafRows += 1
+          served.put((r.getAs[Long]("day"), r.getAs[String]("event_type"),
+            r.getAs[Long]("hour"), r.getAs[Long]("shard")), r.getAs[Long]("cnt"))
+        }
+      }
+      def onEvict(keys: Seq[Any]): Unit = {
+        val t = keys.map(_.asInstanceOf[Long]).toSet
+        served.keySet().removeIf(k => t.contains(k._1))
+      }
+      def face(reseed: Option[Long => DataFrame]) = {
+        val stream = spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 1).parquet(evDir)
+        StreamingJobs.snapshotUpdatePartitioned(
+          stream, "day", EventAnalytics.eventDailyLeafFrom,
+          retainPartitions = retain,
+          checkpointLocation = Some(ckpt), reseed = reseed)(upsert, onEvict)
+      }
+      val stopAfter = days.length / 2
       val t0 = System.nanoTime()
-      val q = StreamingJobs.snapshotUpdatePartitioned(
-        stream, "day", EventAnalytics.eventDailyLeafFrom,
-        retainPartitions = 3)({ (res, _) => leafRows += res.count() })
-      try q.processAllAvailable() finally q.stop()
+      // phase 1: ingest until ~half the day files are committed, stop
+      val q1 = face(None)
+      while (Option(q1.lastProgress).forall(_.batchId < stopAfter))
+        Thread.sleep(200)
+      q1.stop()
+      // phase 2: resume the SAME checkpoint; committed batches are the
+      // first `id` day files (mtime order, one file per trigger), so
+      // the reseed re-reads exactly those days from the durable parquet
+      @volatile var reseedRows = 0L
+      @volatile var resumedAt = -1L
+      val q2 = face(Some { id =>
+        resumedAt = id
+        val seed = ev.filter(col("day").isin(days.take(id.toInt): _*))
+        reseedRows = seed.count()
+        seed
+      })
+      try q2.processAllAvailable() finally q2.stop()
+      // parity: the serving store equals the batch leaf grain over the
+      // retained (largest) days — the straddling day counts exactly once
+      val retained = days.takeRight(retain).toSet
+      val batch = EventAnalytics.eventDailyLeafFrom(
+          ev.filter(col("day").isin(retained.toSeq: _*)))
+        .collect().map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+          r.getAs[Long]("hour"), r.getAs[Long]("shard")) -> r.getAs[Long]("cnt"))
+        .toMap
+      import scala.jdk.CollectionConverters._
+      val parity = served.asScala.toMap == batch
       val storage = spark.sparkContext.getRDDStorageInfo
       val cachedBytes = storage.map(_.memSize).sum
       println(metricsLine("snapshot_partitioned", leafRows,
-        (System.nanoTime() - t0) / 1e9, q,
-        s""","retained_block_bytes":$cachedBytes,"retained_rdds":${storage.length}"""))
+        (System.nanoTime() - t0) / 1e9, q2,
+        s""","retained_block_bytes":$cachedBytes,"retained_rdds":${storage.length}""" +
+          s""","restart_batch":$resumedAt,"reseed_rows":$reseedRows""" +
+          s""","restart_parity":$parity"""))
+      assert(parity, "post-restart serving store diverged from batch leaves")
     }
 
     spark.stop()

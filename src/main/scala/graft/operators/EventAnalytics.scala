@@ -462,31 +462,49 @@ object EventAnalytics {
 
   /** Daily LEAF grain behind the retention-partitioned faces of
     * [[eventRollupFrom]]/[[eventCubeFrom]]: one row per
-    * (day, event_type, hour) with the count AND the exact user bitmap
+    * (day, event_type, hour, user-id SHARD) with the count AND the
+    * exact user bitmap of the shard's LOCAL ids
     * ([[graft.plans.BitmapState]] — mergeable distinct state as data).
-    * Decomposable along `day` by construction, so
+    * Ids are split as (id >> 20, id & 0xFFFFF) — exactly
+    * [[retentionCohortsFrom]]'s move (VERDICT r10 #1) — so the leaf
+    * grain's id domain is UNBOUNDED: cardinality beyond one 128 KiB
+    * buffer lands in more shard rows, never in a bigger buffer (the
+    * reference's own UV sizing assumption is 10⁸ users,
+    * UniqueVisitor_03_Bloom.scala:105-109 — raw ids would fail fast at
+    * ~10⁶). Decomposable along `day` by construction, so
     * `snapshotUpdatePartitioned` recomputes only touched days; every
     * grouping-set row ABOVE the day grain (per-type subtotals, grand
     * totals, per-hour cube slices) folds on the serving side from
-    * these leaves — sums for counts, OR+popcount for exact distinct
-    * users ([[graft.streaming.ServingFolds]]). This is the stage split
-    * the topNUpdate face documents: non-incremental aggregates move to
-    * the serving fold, the stream keeps the decomposable grain. */
+    * these leaves — sums for counts, per-shard OR+popcount summed over
+    * shards for exact distinct users (shards partition the id space,
+    * so popcounts add exactly — [[graft.streaming.ServingFolds]]).
+    * This is the stage split the topNUpdate face documents:
+    * non-incremental aggregates move to the serving fold, the stream
+    * keeps the decomposable grain. */
   def eventDailyLeafFrom(e: DataFrame): DataFrame =
     e.withColumn("hour", hourBucket)
       .withColumn("day", dayKey(col("ts")))
-      .groupBy("day", "event_type", "hour")
+      .groupBy(col("day"), col("event_type"), col("hour"),
+        shiftright(col("user_id"), RetentionShardBits).as("shard"))
       .agg(count(lit(1)).as("cnt"),
-        graft.plans.GraftFunctions.bitmapState(col("user_id")).as("users_bm"))
+        graft.plans.GraftFunctions.bitmapState(
+          col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1)))
+          .as("users_bm"))
 
-  /** Oracle-facing face of [[eventDailyLeafFrom]]: the leaf grain with
-    * the bitmap materialized back to its exact distinct count
-    * (`bitmap_card ∘ bitmap_state` ≡ `count(DISTINCT)`), so DuckDB
-    * hash-verifies the whole sketch-as-column path end-to-end. */
+  /** Oracle-facing face of [[eventDailyLeafFrom]]: the leaf grain
+    * re-aggregated to (day, event_type, hour) with the shard bitmaps
+    * materialized back to the exact distinct count — counts sum, and
+    * per-shard popcounts sum because the shards partition the id space
+    * (`Σ_shard bitmap_card ∘ bitmap_state` ≡ `count(DISTINCT)`), so
+    * DuckDB hash-verifies the whole sharded sketch-as-column path
+    * end-to-end. */
   def eventDailyLeaf(spark: SparkSession, d: String): DataFrame =
     eventDailyLeafFrom(events(spark, d))
+      .groupBy("day", "event_type", "hour")
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(graft.plans.GraftFunctions.bitmapCard(col("users_bm"))).as("users"))
       .select(col("day"), col("event_type"), col("hour"), col("cnt"),
-        graft.plans.GraftFunctions.bitmapCard(col("users_bm")).as("users"))
+        col("users"))
 
   val eventDailyLeafSql: String =
     s"""SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.plans.GraftBitmaps
+
 /** Serving-side folds over retention-partitioned LEAF rows — the other
   * half of the stage split [[StreamingJobs.snapshotUpdatePartitioned]]
   * documents: aggregates ABOVE the partition grain (a rollup's
@@ -8,14 +10,19 @@ package graft.streaming
   * of the stream into a fold over the serving store's per-partition
   * leaf rows. Counts fold by sum; EXACT distinct users fold by
   * bitwise-OR of the leaves' [[graft.plans.BitmapState]] bytes +
-  * popcount — which is why the leaf carries the bitmap, not the
-  * count: counts don't merge, bitmaps do.
+  * popcount, PER SHARD and then summed over shards — the leaf grain is
+  * sharded on (user_id >> 20) with the local id in the bitmap
+  * (VERDICT r10 #1), so the id domain is unbounded: shards partition
+  * the id space and their popcounts add exactly. Which is why the leaf
+  * carries the bitmap, not the count: counts don't merge, bitmaps do.
   *
   * Scale shape: the fold input is one row per retained
-  * (day, event_type, hour) — days × |types| × 24, KiB-sized metadata
-  * regardless of event volume, the same reduction topNUpdate's
-  * serving-side ranking rides on. Runs wherever the serving store
-  * lives; plain Scala, no Spark session needed.
+  * (day, event_type, hour, shard) — days × |types| × 24 × ⌈ids/2^20⌉,
+  * KiB-to-MiB-sized metadata regardless of event volume, the same
+  * reduction topNUpdate's serving-side ranking rides on. Runs wherever
+  * the serving store lives; plain Scala, no Spark session needed. The
+  * OR/popcount kernels are the zero-allocation byte loops of
+  * [[graft.plans.GraftBitmaps]].
   *
   * gid convention matches `grouping_id()` with (event_type, hour)
   * listed first-to-last = high-to-low bit, identical in Spark and
@@ -24,26 +31,31 @@ object ServingFolds {
 
   /** One serving-store leaf row: the [[graft.operators.EventAnalytics
     * .eventDailyLeafFrom]] grain minus the day key (folds don't care
-    * which retained day a leaf came from). */
-  final case class LeafCell(eventType: String, hour: Long, cnt: Long,
-                            usersBm: Array[Byte])
+    * which retained day a leaf came from). `usersBm` holds the LOCAL
+    * ids of `shard` (id & 0xFFFFF of ids with id >> 20 == shard). */
+  final case class LeafCell(eventType: String, hour: Long, shard: Long,
+                            cnt: Long, usersBm: Array[Byte])
 
   /** A folded grouping-set row: null eventType/hour = aggregated-out
     * (subtotal), exactly like the SQL rollup/cube output rows. */
   final case class SetRow(eventType: Option[String], hour: Option[Long],
                           cnt: Long, users: Long, gid: Long)
 
-  private def orPop(bms: Iterable[Array[Byte]]): Long = {
-    val acc = new java.util.BitSet()
-    bms.foreach(b => acc.or(java.util.BitSet.valueOf(b)))
-    acc.cardinality().toLong
-  }
+  /** Exact distinct users across sharded bitmap fragments: OR within
+    * each shard (local-id sets union), popcount, sum over shards
+    * (shards partition the id space — no id exists in two shards). */
+  private def orPopSharded(cells: Iterable[(Long, Array[Byte])]): Long =
+    cells.groupBy(_._1).valuesIterator.map { frags =>
+      GraftBitmaps.card(frags.iterator.map(_._2)
+        .foldLeft(Array.emptyByteArray)(GraftBitmaps.orInto))
+    }.sum
 
   private def fold(leaves: Iterable[LeafCell],
                    key: LeafCell => (Option[String], Option[Long]),
                    gid: Long): Seq[SetRow] =
     leaves.groupBy(key).map { case ((t, h), cells) =>
-      SetRow(t, h, cells.iterator.map(_.cnt).sum, orPop(cells.map(_.usersBm)), gid)
+      SetRow(t, h, cells.iterator.map(_.cnt).sum,
+        orPopSharded(cells.map(c => (c.shard, c.usersBm))), gid)
     }.toSeq
 
   /** ROLLUP(event_type, hour) from leaves: grouping sets
@@ -68,39 +80,42 @@ object ServingFolds {
   final case class RetentionRow(day: Long, offsetDays: Long,
                                 cohortUsers: Long, retainedUsers: Long)
 
+  /** Per-(day, shard) merged bitmap of DAY-KEYED leaves — the shared
+    * first stage of the cross-day set-algebra folds. */
+  private def dayShardBitmaps(leaves: Iterable[(Long, LeafCell)])
+      : Map[Long, Map[Long, Array[Byte]]] =
+    leaves.groupBy(_._1).map { case (d, cs) =>
+      d -> cs.groupBy(_._2.shard).map { case (s, frags) =>
+        s -> frags.iterator.map(_._2.usersBm)
+          .foldLeft(Array.emptyByteArray)(GraftBitmaps.orInto)
+      }
+    }
+
   /** Cohort retention from DAY-KEYED leaves: OR a day's leaf bitmaps
-    * into its exact active-user set, then intersect day pairs at each
-    * offset — the serving-side twin of
+    * into its exact per-shard active-user sets, then intersect day
+    * pairs shard-by-shard at each offset — the serving-side twin of
     * [[graft.operators.EventAnalytics.retentionCohorts]], over
-    * whatever days the retention window holds. Same KiB-sized input
-    * as the other folds; days whose +offset partner has aged out (or
-    * not arrived) report 0 retained, exactly like the batch query's
-    * trailing days.
-    *
-    * Domain note: leaves carry UNSHARDED bitmaps, so this fold is
-    * exact for id domains within one leaf bitmap's capacity (2^20
-    * default); the batch query's shard split is the unbounded-domain
-    * form. */
+    * whatever days the retention window holds, exact at ANY id
+    * cardinality (the sharded grain). Same KiB-sized input as the
+    * other folds; days whose +offset partner has aged out (or not
+    * arrived) report 0 retained, exactly like the batch query's
+    * trailing days. */
   def retentionFold(leaves: Iterable[(Long, LeafCell)],
                     offsets: Seq[Long] =
                       graft.operators.EventAnalytics.RetentionOffsets)
       : Seq[RetentionRow] = {
-    val byDay: Map[Long, java.util.BitSet] = leaves.groupBy(_._1).map {
-      case (d, cs) =>
-        val acc = new java.util.BitSet()
-        cs.foreach { case (_, c) => acc.or(java.util.BitSet.valueOf(c.usersBm)) }
-        d -> acc
-    }
+    val byDay = dayShardBitmaps(leaves)
     for {
-      (d, bm) <- byDay.toSeq
+      (d, shards) <- byDay.toSeq
       k <- offsets
     } yield {
       val retained = byDay.get(d + k).map { other =>
-        val x = bm.clone().asInstanceOf[java.util.BitSet]
-        x.and(other)
-        x.cardinality().toLong
+        shards.iterator.map { case (s, bm) =>
+          other.get(s).map(GraftBitmaps.andCard(bm, _)).getOrElse(0L)
+        }.sum
       }.getOrElse(0L)
-      RetentionRow(d, k, bm.cardinality().toLong, retained)
+      RetentionRow(d, k, shards.valuesIterator.map(GraftBitmaps.card).sum,
+        retained)
     }
   }
 
@@ -114,19 +129,22 @@ object ServingFolds {
   /** Trailing-window exact distinct actives (WAU for windowDays = 7)
     * from DAY-KEYED leaves — the serving-side twin of
     * [[graft.operators.EventAnalytics.rollingActiveUsers]]: OR the
-    * window's leaf bitmaps, popcount. One row per day with data, over
-    * whatever days the retention window holds. Same domain note as
-    * [[retentionFold]] (unsharded leaf bitmaps). */
+    * window's per-shard bitmaps, popcount, sum over shards. One row
+    * per day with data, over whatever days the retention window holds,
+    * exact at any id cardinality. */
   def rollingActiveFold(leaves: Iterable[(Long, LeafCell)],
                         windowDays: Int =
                           graft.operators.EventAnalytics.RollingActiveWindowDays)
       : Seq[RollingActiveRow] = {
-    val byDay: Map[Long, Iterable[LeafCell]] =
-      leaves.groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2) }
+    val byDay = dayShardBitmaps(leaves)
     byDay.keysIterator.map { d =>
       val window = ((d - windowDays + 1) to d).filter(byDay.contains)
-      RollingActiveRow(d, window.size.toLong,
-        orPop(window.flatMap(wd => byDay(wd).map(_.usersBm))))
+      val active = window.flatMap(wd => byDay(wd).toSeq)
+        .groupBy(_._1).valuesIterator.map { frags =>
+          GraftBitmaps.card(frags.iterator.map(_._2)
+            .foldLeft(Array.emptyByteArray)(GraftBitmaps.orInto))
+        }.sum
+      RollingActiveRow(d, window.size.toLong, active)
     }.toSeq
   }
 }

@@ -525,6 +525,13 @@ object StreamingJobs {
                   if (p == null) col(partitionCol).isNull
                   else col(partitionCol) <=> lit(p)).localCheckpoint(true)
               }
+              // a seed wider than the retained window: the excess keys
+              // are not admitted, and the serving table may still hold
+              // their pre-restart rows — report them through onEvict
+              // exactly like the normal age-out path (ADVICE r10),
+              // instead of silently leaving stale rows with no delete
+              val droppedSeed = keys.dropRight(retainPartitions)
+              if (droppedSeed.nonEmpty) onEvict(droppedSeed)
               releaseCheckpoint(seeded)
             case None => throw new IllegalStateException(
               s"snapshotUpdatePartitioned: resuming from a checkpoint " +

@@ -123,17 +123,24 @@ class PropertiesSpec extends AnyFunSuite {
     (1 to 100).foreach { _ =>
       val (a, c) = (randSet(), randSet())
       assert(graft.plans.GraftBitmaps.andCard(bs(a), bs(c)) == (a & c).size.toLong)
+      assert(graft.plans.GraftBitmaps.orCard(bs(a), bs(c)) == (a | c).size.toLong)
+      assert(graft.plans.GraftBitmaps.card(bs(a)) == a.size.toLong)
+      assert(graft.plans.GraftBitmaps.card(
+        graft.plans.GraftBitmaps.orInto(
+          graft.plans.GraftBitmaps.orInto(Array.emptyByteArray, bs(a)), bs(c)))
+        == (a | c).size.toLong)
       // OR-fold across simulated partials (split c arbitrarily) —
       // update/merge associativity of the bitmap_merge_card aggregate
+      // (buffer IS the serialized byte layout — the orInto kernel path)
       val agg = graft.plans.BitmapMergeCard(
         org.apache.spark.sql.catalyst.expressions.BoundReference(
           0, org.apache.spark.sql.types.BinaryType, nullable = false))
       val (c1, c2) = c.splitAt(c.size / 2)
-      val b1 = agg.createAggregationBuffer()
-      agg.update(b1, org.apache.spark.sql.catalyst.InternalRow(bs(a)))
-      agg.update(b1, org.apache.spark.sql.catalyst.InternalRow(bs(c1)))
-      val b2 = agg.createAggregationBuffer()
-      agg.update(b2, org.apache.spark.sql.catalyst.InternalRow(bs(c2)))
+      var b1 = agg.createAggregationBuffer()
+      b1 = agg.update(b1, org.apache.spark.sql.catalyst.InternalRow(bs(a)))
+      b1 = agg.update(b1, org.apache.spark.sql.catalyst.InternalRow(bs(c1)))
+      var b2 = agg.createAggregationBuffer()
+      b2 = agg.update(b2, org.apache.spark.sql.catalyst.InternalRow(bs(c2)))
       val merged = agg.merge(agg.deserialize(agg.serialize(b1)), b2)
       assert(agg.eval(merged) == (a | c).size.toLong)
     }

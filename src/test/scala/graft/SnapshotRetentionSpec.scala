@@ -173,14 +173,15 @@ class SnapshotRetentionSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_seconds(col("ts_s")))
       .withColumn("day", EventAnalytics.dayKey(col("ts")))
     val served = new java.util.concurrent.ConcurrentHashMap[
-      (Long, String, Long), ServingFolds.LeafCell]()
+      (Long, String, Long, Long), ServingFolds.LeafCell]()
     val q = StreamingJobs.snapshotUpdatePartitioned(
       stream, "day", EventAnalytics.eventDailyLeafFrom(_))({ (res, _) =>
       res.collect().foreach { r =>
         served.put(
-          (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour")),
+          (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+            r.getAs[Long]("shard")),
           ServingFolds.LeafCell(r.getAs[String]("event_type"), r.getAs[Long]("hour"),
-            r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+            r.getAs[Long]("shard"), r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
       }
     })
     try {
@@ -192,7 +193,7 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     // serving store holds day-keyed leaves; retention and rolling
     // actives are folds over them — no event re-scan, and both match
     // their batch queries exactly
-    val dayLeaves = served.asScala.toSeq.map { case ((d, _, _), c) => (d, c) }
+    val dayLeaves = served.asScala.toSeq.map { case ((d, _, _, _), c) => (d, c) }
     val folded = ServingFolds.retentionFold(dayLeaves)
       .map(r => (r.day, r.offsetDays, r.cohortUsers, r.retainedUsers)).toSet
     val batch = EventAnalytics.retentionCohorts(spark, sf).collect()
@@ -203,6 +204,73 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     val batchWau = EventAnalytics.rollingActiveUsers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(foldedWau == batchWau && batchWau.nonEmpty)
+  }
+
+  test("sharded leaf grain: ids across the 2^20 boundary through the partitioned streaming face + folds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.ServingFolds
+    // ids straddling the shard boundary: same local bit (5) in shards 0
+    // and 1, plus a shard-1-only id — the raw-id grain threw past 2^20
+    // (VERDICT r10 #1); the sharded grain must count them exactly
+    // through the STREAMING face and every serving fold
+    val big = 1L << 20
+    val rows = Seq(
+      (0L, 5L, "view"), (0L, big + 5L, "view"), (0L, big + 6L, "click"),
+      (1L, 5L, "view"), (1L, big + 6L, "view"),
+      (7L, big + 5L, "view"))
+      .map { case (d, u, t) => (d * 86400L, u, t, d * 10 + u % 10) }
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = input.toDF().toDF("ts_s", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val served = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String, Long, Long), ServingFolds.LeafCell]()
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.eventDailyLeafFrom(_))({ (res, _) =>
+      res.collect().foreach { r =>
+        served.put(
+          (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+            r.getAs[Long]("shard")),
+          ServingFolds.LeafCell(r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+            r.getAs[Long]("shard"), r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+      }
+    })
+    try {
+      rows.grouped(2).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // leaves: users 5 and 2^20+5 share local bit 5 but sit in shard 0
+    // vs shard 1 rows — distinct by construction
+    assert(served.keySet().asScala.map(_._4) == Set(0L, 1L))
+    val dayLeaves = served.asScala.toSeq.map { case ((d, _, _, _), c) => (d, c) }
+    // grand-total fold over day 0: 3 events, 3 distinct users — NOT 2
+    // (local bit 5 appears in both shards and must not collapse)
+    val rollup = ServingFolds.rollupFold(
+      dayLeaves.filter(_._1 == 0L).map(_._2))
+    assert(rollup.find(_.gid == 3L).map(r => (r.cnt, r.users)) == Some((3L, 3L)))
+    // retention fold across the boundary: day0→day1 retains {5, 2^20+6}
+    val ret = ServingFolds.retentionFold(dayLeaves)
+      .map(r => (r.day, r.offsetDays) -> (r.cohortUsers, r.retainedUsers)).toMap
+    assert(ret((0L, 1L)) == ((3L, 2L)))
+    assert(ret((0L, 7L)) == ((3L, 1L)))
+    // rolling-actives fold: day 7 window covers days {1,7} → 3 distinct
+    val wau = ServingFolds.rollingActiveFold(dayLeaves)
+      .map(r => r.day -> (r.daysCovered, r.activeUsers)).toMap
+    assert(wau(7L) == ((2L, 3L)))
+    // and both folds equal the batch queries over the same frame
+    val ev = rows.toDF("ts_s", "user_id", "event_type", "event_id")
+      .select(timestamp_seconds(col("ts_s")).as("ts"), col("user_id"))
+    val batchRet = EventAnalytics.retentionCohortsFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(ServingFolds.retentionFold(dayLeaves)
+      .map(r => (r.day, r.offsetDays) -> (r.cohortUsers, r.retainedUsers)).toMap
+      == batchRet)
+    val batchWau = EventAnalytics.rollingActiveUsersFrom(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wau == batchWau)
   }
 
   test("checkpoint restart: fail-fast without reseed, exact continuation with it") {

@@ -33,17 +33,19 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
 
   /** Serving-store upsert for the retention-partitioned leaf face:
     * delete-then-insert the touched days' leaf rows (the
-    * snapshotUpdatePartitioned serving contract). */
+    * snapshotUpdatePartitioned serving contract). Leaf key carries the
+    * user-id SHARD — the unbounded-domain grain (VERDICT r10 #1). */
   private def leafUpsert(
-      leaves: java.util.concurrent.ConcurrentHashMap[(Long, String, Long), ServingFolds.LeafCell])
+      leaves: java.util.concurrent.ConcurrentHashMap[(Long, String, Long, Long), ServingFolds.LeafCell])
       (res: org.apache.spark.sql.DataFrame, touched: Seq[Any]): Unit = {
     val days = touched.map(_.asInstanceOf[Long]).toSet
     leaves.keySet().removeIf(k => days.contains(k._1))
     res.collect().foreach { r =>
       leaves.put(
-        (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour")),
+        (r.getAs[Long]("day"), r.getAs[String]("event_type"), r.getAs[Long]("hour"),
+          r.getAs[Long]("shard")),
         ServingFolds.LeafCell(r.getAs[String]("event_type"), r.getAs[Long]("hour"),
-          r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+          r.getAs[Long]("shard"), r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
     }
   }
 
@@ -52,7 +54,7 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Long, String, Long, Double)]
     val leaves = new java.util.concurrent.ConcurrentHashMap[
-      (Long, String, Long), ServingFolds.LeafCell]()
+      (Long, String, Long, Long), ServingFolds.LeafCell]()
     // the production posture (VERDICT r9 #3): the stream carries only
     // the day-decomposable LEAF grain (counts + exact user BITMAPS)
     // through snapshotUpdatePartitioned; the rollup's above-day
@@ -84,7 +86,7 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Long, String, Long, Double)]
     val leaves = new java.util.concurrent.ConcurrentHashMap[
-      (Long, String, Long), ServingFolds.LeafCell]()
+      (Long, String, Long, Long), ServingFolds.LeafCell]()
     val pivotState = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
     val stream = streamedEvents(input)
       .withColumn("day", EventAnalytics.dayKey(col("ts")))

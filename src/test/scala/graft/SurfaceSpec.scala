@@ -410,6 +410,40 @@ class SurfaceSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("bitmap_or_card / bitmap_card kernels: union popcount, length-robust") {
+    import spark.implicits._
+    def bs(xs: Long*): Array[Byte] = {
+      val b = new java.util.BitSet()
+      xs.foreach(i => b.set(i.toInt))
+      b.toByteArray
+    }
+    import graft.plans.GraftBitmaps.{card, orCard}
+    assert(card(bs(1, 2, 300)) == 3L)
+    assert(card(bs()) == 0L)
+    assert(orCard(bs(1, 2, 300), bs(2, 300, 4000)) == 4L)
+    assert(orCard(bs(), bs(1)) == 1L)
+    // unequal serialized lengths: the longer bitmap's tail passes
+    // through the union untouched
+    assert(orCard(bs(1, 9000), bs(1)) == 2L)
+    assert(orCard(bs(1), bs(1, 9000)) == 2L)
+    // inclusion–exclusion against the AND kernel
+    assert(orCard(bs(1, 2, 300), bs(2, 300, 4000)) ==
+      card(bs(1, 2, 300)) + card(bs(2, 300, 4000)) -
+        graft.plans.GraftBitmaps.andCard(bs(1, 2, 300), bs(2, 300, 4000)))
+    // SQL registration, inside codegen
+    Seq((bs(1, 2, 3), bs(2, 3, 4))).toDF("a", "b")
+      .createOrReplaceTempView("bmor_t")
+    assert(spark.sql("SELECT bitmap_or_card(a, b) FROM bmor_t")
+      .head().getLong(0) == 4L)
+  }
+
+  test("SQL-text rolling actives == DataFrame rolling actives, row for row") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sql = key(SqlSurface.rollingActiveUsersSqlText(spark, sf))
+    assert(sql == key(EventAnalytics.rollingActiveUsers(spark, sf)) && sql.nonEmpty)
+  }
+
   test("retention_cohorts: exact vs set-intersection reference; sharded ids") {
     import spark.implicits._
     // real data: equals the per-day user-set intersection, day by day
@@ -446,14 +480,16 @@ class SurfaceSpec extends AnyFunSuite {
     assert(rows((0L, 7L)) == ((3L, 1L)))
     assert(rows((1L, 1L)) == ((2L, 0L)))
     assert(rows((7L, 7L)) == ((1L, 0L)))
-    // serving-side fold over the streaming leaf grain reproduces the
-    // batch query (testdata ids fit one unsharded leaf bitmap)
+    // serving-side fold over the SHARDED streaming leaf grain
+    // reproduces the batch query (VERDICT r10 #1: the leaf key carries
+    // the user-id shard, so the fold is exact for unbounded id domains)
     import graft.streaming.ServingFolds
     val leaves = EventAnalytics.eventDailyLeafFrom(
       graft.sources.Tables.events(spark, sf)).collect().map { r =>
       (r.getAs[Long]("day"), ServingFolds.LeafCell(
         r.getAs[String]("event_type"), r.getAs[Long]("hour"),
-        r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm")))
+        r.getAs[Long]("shard"), r.getAs[Long]("cnt"),
+        r.getAs[Array[Byte]]("users_bm")))
     }
     val folded = ServingFolds.retentionFold(leaves.toSeq)
       .map(r => (r.day, r.offsetDays, r.cohortUsers, r.retainedUsers)).toSet
