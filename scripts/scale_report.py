@@ -54,6 +54,8 @@ _cls(1.0,
      'contamination', 'corpus_coverage', 'dataset_card', 'event_daily_leaf',
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
      'rolling_active_users_sql', 'acquisition_cohorts',
+     'user_churn', 'user_churn_sql', 'audience_overlap', 'uv_theta_daily',
+     'retention_theta', 'theta_calibration',
      'dataset_split', 'dedup_exact', 'doc_quantiles',
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',

@@ -725,6 +725,275 @@ object EventAnalytics {
       |JOIN daily e ON e.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1""".stripMargin
 
+  /** Day-over-day audience churn, EXACT, via the completed bitmap set
+    * algebra (AND / OR / ANDNOT — [[graft.plans.BitmapAndNotCard]] is
+    * the new leg): for each day with data, the distinct actives, how
+    * many were NOT active the previous day (new_users), how many were
+    * (retained_users), and how many of the PREVIOUS day's actives went
+    * missing (churned_users). The classic new/retained/churned
+    * decomposition, answered without an anti-join over the event
+    * volume: once distinct-user state is sharded bitmap data (the
+    * [[retentionCohortsFrom]] relation), churn is one ANDNOT popcount
+    * per (day, shard) row pair.
+    *
+    * Shape: one event-volume shuffle into (day, shard) bitmaps;
+    * everything after runs on the days × shards KiB-row relation —
+    * a shard-aligned self-join at −1 day (full outer: a shard may
+    * exist only yesterday — its users all churned — or only today —
+    * all new), filtered to days that themselves have data, then four
+    * codegen'd popcounts per row. Exact at any id cardinality (the
+    * sharded grain), volume-independent after the scan. */
+  def userChurn(spark: SparkSession, d: String): DataFrame =
+    userChurnFrom(events(spark, d))
+
+  /** [[userChurn]] over any (ts TIMESTAMP, user_id BIGINT) frame —
+    * the multi-shard test face. */
+  def userChurnFrom(ev: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapAndNotCard, bitmapCard, bitmapState}
+    val daily = ev
+      .groupBy(
+        dayKey(col("ts")).as("day"),
+        shiftright(col("user_id"), RetentionShardBits).as("shard"))
+      .agg(bitmapState(
+        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+    val prev = daily.select((col("day") + 1).as("day"), col("shard"),
+      col("bm").as("pbm"))
+    val present = daily.select("day").distinct()
+    // missing side of the full outer ⇒ the empty set, so the popcount
+    // kernels see a zero-length bitmap (all-new / all-churned shards)
+    val empty = lit(Array.emptyByteArray)
+    daily.join(prev, Seq("day", "shard"), "full_outer")
+      .join(broadcast(present), Seq("day"))
+      .select(col("day"), coalesce(col("bm"), empty).as("bm"),
+        coalesce(col("pbm"), empty).as("pbm"))
+      .groupBy("day")
+      .agg(
+        sum(bitmapCard(col("bm"))).as("active_users"),
+        sum(bitmapAndNotCard(col("bm"), col("pbm"))).as("new_users"),
+        sum(bitmapAndCard(col("bm"), col("pbm"))).as("retained_users"),
+        sum(bitmapAndNotCard(col("pbm"), col("bm"))).as("churned_users"))
+  }
+
+  val userChurnSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+      |  FROM events
+      |),
+      |stats AS (
+      |  SELECT d.day,
+      |         count(*) AS active_users,
+      |         count(CASE WHEN p.user_id IS NULL THEN 1 END) AS new_users,
+      |         count(p.user_id) AS retained_users
+      |  FROM daily d
+      |  LEFT JOIN daily p ON p.user_id = d.user_id AND p.day = d.day - 1
+      |  GROUP BY 1
+      |),
+      |chu AS (
+      |  SELECT y.day + 1 AS day, count(*) AS churned_users
+      |  FROM daily y
+      |  LEFT JOIN daily n ON n.user_id = y.user_id AND n.day = y.day + 1
+      |  WHERE n.user_id IS NULL
+      |  GROUP BY 1
+      |)
+      |SELECT s.day, s.active_users, s.new_users, s.retained_users,
+      |       coalesce(c.churned_users, 0) AS churned_users
+      |FROM stats s LEFT JOIN chu c USING (day)""".stripMargin
+
+  /** Pairwise audience overlap between event types per day, EXACT —
+    * |A|, |B|, |A ∩ B|, |A ∪ B| and Jaccard for every same-day type
+    * pair, from the same sharded bitmap relation (segment-overlap /
+    * audience-intersection, the cross-SEGMENT twin of the cross-DAY
+    * [[retentionCohortsFrom]]). Intersections come from a shard-aligned
+    * self-join (shards present in only one side contribute 0); unions
+    * by inclusion–exclusion from the per-type sizes, so no union fold
+    * is needed and type pairs sharing NO shard still report their
+    * disjoint union. Post-scan relations are O(days · types · shards)
+    * KiB rows. */
+  def audienceOverlap(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapCard, bitmapState}
+    val typed = events(spark, d)
+      .groupBy(
+        dayKey(col("ts")).as("day"), col("event_type"),
+        shiftright(col("user_id"), RetentionShardBits).as("shard"))
+      .agg(bitmapState(
+        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+    val sizes = typed.groupBy("day", "event_type")
+      .agg(sum(bitmapCard(col("bm"))).as("users"))
+    val inter = typed.as("a").join(typed.as("b"),
+        col("a.day") === col("b.day") && col("a.shard") === col("b.shard") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.day").as("day"), col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(bitmapAndCard(col("a.bm"), col("b.bm"))).as("common_users"))
+    val base = sizes.as("x").join(sizes.as("y"),
+        col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .select(col("x.day").as("day"), col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"), col("x.users").as("users_a"),
+        col("y.users").as("users_b"))
+    base.join(inter, Seq("day", "type_a", "type_b"), "left")
+      .withColumn("common_users", coalesce(col("common_users"), lit(0L)))
+      .withColumn("union_users",
+        col("users_a") + col("users_b") - col("common_users"))
+      .withColumn("jaccard", col("common_users") / col("union_users"))
+      .select("day", "type_a", "type_b", "users_a", "users_b",
+        "common_users", "union_users", "jaccard")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+      |         event_type, user_id
+      |  FROM events
+      |),
+      |sizes AS (SELECT day, event_type, count(*) AS users FROM daily GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.day, a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS common_users
+      |  FROM daily a
+      |  JOIN daily b ON b.day = a.day AND b.user_id = a.user_id
+      |              AND a.event_type < b.event_type
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT x.day, x.event_type AS type_a, y.event_type AS type_b,
+      |       x.users AS users_a, y.users AS users_b,
+      |       coalesce(i.common_users, 0) AS common_users,
+      |       x.users + y.users - coalesce(i.common_users, 0) AS union_users,
+      |       coalesce(i.common_users, 0)
+      |         / CAST(x.users + y.users - coalesce(i.common_users, 0) AS DOUBLE)
+      |         AS jaccard
+      |FROM sizes x
+      |JOIN sizes y ON y.day = x.day AND x.event_type < y.event_type
+      |LEFT JOIN inter i
+      |  ON i.day = x.day AND i.type_a = x.event_type AND i.type_b = y.event_type""".stripMargin
+
+  /** Relative-error tolerance of the theta accuracy-contract queries:
+    * generous vs the k = 4096 default's ~1.6 % RSE, and trivially met
+    * in exact mode (≤ k distinct ids per group, which holds at every
+    * test SF — estimation mode is pinned by [[thetaCalibration]] and
+    * the randomized PropertiesSpec bounds instead). */
+  private val ThetaTol = 0.15
+
+  /** Daily UV through the theta sketch, as an ACCURACY CONTRACT the
+    * hash gate actually verifies: per day, the exact distinct count
+    * plus a boolean asserting the sketch estimate landed within
+    * [[ThetaTol]] of it. The estimate is deterministic (fixed SplitMix64
+    * hash), so the booleans are stable facts — the oracle's literal
+    * TRUE column makes a drifting estimator a HASH FAILURE, not a
+    * silent degradation. This is the unbounded-domain answer to the
+    * reference's Redis bloom UV (UniqueVisitor_03_Bloom.scala:96-176)
+    * with quantified error, complementing the HLL++ row
+    * (rows-only by design) with a hash-green twin. */
+  def uvThetaDaily(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{thetaCard, thetaState}
+    events(spark, d).groupBy(dayKey(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        thetaCard(thetaState(col("user_id"))).as("est"))
+      .select(col("day"), col("users"),
+        (abs(col("est") - col("users")) <= col("users") * ThetaTol)
+          .as("within_tol"))
+  }
+
+  val uvThetaDailySql: String =
+    """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+      |       count(DISTINCT user_id) AS users,
+      |       TRUE AS within_tol
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Cohort retention through theta-sketch INTERSECTION, as an
+    * accuracy contract against the exact sharded-bitmap path: per
+    * (day, offset), the exact cohort/retained counts (from
+    * [[retentionCohortsFrom]]) plus booleans asserting the sketch
+    * estimates landed within tolerance. One unsharded 32 KiB sketch
+    * per day replaces the per-shard bitmaps — the trade the theta
+    * family exists for: O(k) state at any id cardinality, ~1/√k
+    * error. The retained bound scales with the cohort (the
+    * theta-framework error bound for intersections scales with the
+    * union, which the cohort bounds from below within 2×). */
+  def retentionTheta(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{thetaAndCard, thetaCard, thetaState}
+    val daily = events(spark, d)
+      .groupBy(dayKey(col("ts")).as("day"))
+      .agg(thetaState(col("user_id")).as("sk"))
+    val later = daily.select(col("day").as("rday"), col("sk").as("rsk"))
+    val est = daily
+      .withColumn("offset_days", explode(array(RetentionOffsets.map(lit): _*)))
+      .join(later, col("rday") === col("day") + col("offset_days"), "left")
+      .select(col("day"), col("offset_days"),
+        thetaCard(col("sk")).as("cohort_est"),
+        coalesce(thetaAndCard(col("sk"), col("rsk")), lit(0.0)).as("retained_est"))
+    retentionCohorts(spark, d).drop("retention_rate")
+      .join(est, Seq("day", "offset_days"))
+      .select(col("day"), col("offset_days"), col("cohort_users"),
+        col("retained_users"),
+        (abs(col("cohort_est") - col("cohort_users"))
+          <= col("cohort_users") * ThetaTol).as("cohort_ok"),
+        (abs(col("retained_est") - col("retained_users"))
+          <= (col("cohort_users") + lit(1L)) * ThetaTol).as("retained_ok"))
+  }
+
+  val retentionThetaSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+      |  FROM events
+      |),
+      |cohorts AS (SELECT day, count(*) AS cohort_users FROM daily GROUP BY 1),
+      |offsets AS (SELECT CAST(1 AS BIGINT) AS offset_days
+      |            UNION ALL SELECT CAST(7 AS BIGINT)),
+      |ret AS (
+      |  SELECT a.day, o.offset_days, count(b.user_id) AS retained_users
+      |  FROM daily a
+      |  CROSS JOIN offsets o
+      |  LEFT JOIN daily b
+      |    ON b.user_id = a.user_id AND b.day = a.day + o.offset_days
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r.day, r.offset_days, c.cohort_users, r.retained_users,
+      |       TRUE AS cohort_ok, TRUE AS retained_ok
+      |FROM ret r JOIN cohorts c USING (day)""".stripMargin
+
+  /** Synthetic-cardinality points for [[thetaCalibration]] — sized to
+    * force ESTIMATION mode (n ≫ k = 256) across two decades. */
+  val ThetaCalibrationSizes: Seq[Long] = Seq(2000L, 20000L, 200000L)
+
+  /** Estimation-mode calibration of the whole theta algebra, hash-
+    * checked: two overlapping id ranges A = [0, n) and B = [n/2, 3n/2)
+    * are sketched at a deliberately small k = 256 (all three sizes sit
+    * well past it), and each estimator — card, intersection (= n/2),
+    * union (= 3n/2), difference (= n/2) — must land within its bound
+    * (4/√k for card/union; set-difference/intersection compound two
+    * samples, so 1.6×). Deterministic given the fixed hash, so the
+    * oracle is a literal TRUE table: an estimator regression is a hash
+    * failure. The randomized PropertiesSpec twin establishes the same
+    * bounds over many draws; this pins the fixed-hash instances the
+    * production queries will actually see. */
+  def thetaCalibration(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions._
+    val k = 256
+    val cardTol = 4.0 / math.sqrt(k)
+    val setTol = cardTol * 1.6
+    ThetaCalibrationSizes.map { n =>
+      val half = n / 2
+      val a = spark.range(n).agg(thetaState(col("id"), k).as("sa"))
+      val b = spark.range(half, n + half).agg(thetaState(col("id"), k).as("sb"))
+      a.crossJoin(broadcast(b)).select(
+        lit(n).as("n"),
+        (abs(thetaCard(col("sa")) - n) <= n * cardTol).as("card_ok"),
+        (abs(thetaAndCard(col("sa"), col("sb")) - half) <= half * setTol)
+          .as("inter_ok"),
+        (abs(thetaOrCard(col("sa"), col("sb")) - (n + half))
+          <= (n + half) * cardTol).as("union_ok"),
+        (abs(thetaAndNotCard(col("sa"), col("sb")) - half) <= half * setTol)
+          .as("diff_ok"))
+    }.reduce(_ unionAll _)
+  }
+
+  val thetaCalibrationSql: String =
+    ThetaCalibrationSizes.map(n =>
+      s"SELECT CAST($n AS BIGINT) AS n, TRUE AS card_ok, TRUE AS inter_ok, " +
+        "TRUE AS union_ok, TRUE AS diff_ok")
+      .mkString("\nUNION ALL\n")
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,

@@ -79,6 +79,40 @@ object SqlSurface {
     * its DuckDB oracle). Same plan family as the DataFrame twin: one
     * event-volume shuffle into (day, shard) bitmaps, ≤7-row KiB
     * fanout, per-(serve_day, shard) OR-fold, shard sum. */
+  /** The bitmap churn decomposition in pure SQL — drives the NEW
+    * `bitmap_andnot_card` leg of the set algebra from SQL text,
+    * byte-identical to [[EventAnalytics.userChurn]] (the DataFrame
+    * form shares its DuckDB oracle). `X''` is the empty-set bitmap for
+    * shards present on only one side of the full outer join. */
+  def userChurnSqlText(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d).createOrReplaceTempView("events")
+    val shardBits = EventAnalytics.RetentionShardBits
+    spark.sql(
+      s"""WITH daily AS (
+        |  SELECT CAST(floor(CAST(CAST(ts AS TIMESTAMP_LTZ) AS BIGINT) / 86400) AS BIGINT) AS day,
+        |         shiftright(user_id, $shardBits) AS shard,
+        |         bitmap_state(user_id & ${(1L << shardBits) - 1}) AS bm
+        |  FROM events
+        |  GROUP BY 1, 2
+        |),
+        |prev AS (SELECT day + 1 AS day, shard, bm AS pbm FROM daily),
+        |present AS (SELECT DISTINCT day FROM daily),
+        |j AS (
+        |  SELECT coalesce(d.day, p.day) AS day,
+        |         coalesce(d.bm, X'') AS bm,
+        |         coalesce(p.pbm, X'') AS pbm
+        |  FROM daily d
+        |  FULL OUTER JOIN prev p ON p.day = d.day AND p.shard = d.shard
+        |)
+        |SELECT day,
+        |       sum(bitmap_card(bm)) AS active_users,
+        |       sum(bitmap_andnot_card(bm, pbm)) AS new_users,
+        |       sum(bitmap_and_card(bm, pbm)) AS retained_users,
+        |       sum(bitmap_andnot_card(pbm, bm)) AS churned_users
+        |FROM j JOIN present USING (day)
+        |GROUP BY 1""".stripMargin)
+  }
+
   def rollingActiveUsersSqlText(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d).createOrReplaceTempView("events")
     val shardBits = EventAnalytics.RetentionShardBits

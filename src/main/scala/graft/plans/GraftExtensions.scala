@@ -353,6 +353,25 @@ object GraftBitmaps {
     c
   }
 
+  /** Popcount of the difference of two serialized bitmaps — the exact
+    * |A \ B| of two bitmap_state columns, completing the set algebra
+    * (AND / OR / ANDNOT): bits of `a` beyond `b`'s trimmed length are
+    * by definition not in B and pass through. */
+  def andNotCard(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      c += java.lang.Integer.bitCount((a(i) & ~b(i)) & 0xff)
+      i += 1
+    }
+    while (i < a.length) {
+      c += java.lang.Integer.bitCount(a(i) & 0xff)
+      i += 1
+    }
+    c
+  }
+
   /** OR `b` into accumulator `acc`, returning the accumulator (grown
     * only when `b` is longer — amortized zero allocation across an
     * OR-fold whose inputs share a capacity ceiling). The aggregation-
@@ -431,6 +450,36 @@ case class BitmapOrCard(left: Expression, right: Expression)
       (a, b) => s"graft.plans.GraftBitmaps.orCard($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapOrCard =
+    copy(left = l, right = r)
+}
+
+/** Exact difference cardinality of two [[BitmapState]] columns —
+  * `bitmap_andnot_card(a, b)` ≡ `count(DISTINCT id in A but not B)`,
+  * the third leg of the set algebra (with [[BitmapAndCard]] /
+  * [[BitmapOrCard]]): churn ("yesterday's actives missing today") and
+  * acquisition ("today's actives absent yesterday") are one ANDNOT
+  * popcount over KiB-sized bitmap rows instead of an anti-join over
+  * the event volume. Codegen'd single static call. */
+case class BitmapAndNotCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_andnot_card"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_andnot_card requires (BINARY, BINARY) bitmap bytes, " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftBitmaps.andNotCard(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.GraftBitmaps.andNotCard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndNotCard =
     copy(left = l, right = r)
 }
 
@@ -787,6 +836,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bitmap_or_card(a, b) — exact |A ∪ B| of two bitmap_state columns
     inject2(ext, "bitmap_or_card", classOf[BitmapOrCard].getName,
       BitmapOrCard(_, _))
+    // bitmap_andnot_card(a, b) — exact |A \ B| of two bitmap_state columns
+    inject2(ext, "bitmap_andnot_card", classOf[BitmapAndNotCard].getName,
+      BitmapAndNotCard(_, _))
+    // theta sketch family — approximate unbounded-domain set algebra
+    // (ThetaSketch.scala): theta_state(id [, k]) builds, theta_merge
+    // folds, theta_card / *_and / *_or / *_andnot estimate
+    ext.injectFunction((
+      new FunctionIdentifier("theta_state"),
+      new ExpressionInfo(classOf[ThetaState].getName, "theta_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(id) => ThetaState(id)
+        case Seq(id, Literal(k: Int, IntegerType)) => ThetaState(id, k)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`theta_state`",
+            "expectedNum" -> "1 (id) or 2 (id, INT literal sample budget)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_merge"),
+      new ExpressionInfo(classOf[ThetaMerge].getName, "theta_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => ThetaMerge(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`theta_merge`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_card"),
+      new ExpressionInfo(classOf[ThetaCard].getName, "theta_card"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => ThetaCard(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`theta_card`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    inject2(ext, "theta_and_card", classOf[ThetaAndCard].getName,
+      ThetaAndCard(_, _))
+    inject2(ext, "theta_or_card", classOf[ThetaOrCard].getName,
+      ThetaOrCard(_, _))
+    inject2(ext, "theta_andnot_card", classOf[ThetaAndNotCard].getName,
+      ThetaAndNotCard(_, _))
     // freq_sketch(token [, k]) — counter budget must be a literal so the
     // buffer bound is fixed at plan time
     ext.injectFunction((
@@ -845,9 +941,42 @@ object GraftFunctions {
   def bitmapOrCard(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_or_card", a, b)
 
+  /** Column wrapper for [[BitmapAndNotCard]] — exact difference count. */
+  def bitmapAndNotCard(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_andnot_card", a, b)
+
   /** Column wrapper for [[BitmapMergeCard]] — exact union count. */
   def bitmapMergeCard(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_merge_card", bytes)
+
+  /** Column wrapper for [[ThetaState]] — the theta-sketch emitter. */
+  def thetaState(id: Column): Column =
+    org.apache.spark.sql.functions.call_function("theta_state", id)
+
+  /** [[thetaState]] with an explicit sample budget k. */
+  def thetaState(id: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("theta_state", id,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Column wrapper for [[ThetaMerge]] — union-fold of sketches. */
+  def thetaMerge(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("theta_merge", sk)
+
+  /** Column wrapper for [[ThetaCard]] — distinct estimate. */
+  def thetaCard(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("theta_card", sk)
+
+  /** Column wrapper for [[ThetaAndCard]] — |A ∩ B| estimate. */
+  def thetaAndCard(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("theta_and_card", a, b)
+
+  /** Column wrapper for [[ThetaOrCard]] — |A ∪ B| estimate. */
+  def thetaOrCard(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("theta_or_card", a, b)
+
+  /** Column wrapper for [[ThetaAndNotCard]] — |A \ B| estimate. */
+  def thetaAndNotCard(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("theta_andnot_card", a, b)
 
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =

@@ -119,6 +119,43 @@ object ServingFolds {
     }
   }
 
+  /** A folded day-over-day churn row: of `activeUsers` distinct users
+    * on `day`, `newUsers` were absent the previous day and
+    * `retainedUsers` present; `churnedUsers` of the PREVIOUS day's
+    * actives went missing. */
+  final case class ChurnRow(day: Long, activeUsers: Long, newUsers: Long,
+                            retainedUsers: Long, churnedUsers: Long)
+
+  /** Day-over-day churn decomposition from DAY-KEYED leaves — the
+    * serving-side twin of [[graft.operators.EventAnalytics.userChurn]],
+    * riding the ANDNOT leg of the bitmap algebra
+    * ([[GraftBitmaps.andNotCard]]): per day with data, intersect/
+    * subtract its per-shard active sets against the previous day's,
+    * shard by shard (a shard present on only one side is all-new or
+    * all-churned — the missing side is the empty set). Exact at any id
+    * cardinality, over whatever days the retention window holds; a day
+    * whose predecessor has aged out reports all actives as new and no
+    * churn, exactly like the batch query's first day. */
+  def churnFold(leaves: Iterable[(Long, LeafCell)]): Seq[ChurnRow] = {
+    val byDay = dayShardBitmaps(leaves)
+    byDay.toSeq.map { case (d, shards) =>
+      val prev = byDay.getOrElse(d - 1, Map.empty[Long, Array[Byte]])
+      val active = shards.valuesIterator.map(GraftBitmaps.card).sum
+      val fresh = shards.iterator.map { case (s, bm) =>
+        prev.get(s).map(GraftBitmaps.andNotCard(bm, _))
+          .getOrElse(GraftBitmaps.card(bm))
+      }.sum
+      val retained = shards.iterator.map { case (s, bm) =>
+        prev.get(s).map(GraftBitmaps.andCard(bm, _)).getOrElse(0L)
+      }.sum
+      val churned = prev.iterator.map { case (s, pbm) =>
+        shards.get(s).map(GraftBitmaps.andNotCard(pbm, _))
+          .getOrElse(GraftBitmaps.card(pbm))
+      }.sum
+      ChurnRow(d, active, fresh, retained, churned)
+    }
+  }
+
   /** A folded rolling-actives row: `activeUsers` distinct users were
     * active in the trailing `daysCovered`-days-with-data window ending
     * at `day` (window span = windowDays; daysCovered < windowDays at

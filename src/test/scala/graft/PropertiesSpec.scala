@@ -124,6 +124,8 @@ class PropertiesSpec extends AnyFunSuite {
       val (a, c) = (randSet(), randSet())
       assert(graft.plans.GraftBitmaps.andCard(bs(a), bs(c)) == (a & c).size.toLong)
       assert(graft.plans.GraftBitmaps.orCard(bs(a), bs(c)) == (a | c).size.toLong)
+      assert(graft.plans.GraftBitmaps.andNotCard(bs(a), bs(c)) == (a -- c).size.toLong)
+      assert(graft.plans.GraftBitmaps.andNotCard(bs(c), bs(a)) == (c -- a).size.toLong)
       assert(graft.plans.GraftBitmaps.card(bs(a)) == a.size.toLong)
       assert(graft.plans.GraftBitmaps.card(
         graft.plans.GraftBitmaps.orInto(
@@ -143,6 +145,45 @@ class PropertiesSpec extends AnyFunSuite {
       b2 = agg.update(b2, org.apache.spark.sql.catalyst.InternalRow(bs(c2)))
       val merged = agg.merge(agg.deserialize(agg.serialize(b1)), b2)
       assert(agg.eval(merged) == (a | c).size.toLong)
+    }
+  }
+
+  test("theta sketch algebra: error bounds and merge determinism, random sets") {
+    import graft.plans.GraftTheta
+    val rnd = new Random(11)
+    val k = 512
+    val tol = 4.0 / math.sqrt(k)      // card/union bound, ~4 sigma
+    val setTol = tol * 1.6            // set ops compound two samples
+    def sketch(ids: Iterable[Long]): Array[Byte] = {
+      val b = new GraftTheta.Buf(k)
+      ids.foreach(b.insertId)
+      GraftTheta.serialize(b)
+    }
+    (1 to 20).foreach { _ =>
+      // disjoint tagged pools give KNOWN intersection/difference truth
+      def draw(n: Int, tag: Long) =
+        Set.fill(n)((tag << 40) | rnd.nextLong(1L << 39))
+      val shared = draw(8000 + rnd.nextInt(8000), 1)
+      val aOnly = draw(8000 + rnd.nextInt(8000), 2)
+      val cOnly = draw(8000 + rnd.nextInt(8000), 3)
+      val a = shared ++ aOnly
+      val c = shared ++ cOnly
+      val u = (a ++ c).size.toDouble
+      val (sa, sc) = (sketch(a), sketch(c))
+      assert(math.abs(GraftTheta.card(sa) - a.size) <= a.size * tol)
+      assert(math.abs(GraftTheta.orCard(sa, sc) - u) <= u * tol)
+      // intersection/difference error scales with the UNION (theta
+      // framework: both sides' samples thin at the same rate)
+      assert(math.abs(GraftTheta.andCard(sa, sc) - shared.size) <= u * setTol)
+      assert(math.abs(GraftTheta.andNotCard(sa, sc) - aOnly.size) <= u * setTol)
+      // KMV state is order- and partition-independent: merging
+      // arbitrary partials is BYTE-identical to the one-shot sketch
+      val parts = a.toSeq.grouped(math.max(1, a.size / 3)).map(sketch).toSeq
+      val merged = parts.reduce(GraftTheta.union)
+      assert(java.util.Arrays.equals(merged, sa))
+      // exact mode: below k the estimate IS the count
+      val small = draw(k / 2, 4)
+      assert(GraftTheta.card(sketch(small)) == small.size.toDouble)
     }
   }
 }
