@@ -55,7 +55,8 @@ _cls(1.0,
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
      'rolling_active_users_sql', 'acquisition_cohorts',
      'user_churn', 'user_churn_sql', 'audience_overlap', 'uv_theta_daily',
-     'retention_theta', 'theta_calibration',
+     'retention_theta', 'theta_calibration', 'value_quantiles_daily',
+     'value_quantiles_by_type', 'qsample_calibration',
      'dataset_split', 'dedup_exact', 'doc_quantiles',
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',

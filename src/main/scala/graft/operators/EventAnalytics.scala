@@ -994,6 +994,111 @@ object EventAnalytics {
         "TRUE AS union_ok, TRUE AS diff_ok")
       .mkString("\nUNION ALL\n")
 
+  /** Daily value quantiles through the bottom-k sample
+    * ([[graft.plans.QSampleState]] — mergeable quantile state as data),
+    * as an accuracy contract: per day, the exact row count plus
+    * booleans asserting each sample quantile landed within
+    * [[ThetaTol]]·(p90−p10) of the EXACT Spark `percentile`, and the
+    * KMV row-count estimate within [[ThetaTol]]. Only the count and
+    * the booleans are emitted — no cross-engine float comparison — so
+    * the oracle's literal TRUE columns make a drifting estimator a
+    * hash failure. In exact mode (≤ k rows/day, every test SF) the
+    * sample quantile EQUALS the exact percentile by construction;
+    * estimation mode is pinned by [[valueQuantilesByType]] at sf0.1
+    * and [[qsampleCalibration]]. */
+  def valueQuantilesDaily(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{qsampleCount, qsampleQuantile, qsampleState}
+    val sk = qsampleState(col("event_id"), col("value"))
+    events(spark, d).groupBy(dayKey(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.10, 0.25, 0.50, 0.90))").as("ex"),
+        sk.as("sk"))
+      .withColumn("spread", col("ex")(3) - col("ex")(0) + lit(1e-9))
+      .select(col("day"), col("n"),
+        (abs(qsampleQuantile(col("sk"), 0.25) - col("ex")(1))
+          <= col("spread") * ThetaTol).as("p25_ok"),
+        (abs(qsampleQuantile(col("sk"), 0.50) - col("ex")(2))
+          <= col("spread") * ThetaTol).as("p50_ok"),
+        (abs(qsampleQuantile(col("sk"), 0.90) - col("ex")(3))
+          <= col("spread") * ThetaTol).as("p90_ok"),
+        (abs(qsampleCount(col("sk")) - col("n"))
+          <= col("n") * ThetaTol).as("count_ok"))
+  }
+
+  val valueQuantilesDailySql: String =
+    """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+      |       count(*) AS n,
+      |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok,
+      |       TRUE AS count_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Per-type value quantiles by FOLDING per-(type, day) samples with
+    * [[graft.plans.QSampleMerge]] — the serving-fold move for
+    * non-decomposable quantiles, as an accuracy contract. At sf0.1 the
+    * per-type row counts (~20k) exceed k = 4096, so this query runs the
+    * sample in genuine ESTIMATION mode against the exact percentile
+    * computed from the raw rows. Two-stage on purpose: the leaf grain
+    * is what a retention-partitioned streaming face would maintain;
+    * the type grain is the fold a serving layer would run. */
+  def valueQuantilesByType(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{qsampleCount, qsampleMerge, qsampleQuantile, qsampleState}
+    val leaves = events(spark, d)
+      .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+      .agg(qsampleState(col("event_id"), col("value")).as("sk"),
+        count(lit(1)).as("cnt"))
+    val folded = leaves.groupBy("event_type")
+      .agg(qsampleMerge(col("sk")).as("sk"), sum(col("cnt")).as("n"))
+    val exact = events(spark, d).groupBy("event_type")
+      .agg(expr("percentile(value, array(0.10, 0.50, 0.90))").as("ex"))
+    folded.join(broadcast(exact), Seq("event_type"))
+      .withColumn("spread", col("ex")(2) - col("ex")(0) + lit(1e-9))
+      .select(col("event_type"), col("n"),
+        (abs(qsampleQuantile(col("sk"), 0.50) - col("ex")(1))
+          <= col("spread") * ThetaTol).as("p50_ok"),
+        (abs(qsampleCount(col("sk")) - col("n"))
+          <= col("n") * ThetaTol).as("count_ok"))
+  }
+
+  val valueQuantilesByTypeSql: String =
+    """SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS count_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Synthetic sizes for [[qsampleCalibration]] — the larger two force
+    * estimation mode past k = 1024. */
+  val QSampleCalibrationSizes: Seq[Long] = Seq(500L, 50000L, 500000L)
+
+  /** Estimation-mode calibration of the quantile sample on a KNOWN
+    * distribution (uniform 0..n−1 via spark.range, value = id): each
+    * quantile estimate must land within its ~4σ rank-error bound
+    * (σ = √(q(1−q)/k)), and the KMV count within 4/√k. Deterministic
+    * fixed-hash instances, literal-TRUE oracle — same contract shape
+    * as [[thetaCalibration]]. */
+  def qsampleCalibration(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{qsampleCount, qsampleQuantile, qsampleState}
+    val k = 1024
+    def rankTol(q: Double) = 4.0 * math.sqrt(q * (1 - q) / k)
+    val countTol = 4.0 / math.sqrt(k)
+    QSampleCalibrationSizes.map { n =>
+      spark.range(n)
+        .agg(qsampleState(col("id"), col("id"), k).as("sk"))
+        .select(
+          lit(n).as("n"),
+          (abs(qsampleQuantile(col("sk"), 0.10) - 0.10 * (n - 1))
+            <= lit(n.toDouble * rankTol(0.10))).as("p10_ok"),
+          (abs(qsampleQuantile(col("sk"), 0.50) - 0.50 * (n - 1))
+            <= lit(n.toDouble * rankTol(0.50))).as("p50_ok"),
+          (abs(qsampleQuantile(col("sk"), 0.90) - 0.90 * (n - 1))
+            <= lit(n.toDouble * rankTol(0.90))).as("p90_ok"),
+          (abs(qsampleCount(col("sk")) - n) <= lit(n * countTol)).as("count_ok"))
+    }.reduce(_ unionAll _)
+  }
+
+  val qsampleCalibrationSql: String =
+    QSampleCalibrationSizes.map(n =>
+      s"SELECT CAST($n AS BIGINT) AS n, TRUE AS p10_ok, TRUE AS p50_ok, " +
+        "TRUE AS p90_ok, TRUE AS count_ok")
+      .mkString("\nUNION ALL\n")
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,

@@ -883,6 +883,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ThetaOrCard(_, _))
     inject2(ext, "theta_andnot_card", classOf[ThetaAndNotCard].getName,
       ThetaAndNotCard(_, _))
+    // bottom-k quantile-sample family — mergeable quantiles as data
+    // (QuantileSample.scala): qsample_state(id, value [, k]) builds,
+    // qsample_merge folds, qsample_quantile / qsample_count estimate
+    ext.injectFunction((
+      new FunctionIdentifier("qsample_state"),
+      new ExpressionInfo(classOf[QSampleState].getName, "qsample_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(id, v) => QSampleState(id, v)
+        case Seq(id, v, Literal(k: Int, IntegerType)) => QSampleState(id, v, k)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`qsample_state`",
+            "expectedNum" -> "2 (id, value) or 3 (id, value, INT literal budget)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("qsample_merge"),
+      new ExpressionInfo(classOf[QSampleMerge].getName, "qsample_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => QSampleMerge(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`qsample_merge`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    inject2(ext, "qsample_quantile", classOf[QSampleQuantile].getName,
+      QSampleQuantile(_, _))
+    ext.injectFunction((
+      new FunctionIdentifier("qsample_count"),
+      new ExpressionInfo(classOf[QSampleCount].getName, "qsample_count"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => QSampleCount(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`qsample_count`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     // freq_sketch(token [, k]) — counter budget must be a literal so the
     // buffer bound is fixed at plan time
     ext.injectFunction((
@@ -977,6 +1017,28 @@ object GraftFunctions {
   /** Column wrapper for [[ThetaAndNotCard]] — |A \ B| estimate. */
   def thetaAndNotCard(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("theta_andnot_card", a, b)
+
+  /** Column wrapper for [[QSampleState]] — bottom-k quantile sample. */
+  def qsampleState(id: Column, value: Column): Column =
+    org.apache.spark.sql.functions.call_function("qsample_state", id, value)
+
+  /** [[qsampleState]] with an explicit sample budget k. */
+  def qsampleState(id: Column, value: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("qsample_state", id, value,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Column wrapper for [[QSampleMerge]] — union-fold of samples. */
+  def qsampleMerge(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("qsample_merge", sk)
+
+  /** Column wrapper for [[QSampleQuantile]] — sample quantile. */
+  def qsampleQuantile(sk: Column, q: Double): Column =
+    org.apache.spark.sql.functions.call_function("qsample_quantile", sk,
+      org.apache.spark.sql.functions.lit(q))
+
+  /** Column wrapper for [[QSampleCount]] — KMV row-count estimate. */
+  def qsampleCount(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("qsample_count", sk)
 
   /** Column wrapper for [[FreqSketch]] — MG heavy-hitter candidates. */
   def freqSketch(tok: Column, k: Int): Column =

@@ -38,6 +38,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("user_churn / audience_overlap: joins run on reused bitmap relations " +
+    "— one event-volume aggregation, no cartesian") {
+    Seq("user_churn", "audience_overlap").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      // daily/typed bitmap relation appears in 3-4 branches of the DAG
+      // but is BUILT once: the identical scan+partial-agg+exchange
+      // subtree must be reused, not re-scanned per consumer
+      assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+        s"$name re-scans the event volume per join branch:\n$plan")
+    }
+  }
+
   test("chunk_documents is one codegen scan — no shuffle, no join, no window") {
     val df = SparkEntry.queries("chunk_documents")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -186,4 +186,65 @@ class PropertiesSpec extends AnyFunSuite {
       assert(GraftTheta.card(sketch(small)) == small.size.toDouble)
     }
   }
+
+  test("bottom-k quantile sample: rank-error bounds and merge determinism") {
+    import graft.plans.GraftQSample
+    val rnd = new Random(13)
+    val k = 512
+    def rankTol(q: Double) = 4.0 * math.sqrt(q * (1 - q) / k)
+    def sample(rows: Seq[(Long, Double)]): Array[Byte] = {
+      val b = new GraftQSample.Buf(k)
+      rows.foreach { case (id, v) => b.insertId(id, v) }
+      GraftQSample.serialize(b)
+    }
+    // Spark-percentile interpolation over a sorted array (the kernel's
+    // exact-mode contract)
+    def exactQ(vs: Array[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = q * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) s(lo) else s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    (1 to 20).foreach { round =>
+      val n = 20000 + rnd.nextInt(30000)
+      // a lumpy, skewed distribution — exp of a gaussian
+      val rows = (0 until n).map(i =>
+        ((round.toLong << 32) + i, math.exp(rnd.nextGaussian())))
+      val vs = rows.map(_._2).toArray
+      val sk = sample(rows)
+      Seq(0.1, 0.5, 0.9).foreach { q =>
+        val est = GraftQSample.quantile(sk, q).asInstanceOf[Double]
+        // translate the rank bound to value space via the true quantile
+        // at rank ± tol — the honest bound for ANY distribution
+        val loB = exactQ(vs, math.max(0, q - rankTol(q)))
+        val hiB = exactQ(vs, math.min(1, q + rankTol(q)))
+        assert(est >= loB && est <= hiB,
+          s"q=$q est=$est outside [$loB, $hiB] n=$n")
+      }
+      // KMV count bound
+      assert(math.abs(GraftQSample.countEstimate(sk) - n) <= n * (4.0 / math.sqrt(k)))
+      // merge of arbitrary partials is BYTE-identical to one-shot
+      val parts = rows.grouped(math.max(1, n / 4)).map(sample).toSeq
+      val merged = parts.reduce { (x, y) =>
+        val bx = GraftQSample.deserialize(x)
+        val by = GraftQSample.deserialize(y)
+        val hs = new Array[Long](by.map.size)
+        val vv = new Array[Double](by.map.size)
+        val it = by.map.entrySet().iterator()
+        var i = 0
+        while (it.hasNext) { val e = it.next(); hs(i) = e.getKey; vv(i) = e.getValue; i += 1 }
+        bx.mergeIn(by.theta, hs, vv)
+        GraftQSample.serialize(bx)
+      }
+      assert(java.util.Arrays.equals(merged, sk))
+      // exact mode: a small group's sample quantile IS the percentile
+      val smallRows = rows.take(k / 2)
+      val smallSk = sample(smallRows)
+      Seq(0.25, 0.5, 0.75).foreach { q =>
+        assert(GraftQSample.quantile(smallSk, q) ==
+          exactQ(smallRows.map(_._2).toArray, q))
+      }
+    }
+  }
 }

@@ -652,4 +652,54 @@ class SurfaceSpec extends AnyFunSuite {
     assert(pair.getDouble(0) == 1.0 && pair.getDouble(1) == 3.0 &&
       pair.getDouble(2) == 1.0)
   }
+
+  test("qsample: exact-mode == Spark percentile on real data; fold == one-shot; SQL") {
+    import graft.plans.GraftFunctions._
+    // exact mode on real data: every day is below k, so the sample
+    // quantile must EQUAL the exact percentile (same interpolation)
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(EventAnalytics.dayKey(col("ts")).as("day"))
+      .agg(qsampleQuantile(qsampleState(col("event_id"), col("value")), 0.5)
+          .as("est"),
+        expr("percentile(value, 0.5)").as("ex"),
+        qsampleCount(qsampleState(col("event_id"), col("value"))).as("cn"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(daily.nonEmpty)
+    daily.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"exact-mode sample p50 ${r.getDouble(1)} != percentile ${r.getDouble(2)}")
+      assert(r.getDouble(3) == r.getLong(4).toDouble)
+    }
+    // two-stage fold (leaf samples → qsample_merge) == one-shot sample
+    val leaves = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), EventAnalytics.dayKey(col("ts")).as("day"))
+      .agg(qsampleState(col("event_id"), col("value")).as("sk"))
+      .groupBy("event_type")
+      .agg(qsampleQuantile(qsampleMerge(col("sk")), 0.5).as("est"))
+    val oneShot = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(qsampleQuantile(qsampleState(col("event_id"), col("value")), 0.5)
+        .as("est"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m(leaves) == m(oneShot) && m(leaves).nonEmpty)
+    // the registered contract queries: every boolean TRUE
+    val vq = EventAnalytics.valueQuantilesDaily(spark, sf).collect()
+    assert(vq.nonEmpty && vq.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)))
+    val vt = EventAnalytics.valueQuantilesByType(spark, sf).collect()
+    assert(vt.nonEmpty && vt.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    val cal = EventAnalytics.qsampleCalibration(spark, sf).collect()
+    assert(cal.length == EventAnalytics.QSampleCalibrationSizes.size &&
+      cal.forall(r => r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) &&
+        r.getBoolean(4)))
+    // SQL injection end-to-end
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .createOrReplaceTempView("qs_t")
+    assert(spark.sql(
+      "SELECT qsample_quantile(qsample_state(id, v), CAST(0.5 AS DOUBLE)) AS m FROM qs_t")
+      .collect().head.getDouble(0) == 20.0)
+  }
 }
