@@ -1063,6 +1063,29 @@ object EventAnalytics {
     """SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS count_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** SKETCH daily leaf grain — the approximate-family twin of
+    * [[eventDailyLeafFrom]]: one row per day carrying the theta sketch
+    * of the day's user ids (O(k) bytes at ANY id cardinality — no
+    * shard bookkeeping) and the bottom-k sample of the day's values
+    * (mergeable quantile state), plus the exact row count.
+    * Day-decomposable by construction, so it rides
+    * [[graft.streaming.StreamingJobs.snapshotUpdatePartitioned]]
+    * unchanged; every cross-day question — retention intersections,
+    * rolling-window actives, window quantiles — folds on the serving
+    * side ([[graft.streaming.ServingFolds]] theta/quantile folds).
+    * Because both sketches are order- and partition-independent
+    * (KMV determinism), the streamed leaf state is BYTE-identical to
+    * the batch-computed leaf at convergence — pinned by
+    * StreamingAnalyticsParitySpec. */
+  def sketchDailyLeafFrom(e: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{qsampleState, thetaState}
+    e.withColumn("day", dayKey(col("ts")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"),
+        thetaState(col("user_id")).as("users_sk"),
+        qsampleState(col("event_id"), col("value")).as("values_sk"))
+  }
+
   /** Synthetic sizes for [[qsampleCalibration]] — the larger two force
     * estimation mode past k = 1024. */
   val QSampleCalibrationSizes: Seq[Long] = Seq(500L, 50000L, 500000L)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.plans.GraftBitmaps
+import graft.plans.{GraftBitmaps, GraftQSample, GraftTheta}
 
 /** Serving-side folds over retention-partitioned LEAF rows — the other
   * half of the stage split [[StreamingJobs.snapshotUpdatePartitioned]]
@@ -182,6 +182,107 @@ object ServingFolds {
             .foldLeft(Array.emptyByteArray)(GraftBitmaps.orInto))
         }.sum
       RollingActiveRow(d, window.size.toLong, active)
+    }.toSeq
+  }
+
+  // ---- approximate-family folds over the SKETCH daily leaf grain ----
+  // ([[graft.operators.EventAnalytics.sketchDailyLeafFrom]]: one row
+  // per day with a theta user-sketch and a bottom-k value sample).
+  // Same stage split as the bitmap folds, but the leaf is O(k) bytes
+  // at ANY id cardinality — no shard bookkeeping; estimates carry the
+  // families' ~1/√k error contracts.
+
+  /** One sketch-grain leaf: the day's exact row count, theta sketch of
+    * its user ids, bottom-k sample of its values. */
+  final case class SketchCell(cnt: Long, usersSk: Array[Byte],
+                              valuesSk: Array[Byte])
+
+  /** Merge duplicate-day fragments (a serving store that appends
+    * rather than upserts) into one cell per day — both sketches union
+    * deterministically. */
+  private def byDaySketch(leaves: Iterable[(Long, SketchCell)])
+      : Map[Long, SketchCell] =
+    leaves.groupBy(_._1).map { case (d, cs) =>
+      d -> cs.map(_._2).reduce { (a, b) =>
+        SketchCell(a.cnt + b.cnt, GraftTheta.union(a.usersSk, b.usersSk),
+          mergeSamples(a.valuesSk, b.valuesSk))
+      }
+    }
+
+  private def mergeSamples(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ba = GraftQSample.deserialize(a)
+    val bb = GraftQSample.deserialize(b)
+    val n = bb.map.size
+    val hs = new Array[Long](n)
+    val vs = new Array[Double](n)
+    val it = bb.map.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { val e = it.next(); hs(i) = e.getKey; vs(i) = e.getValue; i += 1 }
+    ba.mergeIn(bb.theta, hs, vs)
+    GraftQSample.serialize(ba)
+  }
+
+  /** A theta cohort-retention row: ESTIMATED cohort size and retained
+    * count at `day` + `offsetDays` (exact while days stay below the
+    * sketch budget k). */
+  final case class ThetaRetentionRow(day: Long, offsetDays: Long,
+                                     cohortEst: Double, retainedEst: Double)
+
+  /** Cohort retention from sketch leaves — the approximate serving
+    * twin of [[retentionFold]]: one theta intersection per day pair
+    * instead of per-shard bitmap ANDs. */
+  def retentionFoldTheta(leaves: Iterable[(Long, SketchCell)],
+                         offsets: Seq[Long] =
+                           graft.operators.EventAnalytics.RetentionOffsets)
+      : Seq[ThetaRetentionRow] = {
+    val byDay = byDaySketch(leaves)
+    for {
+      (d, cell) <- byDay.toSeq
+      k <- offsets
+    } yield ThetaRetentionRow(d, k, GraftTheta.card(cell.usersSk),
+      byDay.get(d + k).map(o => GraftTheta.andCard(cell.usersSk, o.usersSk))
+        .getOrElse(0.0))
+  }
+
+  /** A theta rolling-actives row — [[RollingActiveRow]]'s estimate
+    * twin. */
+  final case class ThetaRollingRow(day: Long, daysCovered: Long,
+                                   activeEst: Double)
+
+  /** Trailing-window distinct actives from sketch leaves — union-fold
+    * the window's theta sketches, estimate once. */
+  def rollingActiveFoldTheta(leaves: Iterable[(Long, SketchCell)],
+                             windowDays: Int =
+                               graft.operators.EventAnalytics.RollingActiveWindowDays)
+      : Seq[ThetaRollingRow] = {
+    val byDay = byDaySketch(leaves)
+    byDay.keysIterator.map { d =>
+      val window = ((d - windowDays + 1) to d).filter(byDay.contains)
+      val merged = window.map(byDay(_).usersSk).reduce(GraftTheta.union)
+      ThetaRollingRow(d, window.size.toLong, GraftTheta.card(merged))
+    }.toSeq
+  }
+
+  /** A folded window-quantile row: estimated quantile values (exact
+    * while the window's rows stay below the sample budget k) plus the
+    * exact row count carried by the leaves. */
+  final case class QuantileRow(day: Long, daysCovered: Long, cnt: Long,
+                               quantiles: Seq[Double])
+
+  /** Trailing-window value quantiles from sketch leaves — quantiles
+    * don't fold, their SAMPLES do: union the window's bottom-k samples
+    * and read the requested quantiles off the merged sample. The
+    * serving-side answer to "p50/p90 latency over the last 7 days"
+    * without re-scanning any events. */
+  def quantileFold(leaves: Iterable[(Long, SketchCell)],
+                   qs: Seq[Double],
+                   windowDays: Int = 1): Seq[QuantileRow] = {
+    val byDay = byDaySketch(leaves)
+    byDay.keysIterator.map { d =>
+      val window = ((d - windowDays + 1) to d).filter(byDay.contains)
+      val merged = window.map(byDay(_).valuesSk).reduce(mergeSamples)
+      QuantileRow(d, window.size.toLong, window.map(byDay(_).cnt).sum,
+        qs.map(q => GraftQSample.quantile(merged, q).asInstanceOf[Double]))
     }.toSeq
   }
 }

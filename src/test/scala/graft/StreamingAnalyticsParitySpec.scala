@@ -155,4 +155,76 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(state.asScala.toMap == batch && batch.size == 1000) // 1 row per sf0.001 event
   }
+
+  test("sketch leaf face: streamed theta/qsample state is byte-identical to " +
+    "batch; serving folds answer retention and window quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    val leaves = new java.util.concurrent.ConcurrentHashMap[Long, ServingFolds.SketchCell]()
+    val stream = streamedEvents(input)
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val q = StreamingJobs.snapshotUpdatePartitioned(
+      stream, "day", EventAnalytics.sketchDailyLeafFrom) { (res, touched) =>
+      val days = touched.map(_.asInstanceOf[Long]).toSet
+      leaves.keySet().removeIf(days.contains(_))
+      res.collect().foreach { r =>
+        leaves.put(r.getAs[Long]("day"), ServingFolds.SketchCell(
+          r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk"),
+          r.getAs[Array[Byte]]("values_sk")))
+      }
+    }
+    try {
+      eventChunks(3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    // KMV determinism end-to-end: the leaf state accumulated through
+    // ARBITRARY micro-batch splits is byte-identical to the one-shot
+    // batch leaf — the property that makes sketch-as-column safe to
+    // stream (no order- or partition-dependence to drift)
+    val batchLeaves = EventAnalytics.sketchDailyLeafFrom(
+      graft.sources.Tables.events(spark, sf)).collect().map { r =>
+      r.getAs[Long]("day") -> ServingFolds.SketchCell(
+        r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk"),
+        r.getAs[Array[Byte]]("values_sk"))
+    }.toMap
+    val streamed = leaves.asScala.toMap
+    assert(streamed.keySet == batchLeaves.keySet && streamed.nonEmpty)
+    streamed.foreach { case (d, c) =>
+      assert(c.cnt == batchLeaves(d).cnt)
+      assert(java.util.Arrays.equals(c.usersSk, batchLeaves(d).usersSk),
+        s"day $d users_sk diverged from batch")
+      assert(java.util.Arrays.equals(c.valuesSk, batchLeaves(d).valuesSk),
+        s"day $d values_sk diverged from batch")
+    }
+    // retention fold: exact mode at test SF, so the theta estimates
+    // EQUAL the exact sharded-bitmap retention counts
+    val exact = EventAnalytics.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val foldRet = ServingFolds.retentionFoldTheta(streamed.toSeq)
+      .map(r => (r.day, r.offsetDays) -> (r.cohortEst, r.retainedEst)).toMap
+    assert(foldRet.keySet == exact.keySet)
+    foldRet.foreach { case (k, (c, r)) =>
+      assert(c == exact(k)._1.toDouble && r == exact(k)._2.toDouble,
+        s"$k: theta fold ($c, $r) != exact ${exact(k)}")
+    }
+    // rolling-actives fold vs the exact batch WAU (exact mode again)
+    val wau = EventAnalytics.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2).toDouble))).toMap
+    val foldWau = ServingFolds.rollingActiveFoldTheta(streamed.toSeq)
+      .map(r => r.day -> ((r.daysCovered, r.activeEst))).toMap
+    assert(foldWau == wau && wau.nonEmpty)
+    // window-quantile fold (1-day window): p50 equals the exact batch
+    // percentile (exact mode: every day below the sample budget)
+    val batchP50 = graft.sources.Tables.events(spark, sf)
+      .groupBy(EventAnalytics.dayKey(col("ts")).as("day"))
+      .agg(expr("percentile(value, 0.5)").as("p50"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(1)))).toMap
+    val foldQ = ServingFolds.quantileFold(streamed.toSeq, Seq(0.5))
+      .map(r => r.day -> ((r.cnt, r.quantiles.head))).toMap
+    assert(foldQ == batchP50 && foldQ.nonEmpty)
+  }
 }
