@@ -1122,6 +1122,78 @@ object EventAnalytics {
         "TRUE AS p90_ok, TRUE AS count_ok")
       .mkString("\nUNION ALL\n")
 
+  /** Distinct-state planning report — the [[TextOps.jaccardPlanReport]]
+    * companion for the sketch-as-column trio: MEASURE the actual
+    * serialized bytes of the exact sharded-bitmap grain, the theta
+    * grain, and the quantile-sample grain over this events table, and
+    * recommend a route. The oracle computes the same numbers from
+    * size ARITHMETIC alone (bitmap bytes = ⌈(max local id + 1)/8⌉ per
+    * (day, shard) — the BitSet.toByteArray trim rule; theta bytes =
+    * 16 + 8·min(users, k); sample bytes = 16 + 16·min(rows, k)), so a
+    * hash match proves the serialization-size model a capacity
+    * planner would use at 100 TB. Recommendation: the exact bitmaps
+    * win while their byte cost stays within 4× of theta's (dense id
+    * spaces); sparse/unbounded id spaces route to theta. */
+  def distinctPlanReport(spark: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapState, qsampleState, thetaState}
+    val ev = events(spark, d)
+    val daily = ev.groupBy(
+        dayKey(col("ts")).as("day"),
+        shiftright(col("user_id"), RetentionShardBits).as("shard"))
+      .agg(bitmapState(
+        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+    val bm = daily.agg(count(lit(1)).as("leaf_rows"),
+      sum(length(col("bm"))).cast("long").as("bitmap_bytes"))
+    val sk = ev.groupBy(dayKey(col("ts")).as("day"))
+      .agg(length(thetaState(col("user_id"))).as("tb"),
+        length(qsampleState(col("event_id"), col("value"))).as("qb"))
+      .agg(count(lit(1)).as("days"),
+        sum(col("tb")).cast("long").as("theta_bytes"),
+        sum(col("qb")).cast("long").as("qsample_bytes"))
+    val tot = ev.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"))
+    tot.crossJoin(broadcast(bm)).crossJoin(broadcast(sk))
+      .select(col("n_rows"), col("n_users"), col("days"), col("leaf_rows"),
+        col("bitmap_bytes"), col("theta_bytes"), col("qsample_bytes"),
+        expr("CASE WHEN bitmap_bytes <= 4 * theta_bytes THEN 'bitmap' " +
+          "ELSE 'theta' END").as("chosen"))
+  }
+
+  val distinctPlanReportSql: String =
+    s"""WITH du AS (
+      |  SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+      |  FROM events
+      |),
+      |daily AS (
+      |  SELECT day, user_id >> $RetentionShardBits AS shard,
+      |         max(user_id & ${(1L << RetentionShardBits) - 1}) AS maxloc
+      |  FROM du GROUP BY 1, 2
+      |),
+      |bm AS (
+      |  SELECT count(*) AS leaf_rows,
+      |         CAST(sum((maxloc >> 3) + 1) AS BIGINT) AS bitmap_bytes
+      |  FROM daily
+      |),
+      |byday AS (
+      |  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+      |         count(DISTINCT user_id) AS users, count(*) AS rows_d
+      |  FROM events GROUP BY 1
+      |),
+      |sk AS (
+      |  SELECT count(*) AS days,
+      |         CAST(sum(16 + 8 * least(users, 4096)) AS BIGINT) AS theta_bytes,
+      |         CAST(sum(16 + 16 * least(rows_d, 4096)) AS BIGINT) AS qsample_bytes
+      |  FROM byday
+      |),
+      |tot AS (
+      |  SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users FROM events
+      |)
+      |SELECT t.n_rows, t.n_users, s.days, b.leaf_rows, b.bitmap_bytes,
+      |       s.theta_bytes, s.qsample_bytes,
+      |       CASE WHEN b.bitmap_bytes <= 4 * s.theta_bytes THEN 'bitmap'
+      |            ELSE 'theta' END AS chosen
+      |FROM tot t CROSS JOIN bm b CROSS JOIN sk s""".stripMargin
+
   val eventRollupSql: String =
     s"""SELECT event_type,
       |       $HourBucketSql AS hour,
