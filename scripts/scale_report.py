@@ -57,6 +57,7 @@ _cls(1.0,
      'user_churn', 'user_churn_sql', 'audience_overlap', 'uv_theta_daily',
      'retention_theta', 'theta_calibration', 'value_quantiles_daily',
      'value_quantiles_by_type', 'qsample_calibration', 'distinct_plan_report',
+     'importance_sample',
      'dataset_split', 'dedup_exact', 'doc_quantiles',
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',

@@ -238,6 +238,49 @@ object DataPipeline {
        |        % ${HashPrime}::UBIGINT)::HUGEINT) * a.c_s
        |    < ${HashPrime}::HUGEINT * a.t_s""".stripMargin
 
+  /** Per-document IMPORTANCE sampling with inverse-probability
+    * weights — the length/quality-weighted Bernoulli sampler a
+    * curation mix uses to upweight valuable documents (public idiom:
+    * Horvitz–Thompson inverse-probability weighting; deterministic
+    * inclusion via the portable hash family, so the sample is
+    * replayable and oracle-checkable). Each document's inclusion
+    * probability p = rate · w with the saturating length weight
+    * w = n_chars/(n_chars + 500) ∈ (0,1); include iff
+    * hash64(doc_id)/P < p, and emit ipw = 1/p so any downstream sum
+    * over the sample unbiasedly estimates the corpus sum.
+    *
+    * Determinism discipline: p uses only +,·,/ on exact integers
+    * (correctly-rounded IEEE ops — bit-identical in any engine); the
+    * decision compares CAST(h AS DOUBLE) (correctly-rounded long→
+    * double, identical both sides) against p·P — no transcendentals,
+    * no corpus-dependent normalizer whose FP sum order could flip a
+    * boundary row. Scale shape: one scan, zero shuffles — the filter
+    * and projections are all row-local codegen. */
+  def importanceSample(spark: SparkSession, d: String, rate: Double = 0.6,
+                       seed: Int = 11): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, "rate must be in (0,1]")
+    val w = col("n_chars").cast("double") /
+      (col("n_chars").cast("double") + lit(500.0))
+    val p = least(lit(1.0), lit(rate) * w)
+    Tables.documents(spark, d)
+      .withColumn("p", p)
+      .filter(hash64(col("doc_id"), seed).cast("double")
+        < col("p") * lit(HashPrime.toDouble))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("p"),
+        (lit(1.0) / col("p")).as("ipw"))
+  }
+
+  def importanceSampleSql(rate: Double = 0.6, seed: Int = 11): String =
+    s"""SELECT doc_id, source, n_chars, p, 1.0/p AS ipw
+       |FROM (
+       |  SELECT doc_id, source, n_chars,
+       |         least(1.0, $rate * (n_chars / (n_chars + 500.0))) AS p,
+       |         (md5_number_lower('$seed:' || doc_id)
+       |          % ${HashPrime}::UBIGINT)::BIGINT AS h
+       |  FROM documents
+       |)
+       |WHERE CAST(h AS DOUBLE) < p * ${HashPrime}.0""".stripMargin
+
   // ---- deterministic train/val/test split -----------------------------
 
   /** Deterministic dataset split: each document lands in train / val /

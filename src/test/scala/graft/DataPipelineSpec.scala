@@ -197,4 +197,34 @@ class DataPipelineSpec extends AnyFunSuite {
     // sf0.001 has crafted near-dups: at least one multi-doc cluster
     assert(hist.exists(_._1 >= 2L))
   }
+
+  test("importance_sample: deterministic, length-upweighted, IPW-unbiased") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count().toDouble
+    val meanChars = docs.agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    val s1 = graft.operators.DataPipeline.importanceSample(spark, sf)
+    val rows = s1.collect()
+    assert(rows.nonEmpty && rows.length < nDocs)
+    // deterministic: a second run selects the identical set
+    assert(graft.operators.DataPipeline.importanceSample(spark, sf)
+      .collect().map(_.getLong(0)).toSet == rows.map(_.getLong(0)).toSet)
+    // upweighting: longer docs are likelier, so the raw sample mean
+    // length exceeds the corpus mean...
+    val sampleMean = rows.map(_.getAs[Long]("n_chars").toDouble).sum / rows.length
+    assert(sampleMean > meanChars)
+    // ...and the IPW-corrected estimates recover corpus totals within
+    // sampling error (Horvitz–Thompson): Σ ipw ≈ N, Σ ipw·len ≈ Σ len
+    val estN = rows.map(_.getAs[Double]("ipw")).sum
+    assert(math.abs(estN - nDocs) / nDocs < 0.15, s"estN=$estN vs $nDocs")
+    val totChars = docs.agg(sum(col("n_chars"))).collect().head.getLong(0).toDouble
+    val estChars = rows.map(r => r.getAs[Double]("ipw") * r.getAs[Long]("n_chars")).sum
+    assert(math.abs(estChars - totChars) / totChars < 0.15)
+    // p is the stated formula, ipw its exact inverse
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_chars").toDouble / (r.getAs[Long]("n_chars") + 500.0)
+      assert(r.getAs[Double]("p") == math.min(1.0, 0.6 * w))
+      assert(r.getAs[Double]("ipw") == 1.0 / r.getAs[Double]("p"))
+    }
+  }
 }
