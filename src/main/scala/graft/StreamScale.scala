@@ -229,6 +229,65 @@ object StreamScale {
       assert(parity, "post-restart serving store diverged from batch leaves")
     }
 
+    // ---- face 4: SKETCH daily leaf (theta user-sketch + bottom-k
+    // value sample per day) through the same retention-partitioned
+    // face — the approximate-family twin of face 3. The claims this
+    // measures: leaf state is O(k) bytes per day at ANY id
+    // cardinality (no shards), per-batch triggers stay flat, and the
+    // streamed state is BYTE-IDENTICAL to the batch-computed sketch
+    // leaf over the retained days (KMV determinism end-to-end at
+    // scale, not just in the unit parity spec). ----
+    locally {
+      import graft.streaming.ServingFolds
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getLong(0))
+      val retain = 3
+      val served = new java.util.concurrent.ConcurrentHashMap[
+        Long, ServingFolds.SketchCell]()
+      @volatile var leafRows = 0L
+      val stream = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      val t0 = System.nanoTime()
+      val q = StreamingJobs.snapshotUpdatePartitioned(
+        stream, "day", EventAnalytics.sketchDailyLeafFrom,
+        retainPartitions = retain) { (res, touched) =>
+        val t = touched.map(_.asInstanceOf[Long]).toSet
+        served.keySet().removeIf(t.contains(_))
+        res.collect().foreach { r =>
+          leafRows += 1
+          served.put(r.getAs[Long]("day"), ServingFolds.SketchCell(
+            r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk"),
+            r.getAs[Array[Byte]]("values_sk")))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val state = served.asScala.toMap
+      val retained = days.takeRight(retain).toSet
+      val batch = EventAnalytics.sketchDailyLeafFrom(
+          ev.filter(col("day").isin(retained.toSeq: _*)))
+        .collect().map(r => r.getAs[Long]("day") -> ServingFolds.SketchCell(
+          r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk"),
+          r.getAs[Array[Byte]]("values_sk"))).toMap
+      val parity = state.keySet == batch.keySet && state.forall { case (d, c) =>
+        c.cnt == batch(d).cnt &&
+          java.util.Arrays.equals(c.usersSk, batch(d).usersSk) &&
+          java.util.Arrays.equals(c.valuesSk, batch(d).valuesSk)
+      }
+      val stateBytes = state.valuesIterator
+        .map(c => c.usersSk.length.toLong + c.valuesSk.length + 8).sum
+      // the folds a serving layer would run on this state, end-to-end
+      val retRows = ServingFolds.retentionFoldTheta(state.toSeq).length
+      val qRows = ServingFolds.quantileFold(state.toSeq, Seq(0.5, 0.9),
+        windowDays = 7).length
+      println(metricsLine("sketch_leaf", leafRows,
+        (System.nanoTime() - t0) / 1e9, q,
+        s""","serving_state_bytes":$stateBytes,"days_retained":${state.size}""" +
+          s""","fold_retention_rows":$retRows,"fold_quantile_rows":$qRows""" +
+          s""","byte_parity":$parity"""))
+      assert(parity, "streamed sketch leaf diverged from batch (KMV determinism broke)")
+    }
+
     spark.stop()
   }
 }

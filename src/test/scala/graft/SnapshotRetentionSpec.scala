@@ -315,4 +315,51 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     assert(served.asScala.toMap == Map(
       (0L, "a") -> 2L, (1L, "a") -> 2L, (2L, "b") -> 1L))
   }
+
+  test("sketch-grain folds under retention: aged-out days degrade honestly") {
+    import graft.plans.{GraftQSample, GraftTheta}
+    import graft.streaming.ServingFolds
+    // the value-sample is keyed on a UNIQUE row id (event_id in
+    // production) — a reused id across days would collide in the KMV
+    // merge by contract, so the fixture hands out fresh ids
+    var nextRowId = 1000L
+    def cell(ids: Seq[Long], values: Seq[Double]): ServingFolds.SketchCell = {
+      val t = new GraftTheta.Buf(GraftTheta.DefaultK)
+      ids.foreach(t.insertId)
+      val q = new GraftQSample.Buf(GraftQSample.DefaultK)
+      values.foreach { v => q.insertId(nextRowId, v); nextRowId += 1 }
+      ServingFolds.SketchCell(values.length.toLong,
+        GraftTheta.serialize(t), GraftQSample.serialize(q))
+    }
+    // retention window holds days 5..7 — day 4 and older have aged out
+    val leaves = Seq(
+      5L -> cell(Seq(1, 2, 3), Seq(10.0, 20.0)),
+      6L -> cell(Seq(2, 3, 4), Seq(30.0)),
+      7L -> cell(Seq(4, 5), Seq(40.0, 50.0, 60.0)))
+    // retention: day 6 has its +1 partner (day 7) → real intersection
+    // {4}; day 7's +1/+7 partners and day 6's +7 are ABSENT → 0, never
+    // an error (the aged-out contract)
+    val ret = ServingFolds.retentionFoldTheta(leaves)
+      .map(r => (r.day, r.offsetDays) -> ((r.cohortEst, r.retainedEst))).toMap
+    assert(ret((5L, 1L)) == ((3.0, 2.0)))  // {2,3} retained
+    assert(ret((6L, 1L)) == ((3.0, 1.0)))  // {4}
+    assert(ret((7L, 1L)) == ((2.0, 0.0)))
+    assert(ret((5L, 7L)) == ((3.0, 0.0)))
+    // rolling actives: window [1,7] only sees days 5..7 — daysCovered
+    // reports the truncation instead of silently deflating
+    val wau = ServingFolds.rollingActiveFoldTheta(leaves)
+      .map(r => r.day -> ((r.daysCovered, r.activeEst))).toMap
+    assert(wau(7L) == ((3L, 5.0)))  // union{1,2,3,4,5}
+    assert(wau(5L) == ((1L, 3.0)))
+    // window quantiles: 7-day window over the retained days only;
+    // exact mode → exact median of the 6 surviving values
+    val q7 = ServingFolds.quantileFold(leaves, Seq(0.5), windowDays = 7)
+      .map(r => r.day -> ((r.daysCovered, r.cnt, r.quantiles.head))).toMap
+    assert(q7(7L) == ((3L, 6L, 35.0)))  // values 10..60, median 35
+    // duplicate-day fragments merge (append-shaped serving store)
+    val dup = leaves :+ (7L -> cell(Seq(6), Seq(70.0)))
+    val wauDup = ServingFolds.rollingActiveFoldTheta(dup)
+      .map(r => r.day -> r.activeEst).toMap
+    assert(wauDup(7L) == 6.0)  // union{1..6}
+  }
 }
