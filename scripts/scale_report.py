@@ -62,7 +62,8 @@ _cls(1.0,
      'doc_term_vectors', 'embedding_covariance', 'embedding_dim_stats',
      'embedding_outliers', 'event_cube', 'event_pivot', 'event_rollup',
      'events_by_type_salted', 'frame_sample', 'funnel',
-     'heavy_hitters', 'hot_users_topn', 'hot_users_topn_sql',
+     'heavy_hitters', 'cms_topk_est', 'cms_calibration',
+     'cms_source_affinity', 'hot_users_topn', 'hot_users_topn_sql',
      'hourly_anomalies', 'jaccard_plan_report', 'key_skew_report',
      'lang_id', 'late_events', 'latest_snapshot', 'lm_bigram_score',
      'login_fail', 'login_fail_cep', 'media_features',

@@ -1970,6 +1970,242 @@ object TextOps {
        |GROUP BY token, n.n
        |HAVING count(*) * $k > n.n""".stripMargin
 
+  // ---- Count-Min token-frequency sketches (frequency as data) --------
+
+  /** CM geometry shared by the three cms_* queries and their oracles —
+    * one definition so Spark and the SQL twins can never drift. */
+  private val CmsDepth = graft.plans.GraftCms.DefaultDepth
+  private val CmsWidth = graft.plans.GraftCms.DefaultWidth
+
+  /** Hash-pair tag for the CM token family (distinct from minhash's
+    * "mh" so bucket structure is independent of the signature family). */
+  private val CmsTag = "cms"
+
+  /** (source, token, lo, hi) — one md5 per token instance, both
+    * portable 64-bit halves (Kirsch–Mitzenmacher base pair). */
+  private def cmsTokenHashes(spark: SparkSession, d: String): DataFrame = {
+    val toks = docs(spark, d)
+      .select(col("source"), explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+    val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("token"), CmsTag)
+    toks.select(col("source"), col("token"), lo.as("lo"), hi.as("hi"))
+  }
+
+  /** Per-source Count-Min sketch leaves — the frequency twin of the
+    * per-day bitmap/theta leaves: each source folds to ONE d×w counter
+    * matrix, so the shuffle after the map-side partial carries
+    * O(sources · d·w·8) bytes regardless of vocabulary size (vs the
+    * exact tf relation's O(distinct-tokens) rows — the long tail that
+    * dominates a web-corpus shuffle). */
+  private def cmsSourceLeaves(spark: SparkSession, d: String,
+                              depth: Int = CmsDepth,
+                              width: Int = CmsWidth): DataFrame =
+    cmsTokenHashes(spark, d)
+      .groupBy("source")
+      .agg(graft.plans.GraftFunctions.cmsState(col("lo"), col("hi"),
+        lit(1L), depth, width).as("sk"))
+
+  /** DuckDB twin of the merged sketch's bucket mass table: mass of
+    * (row s, bucket) = Σ cnt over tokens hashing there — counter
+    * addition commutes, so the global bucket table equals the merged
+    * per-source leaves bucket-for-bucket. Splice as a CTE; expects a
+    * CTE `h(token, cnt, lo, hi)` in scope. */
+  private def cmsBucketsSql(depth: Int, width: Int): String =
+    s"""SELECT r.s, ((h.lo::HUGEINT + r.s * h.hi::HUGEINT) % ${HashPrime})::BIGINT
+       |         % $width AS bkt,
+       |       sum(h.cnt)::BIGINT AS mass
+       |  FROM h CROSS JOIN range($depth) AS r(s)
+       |  GROUP BY r.s, bkt""".stripMargin
+
+  /** The token→(lo, hi) hash CTE twin — md5_number_lower/_upper of
+    * "cms:&lt;token&gt;" mod p, the verified hash64Pair byte order. */
+  private def cmsHashSql: String =
+    s"""SELECT token, cnt,
+       |    (md5_number_lower('$CmsTag:' || token)
+       |     % ${HashPrime}::UBIGINT)::BIGINT AS lo,
+       |    (md5_number_upper('$CmsTag:' || token)
+       |     % ${HashPrime}::UBIGINT)::BIGINT AS hi
+       |  FROM tf""".stripMargin
+
+  /** Head-token count estimates from the MERGED per-source CM leaves,
+    * next to the exact counts — the "probe the sketch, don't re-scan
+    * the text" query. Probes are the exact global top-k tokens
+    * (deterministic tie-break on the token string); `overcount` is the
+    * sketch's additive error on each, bounded by (e/width)·N per row
+    * with prob 1 − e^(−depth).
+    *
+    * Every number is an exact integer (counters are sums; est is a min
+    * of sums), so the DuckDB oracle replays the whole sketch from the
+    * same portable hash pair and hash-matches bit-for-bit — the CM
+    * analog of the bitmap family's oracle story.
+    *
+    * Scale: the sketch side shuffles O(sources·d·w); the probe side is
+    * the head of the exact tf relation (already needed by tokenTopK's
+    * TakeOrdered) cross-joined with a broadcast 1-row merged sketch —
+    * zero extra text scans. */
+  def cmsTopkEst(spark: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val merged = cmsSourceLeaves(spark, d)
+      .agg(graft.plans.GraftFunctions.cmsMerge(col("sk")).as("sk"))
+    val probes = tokenCounts(spark, d)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+    val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("token"), CmsTag)
+    probes.crossJoin(broadcast(merged))
+      .select(col("token"), col("cnt"),
+        graft.plans.GraftFunctions.cmsEst(col("sk"), lo, hi).as("est"))
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  def cmsTopkEstSql(k: Int = 50): String =
+    s"""WITH tf AS (
+       |  $tokenCountsSql
+       |), h AS (
+       |  $cmsHashSql
+       |), bs AS (
+       |  ${cmsBucketsSql(CmsDepth, CmsWidth)}
+       |), probe AS (
+       |  SELECT token, cnt, lo, hi FROM h ORDER BY cnt DESC, token LIMIT $k
+       |)
+       |SELECT p.token, p.cnt, min(bs.mass)::BIGINT AS est,
+       |       (min(bs.mass) - p.cnt)::BIGINT AS overcount
+       |FROM probe p
+       |JOIN bs ON bs.bkt = ((p.lo::HUGEINT + bs.s * p.hi::HUGEINT)
+       |                     % ${HashPrime})::BIGINT % $CmsWidth
+       |GROUP BY p.token, p.cnt""".stripMargin
+
+  /** Sketch error profile over the WHOLE vocabulary: for every distinct
+    * token, the CM overestimate est − cnt; reported as a one-row
+    * summary (probe count, exactly-answered count, max/total
+    * overestimate, exact corpus mass from the sketch vs the tf
+    * relation — equal by the row-mass invariant). The calibration
+    * query of the family, like theta_calibration / qsample_calibration:
+    * it MEASURES the (e/w)·N bound instead of citing it.
+    *
+    * Geometry is a deliberately TIGHT stress config (depth 4 × width
+    * 8): the test corpus vocabulary is far below the production
+    * width's collision point, so at 4×2048 every probe would come back
+    * exact and the calibration would measure nothing — at width 8 the
+    * rows are forced to collide and the oracle must replay every
+    * collision bit-for-bit (a far stronger check of the bucket/min
+    * machinery; production queries keep the 4×2048 default). */
+  def cmsCalibration(spark: SparkSession, d: String,
+                     depth: Int = 4, width: Int = 8): DataFrame = {
+    val merged = cmsSourceLeaves(spark, d, depth, width)
+      .agg(graft.plans.GraftFunctions.cmsMerge(col("sk")).as("sk"))
+    val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("token"), CmsTag)
+    tokenCounts(spark, d)
+      .crossJoin(broadcast(merged))
+      .select(col("cnt"),
+        (graft.plans.GraftFunctions.cmsEst(col("sk"), lo, hi) - col("cnt")).as("over"),
+        graft.plans.GraftFunctions.cmsTotal(col("sk")).as("total_sketch"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("over") === 0, 1L).otherwise(0L)).as("n_exact"),
+        max(col("over")).as("max_over"),
+        sum(col("over")).as("sum_over"),
+        sum(col("cnt")).as("total_tokens"),
+        max(col("total_sketch")).as("total_sketch"))
+  }
+
+  def cmsCalibrationSql(depth: Int = 4, width: Int = 8): String =
+    s"""WITH tf AS (
+       |  $tokenCountsSql
+       |), h AS (
+       |  $cmsHashSql
+       |), bs AS (
+       |  ${cmsBucketsSql(depth, width)}
+       |), est AS (
+       |  SELECT h.token, h.cnt, min(bs.mass)::BIGINT - h.cnt AS ov
+       |  FROM h
+       |  JOIN bs ON bs.bkt = ((h.lo::HUGEINT + bs.s * h.hi::HUGEINT)
+       |                       % ${HashPrime})::BIGINT % $width
+       |  GROUP BY h.token, h.cnt
+       |)
+       |SELECT count(*)::BIGINT AS n_probes,
+       |       sum(CASE WHEN ov = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       |       max(ov)::BIGINT AS max_over,
+       |       sum(ov)::BIGINT AS sum_over,
+       |       sum(cnt)::BIGINT AS total_tokens,
+       |       sum(cnt)::BIGINT AS total_sketch
+       |FROM est""".stripMargin
+
+  /** Pairwise token-mix affinity of sources from their CM leaves: the
+    * inner product Σ_t fₐ(t)·fᵦ(t) estimated sketch-to-sketch
+    * (Cormode–Muthukrishnan §4.2 — min over rows of the bucket dot
+    * product, never an underestimate) next to the exact join value.
+    * The sketch side needs NO token join — two 64 KiB columns answer
+    * "do these sources share a vocabulary mix", which at 100 TB is the
+    * difference between a broadcast of leaves and a shuffle of two tf
+    * relations. */
+  def cmsSourceAffinity(spark: SparkSession, d: String): DataFrame = {
+    val leaves = cmsSourceLeaves(spark, d)
+    val est = leaves.as("a").join(leaves.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        graft.plans.GraftFunctions.cmsInnerProduct(col("a.sk"), col("b.sk"))
+          .as("est_ip"))
+    val tf = cmsTokenHashes(spark, d)
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val exact = tf.as("x").join(tf.as("y"),
+        col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(sum(col("x.cnt") * col("y.cnt")).as("exact_ip"))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("exact_ip"), lit(0L)).as("exact_ip"), col("est_ip"),
+        (col("est_ip") - coalesce(col("exact_ip"), lit(0L))).as("over_ip"))
+  }
+
+  def cmsSourceAffinitySql(): String =
+    s"""WITH tok AS (
+       |  SELECT source, token FROM (
+       |    SELECT source,
+       |           unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |    FROM documents
+       |  ) WHERE length(token) > 0
+       |), tf AS (
+       |  SELECT source, token, count(*) AS cnt FROM tok GROUP BY source, token
+       |), h AS (
+       |  SELECT source, token, cnt,
+       |      (md5_number_lower('$CmsTag:' || token)
+       |       % ${HashPrime}::UBIGINT)::BIGINT AS lo,
+       |      (md5_number_upper('$CmsTag:' || token)
+       |       % ${HashPrime}::UBIGINT)::BIGINT AS hi
+       |  FROM tf
+       |), bs AS (
+       |  SELECT source, r.s,
+       |         ((h.lo::HUGEINT + r.s * h.hi::HUGEINT) % ${HashPrime})::BIGINT
+       |           % $CmsWidth AS bkt,
+       |         sum(h.cnt)::BIGINT AS mass
+       |  FROM h CROSS JOIN range($CmsDepth) AS r(s)
+       |  GROUP BY source, r.s, bkt
+       |), pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b
+       |  FROM (SELECT DISTINCT source FROM tf) a
+       |  JOIN (SELECT DISTINCT source FROM tf) b ON a.source < b.source
+       |), ip AS (
+       |  SELECT p.source_a, p.source_b, x.s,
+       |         sum(x.mass * y.mass)::BIGINT AS dot
+       |  FROM pairs p
+       |  JOIN bs x ON x.source = p.source_a
+       |  JOIN bs y ON y.source = p.source_b AND y.s = x.s AND y.bkt = x.bkt
+       |  GROUP BY p.source_a, p.source_b, x.s
+       |), estq AS (
+       |  SELECT source_a, source_b, min(dot)::BIGINT AS est_ip
+       |  FROM ip GROUP BY source_a, source_b
+       |), exact AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |         sum(x.cnt * y.cnt)::BIGINT AS exact_ip
+       |  FROM tf x JOIN tf y ON x.token = y.token AND x.source < y.source
+       |  GROUP BY x.source, y.source
+       |)
+       |SELECT e.source_a, e.source_b,
+       |       coalesce(x.exact_ip, 0)::BIGINT AS exact_ip, e.est_ip,
+       |       (e.est_ip - coalesce(x.exact_ip, 0))::BIGINT AS over_ip
+       |FROM estq e
+       |LEFT JOIN exact x
+       |  ON x.source_a = e.source_a AND x.source_b = e.source_b""".stripMargin
+
   // ---- duplicated-substring spans (span-level exact dedup) ------------
 
   /** Seed of the dup-span gram hash (arbitrary, fixed for replay). */

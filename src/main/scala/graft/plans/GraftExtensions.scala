@@ -938,6 +938,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // Count-Min frequency sketch family (CountMin.scala) — mergeable
+    // per-item counts as data: cms_state(lo, hi [, weight [, depth,
+    // width]]) builds from the portable hash pair, cms_merge folds,
+    // cms_est probes, cms_inner_product correlates, cms_total is exact N
+    ext.injectFunction((
+      new FunctionIdentifier("cms_state"),
+      new ExpressionInfo(classOf[CmsState].getName, "cms_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(lo, hi) => CmsState(lo, hi, Literal(1L, LongType))
+        case Seq(lo, hi, w) => CmsState(lo, hi, w)
+        case Seq(lo, hi, w, Literal(d: Int, IntegerType), Literal(wd: Int, IntegerType)) =>
+          CmsState(lo, hi, w, d, wd)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`cms_state`",
+            "expectedNum" -> "2 (lo, hi), 3 (+weight) or 5 (+INT literal depth, width)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMerge].getName, "cms_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => CmsMerge(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`cms_merge`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_est"),
+      new ExpressionInfo(classOf[CmsEst].getName, "cms_est"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk, lo, hi) => CmsEst(sk, lo, hi)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`cms_est`", "expectedNum" -> "3 (sketch, lo, hi)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    inject2(ext, "cms_inner_product", classOf[CmsInnerProduct].getName,
+      CmsInnerProduct(_, _))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_total"),
+      new ExpressionInfo(classOf[CmsTotal].getName, "cms_total"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => CmsTotal(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`cms_total`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
   }
 }
 
@@ -1044,6 +1098,39 @@ object GraftFunctions {
   def freqSketch(tok: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("freq_sketch", tok,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column wrapper for [[CmsState]] — Count-Min sketch from the
+    * portable hash pair, unit weight. */
+  def cmsState(lo: Column, hi: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_state", lo, hi)
+
+  /** [[cmsState]] with an explicit per-row weight. */
+  def cmsState(lo: Column, hi: Column, weight: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_state", lo, hi, weight)
+
+  /** [[cmsState]] with explicit geometry (depth × width buckets) —
+    * small widths force collisions for calibration/stress use. */
+  def cmsState(lo: Column, hi: Column, weight: Column,
+               depth: Int, width: Int): Column =
+    org.apache.spark.sql.functions.call_function("cms_state", lo, hi, weight,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
+
+  /** Column wrapper for [[CmsMerge]] — element-wise-add sketch fold. */
+  def cmsMerge(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_merge", sk)
+
+  /** Column wrapper for [[CmsEst]] — per-item count point estimate. */
+  def cmsEst(sk: Column, lo: Column, hi: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_est", sk, lo, hi)
+
+  /** Column wrapper for [[CmsInnerProduct]] — token-mix affinity. */
+  def cmsInnerProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_inner_product", a, b)
+
+  /** Column wrapper for [[CmsTotal]] — exact folded mass. */
+  def cmsTotal(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("cms_total", sk)
 
   /** Column wrapper for [[CanonicalText]] — the normalized dedup key. */
   def canonicalText(s: Column): Column =

@@ -247,4 +247,74 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("count-min sketch == brute-force BigInt replica over random multisets") {
+    import graft.plans.GraftCms
+    val rnd = new Random(17)
+    val P = BigInt(graft.functions.ColumnFunctions.HashPrime)
+    def randHash(): Long = (BigInt(63, rnd) mod P).toLong
+    (1 to 40).foreach { round =>
+      val depth = 1 + rnd.nextInt(5)
+      val width = 2 + rnd.nextInt(63)
+      // random vocabulary with random weights; (lo, hi) stand in for
+      // the portable md5 pair — any values in [0, p) are legal
+      val items = (0 until (5 + rnd.nextInt(200))).map { i =>
+        (randHash(), randHash(), 1L + rnd.nextInt(1000))
+      }
+      def bucket(lo: Long, hi: Long, s: Int): Int =
+        (((BigInt(lo) + BigInt(s) * BigInt(hi)) mod P) mod BigInt(width)).toInt
+      val b = new GraftCms.Buf(depth, width)
+      items.foreach { case (lo, hi, w) => b.insert(lo, hi, w) }
+      val sk = GraftCms.serialize(b)
+      // exact row mass invariant: every row holds the full mass
+      val n = items.map(_._3).sum
+      assert(GraftCms.total(sk) == n)
+      // point estimates: never below truth; exactly the BigInt
+      // replica's min-over-rows bucket sum (validates the wrapping
+      // addModP iteration against wide arithmetic — the overflow edge)
+      items.foreach { case (lo, hi, w) =>
+        val replica = (0 until depth).map { s =>
+          items.collect { case (l2, h2, w2)
+            if bucket(l2, h2, s) == bucket(lo, hi, s) => w2 }.sum
+        }.min
+        val est = GraftCms.est(sk, lo, hi)
+        assert(est >= w && est == replica,
+          s"round=$round d=$depth w=$width est=$est replica=$replica")
+      }
+      // merge of arbitrary partials is BYTE-identical to one-shot
+      val (i1, i2) = items.splitAt(rnd.nextInt(items.length + 1))
+      def buildSk(xs: Seq[(Long, Long, Long)]): Array[Byte] = {
+        val bb = new GraftCms.Buf(depth, width)
+        xs.foreach { case (lo, hi, w) => bb.insert(lo, hi, w) }
+        GraftCms.serialize(bb)
+      }
+      assert(java.util.Arrays.equals(
+        GraftCms.union(buildSk(i1), buildSk(i2)), sk))
+      // inner product: ≥ exact Σ f_a·f_b and == the replica min-over-
+      // rows bucket dot (disjoint-vs-self gives the two extremes)
+      val other = items.map { case (lo, hi, _) => (lo, hi, 1L + rnd.nextInt(50)) }
+      val skO = buildSk(other)
+      val exactIp = items.zip(other).map { case ((_, _, wa), (_, _, wb)) => wa * wb }.sum
+      val ipReplica = (0 until depth).map { s =>
+        val ma = items.groupBy { case (lo, hi, _) => bucket(lo, hi, s) }
+          .view.mapValues(_.map(_._3).sum)
+        val mb = other.groupBy { case (lo, hi, _) => bucket(lo, hi, s) }
+          .view.mapValues(_.map(_._3).sum)
+        ma.map { case (bk, wa) => wa * mb.getOrElse(bk, 0L) }.sum
+      }.min
+      val ip = GraftCms.innerProduct(sk, skO)
+      assert(ip >= exactIp && ip == ipReplica)
+      // the cms_merge aggregate adopts geometry from its first
+      // non-empty input (buffers start at the default 4×2048)
+      val agg = graft.plans.CmsMerge(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.BinaryType, nullable = false))
+      var buf = agg.createAggregationBuffer()
+      buf = agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(buildSk(i1)))
+      var buf2 = agg.createAggregationBuffer()
+      buf2 = agg.update(buf2, org.apache.spark.sql.catalyst.InternalRow(buildSk(i2)))
+      val merged = agg.merge(agg.deserialize(agg.serialize(buf)), buf2)
+      assert(java.util.Arrays.equals(agg.eval(merged).asInstanceOf[Array[Byte]], sk))
+    }
+  }
 }

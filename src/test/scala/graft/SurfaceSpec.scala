@@ -702,4 +702,45 @@ class SurfaceSpec extends AnyFunSuite {
       "SELECT qsample_quantile(qsample_state(id, v), CAST(0.5 AS DOUBLE)) AS m FROM qs_t")
       .collect().head.getDouble(0) == 20.0)
   }
+
+  test("count-min: fold == one-shot on real data; probes ≥ truth; SQL algebra") {
+    import spark.implicits._
+    // registered contract queries: the estimate never undershoots, the
+    // sketch's row-mass invariant ties to the exact token total
+    val topk = graft.operators.TextOps.cmsTopkEst(spark, sf).collect()
+    assert(topk.nonEmpty && topk.forall(r =>
+      r.getAs[Long]("est") >= r.getAs[Long]("cnt") &&
+        r.getAs[Long]("overcount") == r.getAs[Long]("est") - r.getAs[Long]("cnt")))
+    val cal = graft.operators.TextOps.cmsCalibration(spark, sf).collect().head
+    assert(cal.getAs[Long]("n_probes") > 0 &&
+      cal.getAs[Long]("total_sketch") == cal.getAs[Long]("total_tokens") &&
+      cal.getAs[Long]("max_over") >= 0 &&
+      // width 8 stress geometry on a >8-token vocabulary MUST collide
+      cal.getAs[Long]("sum_over") > 0)
+    val aff = graft.operators.TextOps.cmsSourceAffinity(spark, sf).collect()
+    assert(aff.nonEmpty && aff.forall(r =>
+      r.getAs[Long]("est_ip") >= r.getAs[Long]("exact_ip") &&
+        r.getAs[Long]("over_ip") >= 0))
+    // SQL injection end-to-end: build per-group sketches from SQL text,
+    // merge, probe — counts are exact at width 64 with 3 items
+    Seq(("a", 5L, 900L), ("a", 5L, 900L), ("a", 7L, 13L), ("b", 5L, 900L))
+      .toDF("g", "lo", "hi").createOrReplaceTempView("cms_t")
+    spark.sql(
+      """SELECT g, cms_state(lo, hi, 1L, 4, 64) AS sk
+        |FROM cms_t GROUP BY g""".stripMargin)
+      .createOrReplaceTempView("cms_sk")
+    val merged = spark.sql(
+      """SELECT cms_est(cms_merge(sk), 5L, 900L) AS e5,
+        |       cms_est(cms_merge(sk), 7L, 13L) AS e7,
+        |       cms_total(cms_merge(sk)) AS n
+        |FROM cms_sk""".stripMargin).collect().head
+    assert(merged.getLong(0) == 3L && merged.getLong(1) == 1L &&
+      merged.getLong(2) == 4L)
+    // inner product of the two group sketches: (a has 2×(5,900) + 1×
+    // (7,13); b has 1×(5,900)) → Σ f_a·f_b = 2
+    assert(spark.sql(
+      """SELECT cms_inner_product(a.sk, b.sk) AS ip
+        |FROM cms_sk a JOIN cms_sk b ON a.g = 'a' AND b.g = 'b'""".stripMargin)
+      .collect().head.getLong(0) == 2L)
+  }
 }
