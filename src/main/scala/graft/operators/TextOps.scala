@@ -1457,6 +1457,106 @@ object TextOps {
        |HAVING count(*) >= $minShared""".stripMargin
   }
 
+  // ---- bloom-prefiltered contamination -------------------------------
+
+  /** Hash-pair tag for the bloom membership family. */
+  private val BloomTag = "bl"
+
+  /** The decontamination PREFILTER: the benchmark n-gram set folded to
+    * a Bloom filter (graft.plans.GraftBloom — m bits that broadcast),
+    * probed per corpus gram with `bloom_contains`. Output per candidate
+    * document: distinct-gram count, bloom-flagged count, and the exact
+    * benchmark-overlap count — so the query MEASURES the false-positive
+    * rate (n_flagged − n_exact over the gram population) while pinning
+    * the no-false-negative guarantee (n_flagged ≥ n_exact, and every
+    * [[contamination]] hit is in this candidate set).
+    *
+    * Geometry at test scale is deliberately mid-loaded (k=4 segments ×
+    * m=4096 bits for ~2.6k benchmark grams → per-segment fill
+    * 1−e^(−n/m) ≈ 0.43, predicted FPR ≈ 0.43⁴ ≈ 3.5%): the production
+    * sizing m ≈ 1.5·n bits per segment would flag nothing but true
+    * hits on this corpus and the calibration would measure nothing.
+    * Every count is an exact integer over deterministic bits, so the
+    * DuckDB oracle replays the filter bit-for-bit — false positives
+    * included.
+    *
+    * Scale: the exact inverted-index join ([[contamination]]) must
+    * materialize and broadcast the benchmark GRAM STRINGS (tens of MB
+    * for a real eval suite); the prefilter broadcasts m/8 BYTES and
+    * probes each corpus gram in O(k) word reads with no join at all —
+    * stage 2 then runs the exact join only on the flagged sliver
+    * (n_flagged > 0 docs). At 100 TB that sliver is the contaminated
+    * tail plus the measured FPR of honest docs, not the corpus. */
+  def contaminationBloom(spark: SparkSession, d: String, n: Int = 5,
+                         benchMod: Int = 10, benchRes: Int = 7,
+                         k: Int = 4, mBits: Int = 4096): DataFrame = {
+    val grams = docs(spark, d).filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
+    val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("gram"), BloomTag)
+    val hashed = grams.select(col("doc_id"), col("gram"),
+      lo.as("lo"), hi.as("hi"))
+    val bench = hashed.filter(col("doc_id") % benchMod === benchRes)
+    val bloom = bench.agg(
+      graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), k, mBits)
+        .as("bf"))
+    val benchGrams = bench.select("gram").distinct()
+      .withColumn("is_exact", lit(1L))
+    hashed.filter(col("doc_id") % benchMod =!= benchRes)
+      .crossJoin(broadcast(bloom))
+      .withColumn("flagged",
+        graft.plans.GraftFunctions.bloomContains(col("bf"), col("lo"), col("hi")))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("flagged").cast("long")).as("n_flagged"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact"))
+      .filter(col("n_flagged") > 0)
+  }
+
+  def contaminationBloomSql(n: Int = 5, benchMod: Int = 10, benchRes: Int = 7,
+                            k: Int = 4, mBits: Int = 4096): String = {
+    val parts = (1 to n).map(j => if (j == 1) "toks[i]" else s"toks[i+${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |               i -> $parts)) AS gram
+       |      FROM t WHERE len(toks) >= $n),
+       |h AS (SELECT doc_id, gram,
+       |        (md5_number_lower('$BloomTag:' || gram)
+       |         % ${HashPrime}::UBIGINT)::BIGINT AS lo,
+       |        (md5_number_upper('$BloomTag:' || gram)
+       |         % ${HashPrime}::UBIGINT)::BIGINT AS hi
+       |      FROM g),
+       |bits AS (SELECT DISTINCT r.s,
+       |           ((lo::HUGEINT + r.s * hi::HUGEINT) % ${HashPrime})::BIGINT
+       |             % $mBits AS bit
+       |         FROM h CROSS JOIN range($k) AS r(s)
+       |         WHERE doc_id % $benchMod = $benchRes),
+       |bgrams AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = $benchRes),
+       |probe AS (SELECT doc_id, gram, lo, hi FROM h
+       |          WHERE doc_id % $benchMod <> $benchRes),
+       |pb AS (SELECT doc_id, gram, r.s,
+       |         ((lo::HUGEINT + r.s * hi::HUGEINT) % ${HashPrime})::BIGINT
+       |           % $mBits AS bit
+       |       FROM probe CROSS JOIN range($k) AS r(s)),
+       |flag AS (SELECT pb.doc_id, pb.gram FROM pb
+       |         JOIN bits USING (s, bit)
+       |         GROUP BY pb.doc_id, pb.gram HAVING count(*) = $k)
+       |SELECT p.doc_id, count(*)::BIGINT AS n_grams,
+       |       sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_flagged,
+       |       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_exact
+       |FROM probe p
+       |LEFT JOIN flag f ON f.doc_id = p.doc_id AND f.gram = p.gram
+       |LEFT JOIN bgrams b ON b.gram = p.gram
+       |GROUP BY p.doc_id
+       |HAVING sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) > 0""".stripMargin
+  }
+
   // ---- near-dup cluster resolution -----------------------------------
 
   /** The step every pair-emitting dedup operator needs to become an

@@ -1,0 +1,321 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+
+/** Bloom filter as a mergeable COLUMN — the MEMBERSHIP member of the
+  * sketch-as-column family (exact sets: [[BitmapState]]; approximate
+  * cardinality: [[GraftTheta]]; quantiles: [[GraftQSample]]; frequency:
+  * [[GraftCms]]; this: "might item t be in the set", with zero false
+  * negatives and a false-positive rate (1 − e^(−n/m))^k).
+  *
+  * This is the PARTITIONED form: each of the k hash rows owns its own
+  * m-bit segment (k·m bits total), the layout Kirsch–Mitzenmacher
+  * analyze directly — chosen over the classic shared array because a
+  * row's bit space is then independent, which makes the DuckDB replay
+  * a clean (s, bit) equi-join against the distinct set-bit relation
+  * (a shared array would need per-gram distinct-bit bookkeeping in
+  * SQL for no accuracy gain).
+  *
+  * Public lineage, cited by name: Bloom, "Space/Time Trade-offs in
+  * Hash Coding with Allowable Errors" (CACM 1970); the k bit rows
+  * derive by Kirsch–Mitzenmacher double hashing ("Less Hashing, Same
+  * Performance", ESA 2006 — FPR asymptotics preserved) from the repo's
+  * portable md5 pair (ColumnFunctions.hash64Pair), so every bit
+  * position is replayable in DuckDB and the filter is oracle-checkable
+  * bit-for-bit: insertion is idempotent OR (order- and
+  * duplicate-insensitive), merge is word-wise OR.
+  *
+  * Spark ships BloomFilterAggregate/might_contain, but its hash is an
+  * engine-internal Murmur3 the oracle cannot replay — this family
+  * exists precisely because the gate hashes results.
+  *
+  * Reference provenance: the reference's own UV-dedup bloom
+  * (hong/networkflow UniqueVisitor_03_Bloom.scala:96-176) keeps a
+  * Redis bitmap probed per element with a hand-rolled string hash —
+  * held instead as mergeable DATA, the same bits answer membership for
+  * any later probe set and union across groups by OR.
+  *
+  * The 100 TB role is the DECONTAMINATION PREFILTER: a benchmark
+  * n-gram set folds to m/8 bytes that BROADCAST to every executor, so
+  * stage 1 flags candidate documents with an O(1)-per-gram probe and
+  * NO join of corpus grams against benchmark grams; the exact
+  * inverted-index join then runs only on the flagged sliver. Zero
+  * false negatives = the prefilter never loses a contaminated doc.
+  */
+object GraftBloom {
+
+  /** Default geometry: 5 rows × 2^16 bits = 40 KiB total — per-row
+    * fill e^(−n/m) keeps FPR < 1e-3 up to ~45k inserted items (size
+    * the per-row m ≈ 1.5·n bits for production use). */
+  val DefaultK = 5
+  val DefaultMBits: Int = 1 << 16
+
+  val HashPrime: Long = graft.functions.ColumnFunctions.HashPrime
+
+  @inline private def addModP(a: Long, b: Long): Long = {
+    val t = a + b // wrapping; true sum < 2p < 2^64, one conditional fix
+    if (java.lang.Long.compareUnsigned(t, HashPrime) >= 0) t - HashPrime else t
+  }
+
+  /** Mutable aggregation state: k segments × mBits bits, row-major
+    * long words. */
+  final class Buf(val k: Int, val mBits: Int) {
+    require(mBits >= 64 && (mBits & 63) == 0,
+      s"bloom mBits must be a positive multiple of 64, got $mBits")
+    val words: Array[Long] = new Array[Long](k * (mBits >>> 6))
+
+    /** Set one bit per segment for one item given its portable hash
+      * pair: segment s uses bit g_s mod m, g_s = (lo + s·hi) mod p.
+      * Idempotent, so duplicate inserts are free and no pre-distinct
+      * is needed. */
+    def insert(lo: Long, hi: Long): Unit = {
+      var g = lo
+      var s = 0
+      while (s < k) {
+        val bit = (g % mBits).toInt
+        words(s * (mBits >>> 6) + (bit >>> 6)) |= 1L << (bit & 63)
+        g = addModP(g, hi)
+        s += 1
+      }
+    }
+
+    def mergeIn(o: Buf): Unit = {
+      require(o.k == k && o.mBits == mBits,
+        s"bloom_merge: geometry mismatch ($k×$mBits vs ${o.k}×${o.mBits})")
+      var i = 0
+      while (i < words.length) { words(i) |= o.words(i); i += 1 }
+    }
+  }
+
+  /** Wire layout: int32 k | int32 mBits | k·mBits/64 × int64 words,
+    * segment-major (big-endian, the JDK ByteBuffer default). */
+  def serialize(b: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * b.words.length)
+    bb.putInt(b.k).putInt(b.mBits)
+    var i = 0
+    while (i < b.words.length) { bb.putLong(b.words(i)); i += 1 }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new Buf(bb.getInt, bb.getInt)
+    var i = 0
+    while (i < b.words.length) { b.words(i) = bb.getLong; i += 1 }
+    b
+  }
+
+  /** Membership probe straight off the serialized bytes — zero
+    * allocation, k word reads. False negatives: never. */
+  def contains(bytes: Array[Byte], lo: Long, hi: Long): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt(0)
+    val mBits = bb.getInt(4)
+    var g = lo
+    var s = 0
+    while (s < k) {
+      val bit = (g % mBits).toInt
+      if ((bb.getLong(8 + 8 * (s * (mBits >>> 6) + (bit >>> 6)))
+          & (1L << (bit & 63))) == 0L)
+        return false
+      g = addModP(g, hi)
+      s += 1
+    }
+    true
+  }
+
+  /** Exact number of set bits across all segments — the fill gauge:
+    * per-row fill = bits_set/(k·m) on average, FPR ≈ fill^k, and fill
+    * past ~0.5 says the filter is undersized for its item count. */
+  def bitsSet(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt(0)
+    val mBits = bb.getInt(4)
+    var n = 0L
+    var i = 0
+    val nWords = k * (mBits >>> 6)
+    while (i < nWords) { n += java.lang.Long.bitCount(bb.getLong(8 + 8 * i)); i += 1 }
+    n
+  }
+
+  /** Serialized OR-union for non-aggregate call sites. */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = deserialize(a)
+    x.mergeIn(deserialize(b))
+    serialize(x)
+  }
+}
+
+/** Shared scaffold for the two bloom aggregates. */
+abstract class BloomAggBase
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[GraftBloom.Buf] {
+  def k: Int
+  def mBits: Int
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): GraftBloom.Buf =
+    new GraftBloom.Buf(k, mBits)
+
+  override def merge(b1: GraftBloom.Buf, b2: GraftBloom.Buf): GraftBloom.Buf = {
+    b1.mergeIn(b2)
+    b1
+  }
+
+  override def eval(buf: GraftBloom.Buf): Any = GraftBloom.serialize(buf)
+  override def serialize(buf: GraftBloom.Buf): Array[Byte] = GraftBloom.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): GraftBloom.Buf =
+    GraftBloom.deserialize(bytes)
+}
+
+/** `bloom_state(lo, hi [, k, m])` — fold items into a Bloom filter,
+  * where (lo, hi) is the item's pre-computed portable hash pair (same
+  * convention as [[CmsState]]: the digest stays a codegen'd column,
+  * the aggregate is allocation-free bit arithmetic). Insertion is
+  * idempotent, so the input needs no DISTINCT. */
+case class BloomState(
+    lo: Expression,
+    hi: Expression,
+    k: Int = GraftBloom.DefaultK,
+    mBits: Int = GraftBloom.DefaultMBits,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BloomAggBase
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1, "bloom_state needs k ≥ 1 hash rows")
+
+  override def prettyName: String = "bloom_state"
+  override def left: Expression = lo
+  override def right: Expression = hi
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (lo.dataType, hi.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_state requires (BIGINT lo, BIGINT hi), got $other " +
+          "(derive lo/hi with the portable hash pair, e.g. hash64Pair(col, tag))")
+    }
+
+  override def update(buf: GraftBloom.Buf, input: InternalRow): GraftBloom.Buf = {
+    val l = lo.eval(input)
+    val h = hi.eval(input)
+    if (l != null && h != null)
+      buf.insert(l.asInstanceOf[Long], h.asInstanceOf[Long])
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomState =
+    copy(lo = l, hi = r)
+}
+
+/** `bloom_merge(sk)` — word-wise-OR fold of serialized filters: union
+  * membership across groups (multi-benchmark probes). Geometry adopted
+  * from the first non-empty input; mismatches fail fast. */
+case class BloomMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BloomAggBase
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "bloom_merge"
+  override def k: Int = GraftBloom.DefaultK
+  override def mBits: Int = GraftBloom.DefaultMBits
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_merge requires BINARY filter bytes, got $other")
+  }
+
+  private def isZero(b: GraftBloom.Buf): Boolean = {
+    var i = 0
+    while (i < b.words.length) {
+      if (b.words(i) != 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def merge(b1: GraftBloom.Buf, b2: GraftBloom.Buf): GraftBloom.Buf =
+    if ((b1.k != b2.k || b1.mBits != b2.mBits) && isZero(b1)) b2
+    else if ((b1.k != b2.k || b1.mBits != b2.mBits) && isZero(b2)) b1
+    else { b1.mergeIn(b2); b1 }
+
+  override def update(buf: GraftBloom.Buf, input: InternalRow): GraftBloom.Buf = {
+    val v = child.eval(input)
+    if (v != null)
+      merge(buf, GraftBloom.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomMerge =
+    copy(child = newChild)
+}
+
+/** `bloom_contains(sk, lo, hi)` — membership probe: TRUE for every
+  * inserted item (no false negatives), falsely TRUE with probability
+  * ≈ fill^k. Codegen'd static call, k word reads off the bytes. */
+case class BloomContains(sk: Expression, lo: Expression, hi: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+  override def first: Expression = sk
+  override def second: Expression = lo
+  override def third: Expression = hi
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sk.dataType, lo.dataType, hi.dataType) match {
+      case (BinaryType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains requires (BINARY filter, BIGINT lo, BIGINT hi), got $other")
+    }
+
+  override protected def nullSafeEval(s: Any, l: Any, h: Any): Any =
+    GraftBloom.contains(s.asInstanceOf[Array[Byte]],
+      l.asInstanceOf[Long], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, l, h) => s"graft.plans.GraftBloom.contains($s, $l, $h)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BloomContains =
+    copy(sk = f, lo = s, hi = t)
+}
+
+/** `bloom_bits_set(sk)` — exact set-bit count: the fill gauge
+  * (FPR ≈ (bits_set/m)^k; past half full the filter is undersized). */
+case class BloomBitsSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_bits_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bits_set requires BINARY filter bytes, got $other")
+  }
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    GraftBloom.bitsSet(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftBloom.bitsSet($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BloomBitsSet =
+    copy(child = newChild)
+}

@@ -981,6 +981,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     inject2(ext, "cms_inner_product", classOf[CmsInnerProduct].getName,
       CmsInnerProduct(_, _))
+    // Bloom membership family (BloomFilter.scala) — mergeable
+    // membership bits: bloom_state(lo, hi [, k, m]) builds, bloom_merge
+    // ORs, bloom_contains probes (no false negatives), bloom_bits_set
+    // gauges fill
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_state"),
+      new ExpressionInfo(classOf[BloomState].getName, "bloom_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(lo, hi) => BloomState(lo, hi)
+        case Seq(lo, hi, Literal(k: Int, IntegerType), Literal(m: Int, IntegerType)) =>
+          BloomState(lo, hi, k, m)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bloom_state`",
+            "expectedNum" -> "2 (lo, hi) or 4 (+INT literal k, mBits)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_merge"),
+      new ExpressionInfo(classOf[BloomMerge].getName, "bloom_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => BloomMerge(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bloom_merge`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk, lo, hi) => BloomContains(sk, lo, hi)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bloom_contains`",
+            "expectedNum" -> "3 (filter, lo, hi)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_bits_set"),
+      new ExpressionInfo(classOf[BloomBitsSet].getName, "bloom_bits_set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => BloomBitsSet(sk)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bloom_bits_set`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cms_total"),
       new ExpressionInfo(classOf[CmsTotal].getName, "cms_total"),
@@ -1131,6 +1183,29 @@ object GraftFunctions {
   /** Column wrapper for [[CmsTotal]] — exact folded mass. */
   def cmsTotal(sk: Column): Column =
     org.apache.spark.sql.functions.call_function("cms_total", sk)
+
+  /** Column wrapper for [[BloomState]] — membership bits from the
+    * portable hash pair. */
+  def bloomState(lo: Column, hi: Column): Column =
+    org.apache.spark.sql.functions.call_function("bloom_state", lo, hi)
+
+  /** [[bloomState]] with explicit geometry (k rows × mBits bits). */
+  def bloomState(lo: Column, hi: Column, k: Int, mBits: Int): Column =
+    org.apache.spark.sql.functions.call_function("bloom_state", lo, hi,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(mBits))
+
+  /** Column wrapper for [[BloomMerge]] — word-wise-OR filter fold. */
+  def bloomMerge(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("bloom_merge", sk)
+
+  /** Column wrapper for [[BloomContains]] — membership probe. */
+  def bloomContains(sk: Column, lo: Column, hi: Column): Column =
+    org.apache.spark.sql.functions.call_function("bloom_contains", sk, lo, hi)
+
+  /** Column wrapper for [[BloomBitsSet]] — exact fill popcount. */
+  def bloomBitsSet(sk: Column): Column =
+    org.apache.spark.sql.functions.call_function("bloom_bits_set", sk)
 
   /** Column wrapper for [[CanonicalText]] — the normalized dedup key. */
   def canonicalText(s: Column): Column =

@@ -317,4 +317,59 @@ class PropertiesSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(agg.eval(merged).asInstanceOf[Array[Byte]], sk))
     }
   }
+
+  test("bloom filter == brute-force BigInt bit replica over random sets") {
+    import graft.plans.GraftBloom
+    val rnd = new Random(19)
+    val P = BigInt(graft.functions.ColumnFunctions.HashPrime)
+    def randHash(): Long = (BigInt(63, rnd) mod P).toLong
+    (1 to 30).foreach { round =>
+      val k = 1 + rnd.nextInt(6)
+      val mBits = 64 << rnd.nextInt(4) // 64..512: small enough to collide
+      val items = Set.fill(5 + rnd.nextInt(120))((randHash(), randHash())).toSeq
+      // wide-arithmetic replica of the partitioned bit layout: segment s
+      // sets bit ((lo + s·hi) mod p) mod m — validates the wrapping
+      // addModP iteration in Buf.insert against BigInt truth
+      def bit(lo: Long, hi: Long, s: Int): Int =
+        (((BigInt(lo) + BigInt(s) * BigInt(hi)) mod P) mod BigInt(mBits)).toInt
+      val replica = (0 until k).map { s =>
+        items.map { case (lo, hi) => bit(lo, hi, s) }.toSet
+      }
+      def build(xs: Seq[(Long, Long)]): Array[Byte] = {
+        val b = new GraftBloom.Buf(k, mBits)
+        xs.foreach { case (lo, hi) => b.insert(lo, hi) }
+        GraftBloom.serialize(b)
+      }
+      val sk = build(items)
+      // exact fill invariant vs the replica
+      assert(GraftBloom.bitsSet(sk) == replica.map(_.size).sum.toLong)
+      // no false negatives, ever
+      items.foreach { case (lo, hi) =>
+        assert(GraftBloom.contains(sk, lo, hi))
+      }
+      // probes answer exactly what the replica's bits imply — false
+      // positives included (membership == all k segment bits set)
+      (1 to 200).foreach { _ =>
+        val (lo, hi) = (randHash(), randHash())
+        val expected = (0 until k).forall(s => replica(s)(bit(lo, hi, s)))
+        assert(GraftBloom.contains(sk, lo, hi) == expected)
+      }
+      // insertion is idempotent; merge of arbitrary partials (with
+      // duplicates across them) is BYTE-identical to one-shot
+      val (i1, i2) = items.splitAt(rnd.nextInt(items.length + 1))
+      assert(java.util.Arrays.equals(
+        GraftBloom.union(build(i1 ++ i2.take(3)), build(i2)), sk))
+      // the bloom_merge aggregate adopts geometry from its first
+      // non-empty input (buffers start at the default 5×2^16)
+      val agg = graft.plans.BloomMerge(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.BinaryType, nullable = false))
+      var buf = agg.createAggregationBuffer()
+      buf = agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(build(i1)))
+      var buf2 = agg.createAggregationBuffer()
+      buf2 = agg.update(buf2, org.apache.spark.sql.catalyst.InternalRow(build(i2)))
+      val merged = agg.merge(agg.deserialize(agg.serialize(buf)), buf2)
+      assert(java.util.Arrays.equals(agg.eval(merged).asInstanceOf[Array[Byte]], sk))
+    }
+  }
 }

@@ -743,4 +743,49 @@ class SurfaceSpec extends AnyFunSuite {
         |FROM cms_sk a JOIN cms_sk b ON a.g = 'a' AND b.g = 'b'""".stripMargin)
       .collect().head.getLong(0) == 2L)
   }
+
+  test("bloom prefilter: no false negatives vs exact contamination; SQL algebra") {
+    import spark.implicits._
+    // the registered query's contract on real data: every n_flagged
+    // count dominates its exact-overlap count (zero false negatives),
+    // and every doc the exact inverted-index join convicts is in the
+    // bloom candidate set — the property that makes it a safe stage-1
+    val rows = TextOps.contaminationBloom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, fl, ex) = (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("n_exact"))
+      assert(fl >= ex && fl <= n && fl > 0)
+    }
+    val candidates = rows.map(_.getAs[Long]("doc_id")).toSet
+    val convicted = TextOps.contamination(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(convicted.subsetOf(candidates))
+    // the stress geometry must actually produce false positives —
+    // otherwise the FPR calibration columns measure nothing
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum >
+      rows.map(_.getAs[Long]("n_exact")).sum)
+    // SQL injection end-to-end: build per-group filters from SQL text,
+    // merge across groups, probe members and a non-member. Default
+    // geometry (5×2^16) on 3 items: a false positive needs all 5
+    // segment bits of an ~3/65536-full filter — fixed inputs, so the
+    // outcome is deterministic, and the pinned value is the ~1e-22 case
+    Seq(("a", 5L, 900L), ("a", 7L, 13L), ("b", 11L, 42L))
+      .toDF("g", "lo", "hi").createOrReplaceTempView("bl_t")
+    spark.sql("SELECT g, bloom_state(lo, hi) AS bf FROM bl_t GROUP BY g")
+      .createOrReplaceTempView("bl_sk")
+    val probed = spark.sql(
+      """SELECT bloom_contains(bloom_merge(bf), 5L, 900L) AS m1,
+        |       bloom_contains(bloom_merge(bf), 11L, 42L) AS m2,
+        |       bloom_contains(bloom_merge(bf), 999L, 999L) AS m3,
+        |       bloom_bits_set(bloom_merge(bf)) AS nb
+        |FROM bl_sk""".stripMargin).collect().head
+    assert(probed.getBoolean(0) && probed.getBoolean(1) && !probed.getBoolean(2))
+    // 3 items × 5 segments, minus any within-segment collisions
+    assert(probed.getLong(3) >= 5L && probed.getLong(3) <= 15L)
+    // explicit-geometry overload parses from SQL text too
+    assert(spark.sql(
+      """SELECT bloom_bits_set(bloom_state(lo, hi, 2, 64)) AS nb
+        |FROM bl_t""".stripMargin).collect().head.getLong(0) <= 6L)
+  }
 }
