@@ -250,7 +250,7 @@ object StreamScale {
       val t0 = System.nanoTime()
       val q = StreamingJobs.snapshotUpdatePartitioned(
         stream, "day", EventAnalytics.sketchDailyLeafFrom,
-        retainPartitions = retain) { (res, touched) =>
+        retainPartitions = retain)({ (res, touched) =>
         val t = touched.map(_.asInstanceOf[Long]).toSet
         served.keySet().removeIf(t.contains(_))
         res.collect().foreach { r =>
@@ -259,7 +259,13 @@ object StreamScale {
             r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk"),
             r.getAs[Array[Byte]]("values_sk")))
         }
-      }
+      // evicted days must leave the serving map, exactly as face 3's
+      // store does — without this the map accumulates every day ever
+      // ingested and the retained-window parity check is vacuous-false
+      }, keys => {
+        val t = keys.map(_.asInstanceOf[Long]).toSet
+        served.keySet().removeIf(t.contains(_))
+      })
       try q.processAllAvailable() finally q.stop()
       import scala.jdk.CollectionConverters._
       val state = served.asScala.toMap

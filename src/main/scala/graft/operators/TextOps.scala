@@ -1557,6 +1557,112 @@ object TextOps {
        |HAVING sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) > 0""".stripMargin
   }
 
+  /** Estimator audit for the bloom prefilter, in the family's
+    * calibration convention (minhash_calibration / simhash_calibration /
+    * cms_calibration): one row over the GRAM population — members must
+    * all flag (the zero-false-negative guarantee as a testable column
+    * pair), non-members flag at the measured FPR, and the prediction
+    * the filter's own fill gauge implies (mean fill^k) sits alongside
+    * for comparison. Both rates are float64 arithmetic over exact
+    * integers (division + a multiplication chain — each operation
+    * correctly rounded, so the DuckDB twin reproduces the bits and the
+    * gate hashes doubles too). Same deliberately mid-loaded stress
+    * geometry as [[contaminationBloom]]: a production-sized filter
+    * would measure FPR = 0 on this corpus and audit nothing. */
+  def bloomCalibration(spark: SparkSession, d: String, n: Int = 5,
+                       benchMod: Int = 10, benchRes: Int = 7,
+                       k: Int = 4, mBits: Int = 4096): DataFrame = {
+    val grams = docs(spark, d).filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
+    val benchGrams = grams.filter(col("doc_id") % benchMod === benchRes)
+      .select("gram").distinct()
+    val (blo, bhi) = graft.functions.ColumnFunctions.hash64Pair(col("gram"), BloomTag)
+    val bloom = benchGrams.select(blo.as("lo"), bhi.as("hi"))
+      .agg(graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), k, mBits)
+        .as("bf"))
+      .withColumn("bits_set", graft.plans.GraftFunctions.bloomBitsSet(col("bf")))
+    val probes = grams.filter(col("doc_id") % benchMod =!= benchRes)
+      .select("gram").distinct()
+      .select(col("gram"), blo.as("lo"), bhi.as("hi"))
+      .join(broadcast(benchGrams.withColumn("is_member", lit(1L))),
+        Seq("gram"), "left")
+      .crossJoin(broadcast(bloom))
+      .withColumn("flagged",
+        graft.plans.GraftFunctions.bloomContains(col("bf"), col("lo"), col("hi"))
+          .cast("long"))
+      .withColumn("member", coalesce(col("is_member"), lit(0L)))
+    val agg = probes.agg(
+      count(lit(1)).as("n_probes"),
+      sum(col("member")).as("n_members"),
+      sum(col("member") * col("flagged")).as("members_flagged"),
+      sum(lit(1L) - col("member")).as("n_nonmembers"),
+      sum((lit(1L) - col("member")) * col("flagged")).as("nonmembers_flagged"),
+      max(col("bits_set")).as("bits_set"))
+    val fill = col("bits_set").cast("double") / lit(k.toLong * mBits)
+    agg.select(col("n_probes"), col("n_members"), col("members_flagged"),
+      col("n_nonmembers"), col("nonmembers_flagged"), col("bits_set"),
+      (col("nonmembers_flagged").cast("double") / col("n_nonmembers"))
+        .as("measured_fpr"),
+      (1 to k).map(_ => fill).reduce(_ * _).as("predicted_fpr"))
+  }
+
+  def bloomCalibrationSql(n: Int = 5, benchMod: Int = 10, benchRes: Int = 7,
+                          k: Int = 4, mBits: Int = 4096): String = {
+    val parts = (1 to n).map(j => if (j == 1) "toks[i]" else s"toks[i+${j - 1}]")
+      .mkString(" || ' ' || ")
+    val fill = s"(bits_set::DOUBLE / ${k.toLong * mBits})"
+    val predicted = Seq.fill(k)(fill).mkString(" * ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |               i -> $parts)) AS gram
+       |      FROM t WHERE len(toks) >= $n),
+       |bgrams AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = $benchRes),
+       |pgrams AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod <> $benchRes),
+       |bh AS (SELECT gram,
+       |         (md5_number_lower('$BloomTag:' || gram)
+       |          % ${HashPrime}::UBIGINT)::BIGINT AS lo,
+       |         (md5_number_upper('$BloomTag:' || gram)
+       |          % ${HashPrime}::UBIGINT)::BIGINT AS hi
+       |       FROM bgrams),
+       |bits AS (SELECT DISTINCT r.s,
+       |           ((lo::HUGEINT + r.s * hi::HUGEINT) % ${HashPrime})::BIGINT
+       |             % $mBits AS bit
+       |         FROM bh CROSS JOIN range($k) AS r(s)),
+       |ph AS (SELECT gram,
+       |         (md5_number_lower('$BloomTag:' || gram)
+       |          % ${HashPrime}::UBIGINT)::BIGINT AS lo,
+       |         (md5_number_upper('$BloomTag:' || gram)
+       |          % ${HashPrime}::UBIGINT)::BIGINT AS hi
+       |       FROM pgrams),
+       |pb AS (SELECT gram, r.s,
+       |         ((lo::HUGEINT + r.s * hi::HUGEINT) % ${HashPrime})::BIGINT
+       |           % $mBits AS bit
+       |       FROM ph CROSS JOIN range($k) AS r(s)),
+       |flag AS (SELECT pb.gram FROM pb JOIN bits USING (s, bit)
+       |         GROUP BY pb.gram HAVING count(*) = $k),
+       |probe AS (SELECT p.gram,
+       |            CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS member,
+       |            CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END AS flagged
+       |          FROM pgrams p
+       |          LEFT JOIN bgrams b ON b.gram = p.gram
+       |          LEFT JOIN flag f ON f.gram = p.gram),
+       |sums AS (SELECT count(*)::BIGINT AS n_probes,
+       |           sum(member)::BIGINT AS n_members,
+       |           sum(member * flagged)::BIGINT AS members_flagged,
+       |           sum(1 - member)::BIGINT AS n_nonmembers,
+       |           sum((1 - member) * flagged)::BIGINT AS nonmembers_flagged,
+       |           (SELECT count(*) FROM bits)::BIGINT AS bits_set
+       |         FROM probe)
+       |SELECT n_probes, n_members, members_flagged, n_nonmembers,
+       |       nonmembers_flagged, bits_set,
+       |       nonmembers_flagged::DOUBLE / n_nonmembers AS measured_fpr,
+       |       $predicted AS predicted_fpr
+       |FROM sums""".stripMargin
+  }
+
   // ---- near-dup cluster resolution -----------------------------------
 
   /** The step every pair-emitting dedup operator needs to become an

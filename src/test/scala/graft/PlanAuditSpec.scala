@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "attribution_asof", "contamination",
     "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup",
     "textrank_keywords", "label_spread", "profile_table", "key_skew_report",
-    "retention_cohorts")
+    "retention_cohorts", "contamination_bloom")
 
   test("retention_cohorts joins only broadcast bitmap relations — the " +
     "event volume is touched by exactly one aggregation scan") {
@@ -51,6 +51,23 @@ class PlanAuditSpec extends AnyFunSuite {
       // subtree must be reused, not re-scanned per consumer
       assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
         s"$name re-scans the event volume per join branch:\n$plan")
+    }
+  }
+
+  test("contamination_bloom probes from a broadcast filter — the corpus " +
+    "gram volume is never shuffle-joined against benchmark grams") {
+    val df = SparkEntry.queries("contamination_bloom")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter bytes and the exact-overlap calibration relation are
+    // both broadcast; a SortMergeJoin here would mean the prefilter
+    // shuffles the very gram relation it exists to avoid shuffling
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"contamination_bloom lost its broadcast probe:\n$plan")
+    Seq("SortMergeJoin", "CartesianProduct").foreach { op =>
+      assert(!plan.contains(op),
+        s"contamination_bloom plans a $op over the gram volume:\n$plan")
     }
   }
 
