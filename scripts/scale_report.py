@@ -51,7 +51,8 @@ _cls(1.0,
      'audio_windows', 'avg_value_udaf', 'blacklist',
      'blacklist_stateful', 'cdc_chunks', 'channel_counts',
      'chunk_documents', 'click_no_purchase', 'clicks_by_province',
-     'contamination', 'corpus_coverage', 'dataset_card', 'event_daily_leaf',
+     'contamination', 'contamination_bloom', 'bloom_calibration',
+     'corpus_coverage', 'dataset_card', 'event_daily_leaf',
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
      'rolling_active_users_sql', 'acquisition_cohorts',
      'user_churn', 'user_churn_sql', 'audience_overlap', 'uv_theta_daily',

@@ -1460,7 +1460,22 @@ object TextOps {
   // ---- bloom-prefiltered contamination -------------------------------
 
   /** Hash-pair tag for the bloom membership family. */
-  private val BloomTag = "bl"
+  private[graft] val BloomTag = "bl"
+
+  /** The benchmark n-gram set folded to ONE Bloom filter row — the
+    * broadcastable artifact both the batch prefilter and the streaming
+    * face probe. Stays a DataFrame (no driver collect, no plan
+    * literal): the broadcast ships m/8 bytes to every executor, the
+    * exact 100 TB role the family exists for. */
+  private[graft] def benchmarkBloom(benchmark: DataFrame, n: Int,
+                                    k: Int, mBits: Int): DataFrame = {
+    val grams = benchmark.withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= n)
+      .select(explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
+    val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("gram"), BloomTag)
+    grams.agg(graft.plans.GraftFunctions
+      .bloomState(lo, hi, k, mBits).as("bf"))
+  }
 
   /** The decontamination PREFILTER: the benchmark n-gram set folded to
     * a Bloom filter (graft.plans.GraftBloom — m bits that broadcast),

@@ -274,6 +274,55 @@ object StreamingJobs {
     * equal the batch operator's bit-for-bit (parity-tested); unseen
     * bigrams contribute zero hit mass, unseen contexts nothing at all,
     * and a doc with no modeled context gets a NULL score. */
+  /** Streaming face of the decontamination PREFILTER
+    * (TextOps.contaminationBloom stage 1): every ARRIVING document's
+    * distinct n-grams probe the benchmark Bloom filter, and the doc
+    * gets a `candidate`/`clean` verdict — `clean` is final (zero false
+    * negatives), `candidate` routes to the exact stage-2 join. This is
+    * the live-ingestion form: gate documents against the eval suite
+    * BEFORE they enter the training corpus.
+    *
+    * Shapes: the filter is batch-built once at plan time from the
+    * static benchmark frame and stays a 1-row DataFrame joined on a
+    * constant key — the broadcast ships m/8 BYTES per executor and the
+    * per-gram probe is O(k) word reads in codegen, so the stream side
+    * never joins against benchmark gram strings at all (the thing the
+    * prefilter exists to avoid). State is one (window, doc_id) count
+    * row per arriving doc, watermark-evicted. Run on a batch frame the
+    * identical plan executes one-shot — parity-tested against the
+    * oracle-checked batch prefilter (StreamingDedupSpec). */
+  def streamingContamination(docs: DataFrame, benchmark: DataFrame,
+                             n: Int = 5, k: Int = 4, mBits: Int = 4096,
+                             wmDelay: String = "30 seconds",
+                             win: String = "1 minute"): DataFrame = {
+    import graft.operators.TextOps
+    val bloom = TextOps.benchmarkBloom(benchmark, n, k, mBits)
+      .withColumn("one", lit(1))
+    val (lo, hi) = graft.functions.ColumnFunctions
+      .hash64Pair(col("gram"), TextOps.BloomTag)
+    // NO size(toks) >= n pre-filter here, deliberately: Catalyst's
+    // PushPredicateThroughNonJoin would push it BELOW the
+    // EventTimeWatermark node (it doesn't reference ts), so a short
+    // document would never reach the event-time accumulator and could
+    // stall the watermark. shinglesExpr already yields an EMPTY array
+    // below n tokens and explode (not explode_outer) emits no rows —
+    // same output, and every arrival advances event time.
+    docs.withWatermark("ts", wmDelay)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(col("ts"), col("doc_id"),
+        explode(array_distinct(expr(TextOps.shinglesExpr(n)))).as("gram"))
+      .withColumn("one", lit(1))
+      .join(broadcast(bloom), Seq("one"))
+      .withColumn("flagged",
+        graft.plans.GraftFunctions.bloomContains(col("bf"), lo, hi)
+          .cast("long"))
+      .groupBy(window(col("ts"), win), col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("flagged")).as("n_flagged"))
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        when(col("n_flagged") > 0, lit("candidate"))
+          .otherwise(lit("clean")).as("verdict"))
+  }
+
   def streamingLmScore(docs: DataFrame, modelCorpus: DataFrame,
                        wmDelay: String = "30 seconds",
                        win: String = "1 minute"): DataFrame = {

@@ -306,6 +306,57 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingContamination verdicts equal batch contaminationBloom on real documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real sf0.001 documents, the batch prefilter's own split (doc_id
+    // % 10 == 7 is the benchmark): the batch query is hash-checked
+    // against DuckDB's bit-for-bit filter replay, so equality here
+    // certifies the streamed probe path end-to-end — including that
+    // false POSITIVES reproduce identically (deterministic bits)
+    val sfDir = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val benchmark = all.filter(col("doc_id") % 10 === 7)
+    val arriving = all.filter(col("doc_id") % 10 =!= 7)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batch = graft.operators.TextOps.contaminationBloom(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_flagged"))))
+      .toMap
+    val exactHits = graft.operators.TextOps.contamination(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingContamination(df, benchmark),
+      "stream_contam", "append")
+    try {
+      val (a, b) = arriving.splitAt(arriving.length / 2)
+      input.addData(a.map { case (id, t) => (id, 10L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b.map { case (id, t) => (id, 20L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((-1L, 600L, "late watermark pusher")))
+      q.processAllAvailable()
+      val got = spark.table("stream_contam").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_grams"), r.getAs[Long]("n_flagged"),
+          r.getAs[String]("verdict")))
+      // candidate rows match the oracle-checked batch prefilter exactly
+      val candidates = got.filter(_._4 == "candidate")
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(candidates == batch && batch.nonEmpty)
+      // clean is final: zero flags, and never an exact-contaminated doc
+      val clean = got.filter(_._4 == "clean")
+      assert(clean.forall(_._3 == 0L))
+      assert(clean.map(_._1).toSet.intersect(exactHits).isEmpty)
+      // every arriving doc with >= n tokens got exactly one verdict
+      assert(got.length == candidates.size + clean.length)
+    } finally q.stop()
+  }
+
   test("trendingTokens: streamed MG sketch keeps every true heavy hitter") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
