@@ -320,6 +320,77 @@ object DataPipeline {
        |      FROM documents)""".stripMargin
   }
 
+  /** Train→eval LEAKAGE audit over [[datasetSplit]]'s own assignment —
+    * the check a split is not allowed to skip: for every val/test
+    * document, how many of its distinct n-grams also occur anywhere in
+    * the train split. A doc-level split is necessary but NOT sufficient
+    * (near-duplicates and quoted passages leak content across splits
+    * even when doc ids split cleanly); `leak_frac` near 1 marks an
+    * eval doc whose content the model trains on anyway. Exact by
+    * construction: eval grams shuffle-join the distinct train-gram
+    * relation on gram.
+    *
+    * Scale: the EVAL side is the small one (valFrac+testFrac of the
+    * corpus) — the join shuffles eval grams against train grams
+    * co-partitioned on gram, with the train side's distinct collapsing
+    * map-side; nothing broadcasts a corpus-sized relation. At 100 TB
+    * the bloom prefilter ([[TextOps.contaminationBloom]]'s shape, with
+    * train as the filter source) routes the bulk of CLEAN eval grams
+    * around the exact join, which then runs on the flagged sliver. */
+  def splitLeakage(spark: SparkSession, d: String, n: Int = 5,
+                   valFrac: Double = 0.01, testFrac: Double = 0.01,
+                   seed: Int = 3): DataFrame = {
+    val split = datasetSplit(spark, d, valFrac, testFrac, seed)
+      .select("doc_id", "split")
+    val grams = Tables.documents(spark, d)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(TextOps.shinglesExpr(n)))).as("gram"))
+      .join(split, "doc_id")
+    val trainGrams = grams.filter(col("split") === "train")
+      .select("gram").distinct().withColumn("leaked", lit(1L))
+    grams.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy("split", "doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("leaked"), lit(0L))).as("n_leaked"))
+      .withColumn("leak_frac",
+        col("n_leaked").cast("double") / col("n_grams"))
+  }
+
+  def splitLeakageSql(n: Int = 5, valFrac: Double = 0.01,
+                      testFrac: Double = 0.01, seed: Int = 3): String = {
+    val thrVal = (BigDecimal(valFrac) * BigDecimal(HashPrime)).toLong
+    val thrTest = (BigDecimal(valFrac + testFrac) * BigDecimal(HashPrime)).toLong
+    val parts = (1 to n).map(j => if (j == 1) "toks[i]" else s"toks[i+${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |               i -> $parts)) AS gram
+       |      FROM t WHERE len(toks) >= $n),
+       |s AS (SELECT doc_id,
+       |        CASE WHEN h < $thrVal THEN 'val'
+       |             WHEN h < $thrTest THEN 'test'
+       |             ELSE 'train' END AS split
+       |      FROM (SELECT doc_id,
+       |              (md5_number_lower('$seed:' || doc_id)
+       |               % ${HashPrime}::UBIGINT)::BIGINT AS h
+       |            FROM documents)),
+       |gg AS (SELECT g.doc_id, g.gram, s.split FROM g JOIN s USING (doc_id)),
+       |tg AS (SELECT DISTINCT gram FROM gg WHERE split = 'train')
+       |SELECT e.split, e.doc_id, count(*)::BIGINT AS n_grams,
+       |       sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_leaked,
+       |       sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |         / count(*) AS leak_frac
+       |FROM gg e LEFT JOIN tg ON tg.gram = e.gram
+       |WHERE e.split <> 'train'
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- sequence packing (concat-then-chunk, sharded) ------------------
 
   /** Concat-then-chunk sequence packing — the GPT-pretraining batching

@@ -132,6 +132,32 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(half.forall { case (id, s) => full(id) == s })
   }
 
+  test("splitLeakage: planted cross-split copy flags 1.0, unique eval doc 0.0") {
+    // learn the deterministic assignment first, then plant the leak:
+    // one eval doc becomes a byte-copy of a train doc (leak_frac 1.0),
+    // every other doc keeps its id-unique tokens (leak_frac 0.0)
+    val base = (0L until 200L).map(i =>
+      (i, s"a$i b$i c$i d$i e$i f$i g$i"))
+    val dir0 = docsDir(base)
+    val split = DataPipeline.datasetSplit(spark, dir0, 0.2, 0.2).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = split.collectFirst { case (id, "train") => id }.get
+    val evalIds = split.filter(_._2 != "train").keys.toSeq.sorted
+    val (leakId, cleanId) = (evalIds.head, evalIds(1))
+    val dir = docsDir(base.map { case (id, t) =>
+      (id, if (id == leakId) base(trainId.toInt)._2 else t)
+    })
+    val got = DataPipeline.splitLeakage(spark, dir, 5, 0.2, 0.2).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(leakId) == ((split(leakId), 3L, 3L, 1.0)))
+    assert(got(cleanId) == ((split(cleanId), 3L, 0L, 0.0)))
+    // exactly the eval docs are audited — never the train side
+    assert(got.keySet == split.filter(_._2 != "train").keySet)
+    assert(got.forall { case (_, (s, n, l, f)) =>
+      s != "train" && l <= n && f >= 0.0 && f <= 1.0 })
+  }
+
   test("mixture sample: α=0.5 temperature up-weights the low-resource source") {
     import spark.implicits._
     // 900 docs from source A, 100 from B → proportional share 0.3 each;
