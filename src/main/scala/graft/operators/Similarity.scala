@@ -975,6 +975,35 @@ object Similarity {
         .withColumnRenamed("list_id", "label")))
   }
 
+  /** [[annIvfTopKTrained]] served from a PERSISTED index — the full
+    * production round-trip as one query: train (session-memoized) →
+    * `IndexStore.saveIvf` (parquet artifact) → `IndexStore.loadIvf`
+    * (validated) → probe. Results are identical to the fresh-train
+    * path by construction (training is deterministic and the artifact
+    * is lossless), so this query SHARES ann_ivf_trained's DuckDB
+    * oracle — the gate proves the artifact round-trip loses nothing.
+    *
+    * The artifact lands under java.io.tmpdir keyed by (dir, nlists,
+    * iters): this query's job is exercising the save/load path, so it
+    * pays the write every run; a real pipeline calls saveIvf once in
+    * ingest and loadIvf in serving jobs. */
+  def annIvfTopKPersisted(spark: SparkSession, d: String, k: Int = 5,
+                          nQueries: Int = 10, nprobe: Int = 2,
+                          nlists: Int = 8, iters: Int = 2): DataFrame = {
+    import graft.sources.IndexStore
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}_${nlists}_$iters"
+    IndexStore.saveIvf(spark, ivfTrain(spark, d, nlists, iters),
+      probeCentroids(spark, d, nlists, iters), path, nlists, iters)
+    val (assign, cents) = IndexStore.loadIvf(spark, path)
+    val base = Tables.embeddings(spark, d).drop("label")
+      .join(assign.withColumnRenamed("list_id", "label"), "vec_id")
+    ivfTopKImpl(base,
+      Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")), k, nprobe,
+      centOpt = Some(cents.withColumnRenamed("list_id", "label")))
+  }
+
   /** Semantic-diversity mix report — the data-mixing view of embedding
     * space: every vector is assigned to its [[ivfTrain]]ed cell, and
     * each (cell, label) pair reports its size, the cell total, and its

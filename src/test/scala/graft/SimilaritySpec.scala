@@ -647,6 +647,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 60L)
   }
 
+  test("persisted IVF index: round-trip serves identical top-k; load guards fire") {
+    import graft.sources.IndexStore
+    // the registered round-trip query equals the fresh-train path row
+    // for row (training deterministic, artifact lossless)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(key(Similarity.annIvfTopKPersisted(spark, sf)) ==
+      key(Similarity.annIvfTopKTrained(spark, sf)))
+    // artifact relations are the plain-parquet contract: a vec_id →
+    // list_id assignment covering the corpus, nlists probing centroids
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      s"${java.lang.Integer.toHexString(sf.hashCode)}_8_2"
+    val (assign, cents) = IndexStore.loadIvf(spark, path)
+    assert(assign.count() ==
+      graft.sources.Tables.embeddings(spark, sf).count())
+    assert(cents.count() == 8L)
+    // guards: a future-format or torn artifact must fail fast, not probe
+    import spark.implicits._
+    val bad = java.nio.file.Files.createTempDirectory("graftidx").toString
+    assign.write.parquet(s"$bad/assign")
+    cents.write.parquet(s"$bad/centroids")
+    Seq((IndexStore.FormatVersion + 1, 8, 2, assign.count(), 8L))
+      .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
+      .write.parquet(s"$bad/meta")
+    val e1 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, bad))
+    assert(e1.getMessage.contains("format"))
+    val torn = java.nio.file.Files.createTempDirectory("graftidx2").toString
+    assign.write.parquet(s"$torn/assign")
+    cents.limit(3).write.parquet(s"$torn/centroids")
+    Seq((IndexStore.FormatVersion, 8, 2, assign.count(), 8L))
+      .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
+      .write.parquet(s"$torn/meta")
+    val e2 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, torn))
+    assert(e2.getMessage.contains("centroid rows"))
+  }
+
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
     import spark.implicits._
     // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4
