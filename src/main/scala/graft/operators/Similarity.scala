@@ -1520,6 +1520,18 @@ object Similarity {
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val (cent, cb, codes) =
       ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
+    ivfPqServe(base, queries, cent, cb, codes, k, nprobe, nSub, dim)
+  }
+
+  /** The SERVING half of IVF-PQ — probe → residual LUT → cell-
+    * restricted ADC → exact re-rank — over an index bundle that can
+    * come from the session memo ([[ivfPqTopK]]) OR from a persisted
+    * artifact ([[ivfPqTopKPersisted]] via `IndexStore.loadIvfPq`):
+    * serving never retrains. */
+  private[operators] def ivfPqServe(base: DataFrame, queries: DataFrame,
+                                    cent: DataFrame, cb: DataFrame,
+                                    codes: DataFrame, k: Int, nprobe: Int,
+                                    nSub: Int, dim: Int): DataFrame = {
     // probe: top-nprobe cells per query by exact centroid distance
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qe"))
@@ -1584,6 +1596,36 @@ object Similarity {
       Tables.embeddings(spark, d).filter(expr(pred))
         .select(col("vec_id").as("query_id"), col("embedding")),
       k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim)
+
+  /** [[ivfPqTopK]] served from a PERSISTED index bundle — the
+    * compressed-index production round-trip: train (session-memoized)
+    * → `IndexStore.saveIvfPq` (coarse centroids + residual codebook +
+    * cell-tagged codes as three parquet relations) →
+    * `IndexStore.loadIvfPq` (validated) → [[ivfPqServe]]. Deterministic
+    * training + lossless artifact ⇒ identical results, so this query
+    * SHARES ivf_pq_topk's DuckDB oracle. Serving from the artifact
+    * touches raw vectors only in the O(queries·rerank) re-rank join —
+    * the bundle (nlists·dim + nSub·nCodes·subDim + n·nSub ints) is the
+    * whole index a serving cluster needs. */
+  def ivfPqTopKPersisted(spark: SparkSession, d: String, k: Int = 5,
+                         nQueries: Int = 10, nprobe: Int = 2,
+                         nlists: Int = 8, ivfIters: Int = 2,
+                         nSub: Int = 8, nCodes: Int = 16,
+                         iters: Int = 2, dim: Int = 64): DataFrame = {
+    import graft.sources.IndexStore
+    val (cent0, cb0, codes0) =
+      ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}_${nlists}_${nSub}_$nCodes"
+    IndexStore.saveIvfPq(spark, cent0, cb0, codes0, path,
+      nlists, nSub, nCodes)
+    val (cent, cb, codes) = IndexStore.loadIvfPq(spark, path)
+    ivfPqServe(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      cent, cb, codes, k, nprobe, nSub, dim)
+  }
 
   def ivfPqTopKSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
                    nlists: Int = 8, ivfIters: Int = 2,

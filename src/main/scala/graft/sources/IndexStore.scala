@@ -48,6 +48,45 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** The IVF-PQ bundle: coarse probing centroids, residual codebook,
+    * cell-tagged PQ codes — everything [[graft.operators.Similarity]]'s
+    * `ivfPqServe` needs; raw vectors are touched only by the re-rank
+    * join, from the corpus table itself. */
+  def saveIvfPq(spark: SparkSession, cent: DataFrame, codebook: DataFrame,
+                codes: DataFrame, path: String,
+                nlists: Int, nSub: Int, nCodes: Int): Unit = {
+    cent.select(col("list_id"), col("cemb"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.select(col("sub_id"), col("code"), col("cemb"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    codes.select(col("vec_id"), col("sub_id"), col("code"), col("list_id"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    Seq((FormatVersion, nlists, nSub, nCodes,
+        spark.read.parquet(s"$path/centroids").count(),
+        spark.read.parquet(s"$path/codebook").count(),
+        spark.read.parquet(s"$path/codes").count()))
+      .toDF("format_version", "nlists", "n_sub", "n_codes",
+        "n_centroids", "n_codebook", "n_code_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadIvfPq(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"ivfpq index at $path: meta must be one row, got ${meta.length}")
+    val m = meta.head
+    require(m.getAs[Int]("format_version") == FormatVersion,
+      s"ivfpq index at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (retrain and re-save)")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    require(cent.count() == m.getAs[Long]("n_centroids") && m.getAs[Long]("n_centroids") > 0,
+      s"ivfpq index at $path: centroid rows disagree with meta")
+    require(cb.count() == m.getAs[Long]("n_codebook") && m.getAs[Long]("n_codebook") > 0,
+      s"ivfpq index at $path: codebook rows disagree with meta")
+    (cent, cb, codes)
+  }
+
   /** Loads and VALIDATES the artifact: wrong format version, empty
     * relations, or a centroid count that disagrees with meta all fail
     * fast with the reason — a serving job must never probe a

@@ -680,6 +680,9 @@ class SimilaritySpec extends AnyFunSuite {
       .write.parquet(s"$torn/meta")
     val e2 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, torn))
     assert(e2.getMessage.contains("centroid rows"))
+    // the compressed-index bundle round-trips identically too
+    assert(key(Similarity.ivfPqTopKPersisted(spark, sf)) ==
+      key(Similarity.ivfPqTopK(spark, sf)))
   }
 
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
