@@ -2405,12 +2405,17 @@ object TextOps {
        |  FROM (SELECT DISTINCT source FROM tf) a
        |  JOIN (SELECT DISTINCT source FROM tf) b ON a.source < b.source
        |), ip AS (
-       |  SELECT p.source_a, p.source_b, x.s,
-       |         sum(x.mass * y.mass)::BIGINT AS dot
+       |  -- every (pair, row) gets a dot, zero included: a row s whose
+       |  -- buckets are disjoint contributes dot = 0 and must win the
+       |  -- min (Spark's cms_inner_product includes zero rows; an
+       |  -- inner join here would silently drop them and overestimate)
+       |  SELECT p.source_a, p.source_b, r.s,
+       |         coalesce(sum(x.mass * y.mass), 0)::BIGINT AS dot
        |  FROM pairs p
-       |  JOIN bs x ON x.source = p.source_a
-       |  JOIN bs y ON y.source = p.source_b AND y.s = x.s AND y.bkt = x.bkt
-       |  GROUP BY p.source_a, p.source_b, x.s
+       |  CROSS JOIN range($CmsDepth) AS r(s)
+       |  LEFT JOIN bs x ON x.source = p.source_a AND x.s = r.s
+       |  LEFT JOIN bs y ON y.source = p.source_b AND y.s = r.s AND y.bkt = x.bkt
+       |  GROUP BY p.source_a, p.source_b, r.s
        |), estq AS (
        |  SELECT source_a, source_b, min(dot)::BIGINT AS est_ip
        |  FROM ip GROUP BY source_a, source_b

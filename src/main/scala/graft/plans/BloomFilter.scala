@@ -142,10 +142,22 @@ object GraftBloom {
     n
   }
 
+  /** OR serialized filter bytes straight into a live buffer — the
+    * zero-allocation fold kernel (the `GraftBitmaps.orInto` pattern):
+    * the merge-aggregate's hot path runs once per INPUT ROW, so a
+    * per-row 40 KiB Buf allocation scales GC with row count. */
+  def orInto(b: Buf, bytes: Array[Byte]): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt(0) == b.k && bb.getInt(4) == b.mBits,
+      s"bloom_merge: geometry mismatch (${b.k}×${b.mBits} vs ${bb.getInt(0)}×${bb.getInt(4)})")
+    var i = 0
+    while (i < b.words.length) { b.words(i) |= bb.getLong(8 + 8 * i); i += 1 }
+  }
+
   /** Serialized OR-union for non-aggregate call sites. */
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val x = deserialize(a)
-    x.mergeIn(deserialize(b))
+    orInto(x, b)
     serialize(x)
   }
 }
@@ -189,6 +201,10 @@ case class BloomState(
   with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
   require(k >= 1, "bloom_state needs k ≥ 1 hash rows")
+  // validate geometry on the DRIVER at plan construction — Buf's own
+  // check would otherwise fail late, inside executor tasks
+  require(mBits >= 64 && (mBits & 63) == 0,
+    s"bloom_state mBits must be a positive multiple of 64, got $mBits")
 
   override def prettyName: String = "bloom_state"
   override def left: Expression = lo
@@ -254,9 +270,14 @@ case class BloomMerge(
 
   override def update(buf: GraftBloom.Buf, input: InternalRow): GraftBloom.Buf = {
     val v = child.eval(input)
-    if (v != null)
-      merge(buf, GraftBloom.deserialize(v.asInstanceOf[Array[Byte]]))
-    else buf
+    if (v == null) return buf
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    // geometry adoption needs a real Buf (first non-empty input only);
+    // every subsequent row folds allocation-free off the bytes
+    if ((bb.getInt(0) != buf.k || bb.getInt(4) != buf.mBits) && isZero(buf))
+      GraftBloom.deserialize(bytes)
+    else { GraftBloom.orInto(buf, bytes); buf }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BloomMerge =

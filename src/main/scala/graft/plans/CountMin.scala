@@ -109,6 +109,18 @@ object GraftCms {
     (bb.getInt, bb.getInt)
   }
 
+  /** Add serialized counters straight into a live buffer — the
+    * zero-allocation fold kernel (the `GraftBitmaps.orInto` pattern):
+    * the merge-aggregate's hot path runs once per INPUT ROW, so a
+    * per-row 64 KiB Buf allocation scales GC with row count. */
+  def addInto(b: Buf, bytes: Array[Byte]): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt(0) == b.depth && bb.getInt(4) == b.width,
+      s"cms_merge: geometry mismatch (${b.depth}×${b.width} vs ${bb.getInt(0)}×${bb.getInt(4)})")
+    var i = 0
+    while (i < b.counters.length) { b.counters(i) += bb.getLong(8 + 8 * i); i += 1 }
+  }
+
   @inline private def counterAt(bytes: Array[Byte], idx: Int): Long =
     java.nio.ByteBuffer.wrap(bytes).getLong(8 + 8 * idx)
 
@@ -296,9 +308,14 @@ case class CmsMerge(
 
   override def update(buf: GraftCms.Buf, input: InternalRow): GraftCms.Buf = {
     val v = child.eval(input)
-    if (v != null)
-      merge(buf, GraftCms.deserialize(v.asInstanceOf[Array[Byte]]))
-    else buf
+    if (v == null) return buf
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    // geometry adoption needs a real Buf (first non-empty input only);
+    // every subsequent row folds allocation-free off the bytes
+    if ((bb.getInt(0) != buf.depth || bb.getInt(4) != buf.width) && isZero(buf))
+      GraftCms.deserialize(bytes)
+    else { GraftCms.addInto(buf, bytes); buf }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsMerge =

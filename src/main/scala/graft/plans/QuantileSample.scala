@@ -127,10 +127,37 @@ object GraftQSample {
     (k, theta, hs, vs)
   }
 
+  /** Fold `o` into `b` — the ONE extraction loop every merge path
+    * (state aggregate, merge aggregate, serving folds) goes through. */
+  def mergeBufs(b: Buf, o: Buf): Buf = {
+    val n = o.map.size
+    val hs = new Array[Long](n)
+    val vs = new Array[Double](n)
+    val it = o.map.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      hs(i) = e.getKey
+      vs(i) = e.getValue
+      i += 1
+    }
+    b.mergeIn(o.theta, hs, vs)
+    b
+  }
+
+  /** Serialized union for non-aggregate call sites — the
+    * [[GraftTheta.union]]/[[GraftBloom.union]] twin. */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    serialize(mergeBufs(deserialize(a), deserialize(b)))
+
   /** Empirical quantile of the retained sample — Spark `percentile`
     * interpolation (linear at rank q·(n−1)), null for an empty
-    * sample. */
+    * sample. Rejects q outside [0, 1] like Spark's own percentile
+    * (an out-of-range rank would otherwise index past the array deep
+    * inside an executor task). */
   def quantile(bytes: Array[Byte], q: Double): Any = {
+    require(q >= 0.0 && q <= 1.0,
+      s"qsample_quantile: percentage q must be in [0, 1], got $q")
     val (_, _, _, vs) = view(bytes)
     if (vs.isEmpty) return null
     java.util.Arrays.sort(vs)
@@ -199,21 +226,8 @@ case class QSampleState(
     buf
   }
 
-  override def merge(b1: GraftQSample.Buf, b2: GraftQSample.Buf): GraftQSample.Buf = {
-    val n = b2.map.size
-    val hs = new Array[Long](n)
-    val vs = new Array[Double](n)
-    val it = b2.map.entrySet().iterator()
-    var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      hs(i) = e.getKey
-      vs(i) = e.getValue
-      i += 1
-    }
-    b1.mergeIn(b2.theta, hs, vs)
-    b1
-  }
+  override def merge(b1: GraftQSample.Buf, b2: GraftQSample.Buf): GraftQSample.Buf =
+    GraftQSample.mergeBufs(b1, b2)
 
   override def eval(buf: GraftQSample.Buf): Any = GraftQSample.serialize(buf)
   override def serialize(buf: GraftQSample.Buf): Array[Byte] =
@@ -259,21 +273,21 @@ case class QSampleMerge(
     else buf
   }
 
-  override def merge(b1: GraftQSample.Buf, b2: GraftQSample.Buf): GraftQSample.Buf = {
-    val n = b2.map.size
-    val hs = new Array[Long](n)
-    val vs = new Array[Double](n)
-    val it = b2.map.entrySet().iterator()
-    var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      hs(i) = e.getKey
-      vs(i) = e.getValue
-      i += 1
+  private def isEmpty(b: GraftQSample.Buf): Boolean =
+    b.theta == Long.MaxValue && b.map.isEmpty
+
+  /** The buffer starts at DefaultK; the budget FOLLOWS the first
+    * non-empty input (the doc contract, and the [[CmsMerge]]/
+    * [[BloomMerge]] convention) — without this, folding k=16384 leaves
+    * through a k=4096 buffer silently re-trims the sample. A true
+    * mixture of budgets fails fast. */
+  override def merge(b1: GraftQSample.Buf, b2: GraftQSample.Buf): GraftQSample.Buf =
+    if (b1.k != b2.k && isEmpty(b1)) b2
+    else if (b1.k != b2.k && isEmpty(b2)) b1
+    else {
+      require(b1.k == b2.k, s"qsample_merge: k mismatch (${b1.k} vs ${b2.k})")
+      GraftQSample.mergeBufs(b1, b2)
     }
-    b1.mergeIn(b2.theta, hs, vs)
-    b1
-  }
 
   override def eval(buf: GraftQSample.Buf): Any = GraftQSample.serialize(buf)
   override def serialize(buf: GraftQSample.Buf): Array[Byte] =

@@ -291,6 +291,22 @@ case class ThetaMerge(
       s"theta_merge requires BINARY sketch bytes, got $other")
   }
 
+  private def isEmpty(b: GraftTheta.Buf): Boolean =
+    b.theta == Long.MaxValue && b.set.isEmpty
+
+  /** The buffer starts at DefaultK; the budget FOLLOWS the first
+    * non-empty input (the doc contract, and the [[CmsMerge]]/
+    * [[BloomMerge]] convention) — without this, folding k=16384 leaves
+    * through a k=4096 buffer silently re-trims the sample and doubles
+    * the error. A true mixture of budgets fails fast. */
+  override def merge(b1: GraftTheta.Buf, b2: GraftTheta.Buf): GraftTheta.Buf =
+    if (b1.k != b2.k && isEmpty(b1)) b2
+    else if (b1.k != b2.k && isEmpty(b2)) b1
+    else {
+      require(b1.k == b2.k, s"theta_merge: k mismatch (${b1.k} vs ${b2.k})")
+      super.merge(b1, b2)
+    }
+
   override def update(buf: GraftTheta.Buf, input: InternalRow): GraftTheta.Buf = {
     val v = child.eval(input)
     if (v != null) {

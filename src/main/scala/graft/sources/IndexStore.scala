@@ -84,6 +84,8 @@ object IndexStore {
       s"ivfpq index at $path: centroid rows disagree with meta")
     require(cb.count() == m.getAs[Long]("n_codebook") && m.getAs[Long]("n_codebook") > 0,
       s"ivfpq index at $path: codebook rows disagree with meta")
+    require(codes.count() == m.getAs[Long]("n_code_rows") && m.getAs[Long]("n_code_rows") > 0,
+      s"ivfpq index at $path: code rows disagree with meta")
     (cent, cb, codes)
   }
 
@@ -102,6 +104,12 @@ object IndexStore {
     val nCents = cents.count()
     require(nCents == m.getAs[Long]("n_centroids") && nCents > 0,
       s"ivf index at $path: ${nCents} centroid rows vs meta ${m.getAs[Long]("n_centroids")}")
+    // a crash between the relation overwrites and the meta overwrite
+    // leaves NEW assign rows under OLD meta — the assignment count is
+    // the check that catches that torn state
+    val nAssign = assign.count()
+    require(nAssign == m.getAs[Long]("n_vectors") && nAssign > 0,
+      s"ivf index at $path: ${nAssign} assign rows vs meta ${m.getAs[Long]("n_vectors")}")
     (assign, cents)
   }
 }

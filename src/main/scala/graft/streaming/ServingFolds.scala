@@ -209,18 +209,8 @@ object ServingFolds {
       }
     }
 
-  private def mergeSamples(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val ba = GraftQSample.deserialize(a)
-    val bb = GraftQSample.deserialize(b)
-    val n = bb.map.size
-    val hs = new Array[Long](n)
-    val vs = new Array[Double](n)
-    val it = bb.map.entrySet().iterator()
-    var i = 0
-    while (it.hasNext) { val e = it.next(); hs(i) = e.getKey; vs(i) = e.getValue; i += 1 }
-    ba.mergeIn(bb.theta, hs, vs)
-    GraftQSample.serialize(ba)
-  }
+  private def mergeSamples(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GraftQSample.union(a, b)
 
   /** A theta cohort-retention row: ESTIMATED cohort size and retained
     * count at `day` + `offsetDays` (exact while days stay below the
@@ -267,7 +257,7 @@ object ServingFolds {
     * while the window's rows stay below the sample budget k) plus the
     * exact row count carried by the leaves. */
   final case class QuantileRow(day: Long, daysCovered: Long, cnt: Long,
-                               quantiles: Seq[Double])
+                               quantiles: Seq[Option[Double]])
 
   /** Trailing-window value quantiles from sketch leaves — quantiles
     * don't fold, their SAMPLES do: union the window's bottom-k samples
@@ -281,8 +271,12 @@ object ServingFolds {
     byDay.keysIterator.map { d =>
       val window = ((d - windowDays + 1) to d).filter(byDay.contains)
       val merged = window.map(byDay(_).valuesSk).reduce(mergeSamples)
+      // an empty merged sample (every value that window was NULL) is
+      // None, never a fabricated 0.0 — unboxing the kernel's null
+      // through asInstanceOf[Double] would silently report p50 = 0
       QuantileRow(d, window.size.toLong, window.map(byDay(_).cnt).sum,
-        qs.map(q => GraftQSample.quantile(merged, q).asInstanceOf[Double]))
+        qs.map(q => Option(GraftQSample.quantile(merged, q))
+          .map(_.asInstanceOf[Double])))
     }.toSeq
   }
 }

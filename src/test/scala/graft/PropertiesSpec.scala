@@ -181,6 +181,18 @@ class PropertiesSpec extends AnyFunSuite {
       val parts = a.toSeq.grouped(math.max(1, a.size / 3)).map(sketch).toSeq
       val merged = parts.reduce(GraftTheta.union)
       assert(java.util.Arrays.equals(merged, sa))
+      // the theta_merge AGGREGATE adopts the k=512 budget from its
+      // first input (the buffer starts at DefaultK=4096 — without
+      // adoption the fold silently re-trims and reports k=4096)
+      val agg = graft.plans.ThetaMerge(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.BinaryType, nullable = false))
+      var buf = agg.createAggregationBuffer()
+      parts.foreach { p =>
+        buf = agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(p))
+      }
+      assert(java.util.Arrays.equals(
+        agg.eval(agg.deserialize(agg.serialize(buf))).asInstanceOf[Array[Byte]], sa))
       // exact mode: below k the estimate IS the count
       val small = draw(k / 2, 4)
       assert(GraftTheta.card(sketch(small)) == small.size.toDouble)
@@ -238,6 +250,17 @@ class PropertiesSpec extends AnyFunSuite {
         GraftQSample.serialize(bx)
       }
       assert(java.util.Arrays.equals(merged, sk))
+      // the qsample_merge AGGREGATE adopts the k=512 budget from its
+      // first input (buffer starts at DefaultK=4096)
+      val agg = graft.plans.QSampleMerge(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.BinaryType, nullable = false))
+      var buf = agg.createAggregationBuffer()
+      rows.grouped(math.max(1, n / 4)).map(sample).foreach { p =>
+        buf = agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(p))
+      }
+      assert(java.util.Arrays.equals(
+        agg.eval(agg.deserialize(agg.serialize(buf))).asInstanceOf[Array[Byte]], sk))
       // exact mode: a small group's sample quantile IS the percentile
       val smallRows = rows.take(k / 2)
       val smallSk = sample(smallRows)

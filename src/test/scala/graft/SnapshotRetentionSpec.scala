@@ -355,7 +355,7 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     // exact mode → exact median of the 6 surviving values
     val q7 = ServingFolds.quantileFold(leaves, Seq(0.5), windowDays = 7)
       .map(r => r.day -> ((r.daysCovered, r.cnt, r.quantiles.head))).toMap
-    assert(q7(7L) == ((3L, 6L, 35.0)))  // values 10..60, median 35
+    assert(q7(7L) == ((3L, 6L, Some(35.0))))  // values 10..60, median 35
     // duplicate-day fragments merge (append-shaped serving store)
     val dup = leaves :+ (7L -> cell(Seq(6), Seq(70.0)))
     val wauDup = ServingFolds.rollingActiveFoldTheta(dup)

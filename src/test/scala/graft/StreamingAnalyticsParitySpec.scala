@@ -224,7 +224,7 @@ class StreamingAnalyticsParitySpec extends AnyFunSuite {
       .agg(expr("percentile(value, 0.5)").as("p50"), count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(1)))).toMap
     val foldQ = ServingFolds.quantileFold(streamed.toSeq, Seq(0.5))
-      .map(r => r.day -> ((r.cnt, r.quantiles.head))).toMap
+      .map(r => r.day -> ((r.cnt, r.quantiles.head.get))).toMap
     assert(foldQ == batchP50 && foldQ.nonEmpty)
   }
 }
