@@ -31,7 +31,7 @@ _cls(1.35, 'minhash_lsh', 'lsh_band_stats', 'minhash_calibration',
      'simhash_calibration',
      'neardup_clusters', 'cluster_reps', 'cluster_size_hist',
      'simhash_pairs', 'winnow_pairs', 'doc_fingerprint', 'dup_spans',
-     'scrub_spans', 'cross_dedup', 'curation_pipeline', 'curation_report',
+     'scrub_spans', 'cross_dedup', 'cross_dedup_persisted', 'curation_pipeline', 'curation_report',
      'dup_rate_by_source', 'source_overlap', 'edit_distance_pairs',
      'contamination_bench')
 _cls(1.5, 'semdedup', 'doc_similar_topk', 'embedding_neardup',

@@ -1138,27 +1138,44 @@ object TextOps {
   def crossDedup(spark: SparkSession, d: String, newSource: String = "src5",
                  threshold: Double = 0.5): DataFrame = {
     val src = Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text"))
-    val exact = src.filter(col("source") === newSource)
-      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(src.filter(col("source") =!= newSource)
-        .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid")), "h")
-      .groupBy("doc_id").agg(min(col("cid")).as("exact_id"))
-    val bandCols = MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
-      struct(lit(bi).as("band"), col(s"h${ss.head}").as("x"), col(s"h${ss.last}").as("y"))
-    }.toSeq
     val bands = signatures(spark, d)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), explode(array(crossDedupBandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
       .join(src.select(col("doc_id"), col("source")), "doc_id")
-    val cands = bands.filter(col("source") === newSource).as("a")
-      .join(bands.filter(col("source") =!= newSource).as("b"),
+    crossDedupServe(
+      src.filter(col("source") === newSource).select(col("doc_id"), col("text")),
+      src.filter(col("source") =!= newSource)
+        .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid")),
+      bands.filter(col("source") =!= newSource),
+      bands.filter(col("source") === newSource),
+      shingleSets(spark, d), threshold)
+  }
+
+  private def crossDedupBandCols: Seq[Column] =
+    MinhashSeeds.grouped(2).zipWithIndex.map { case (ss, bi) =>
+      struct(lit(bi).as("band"), col(s"h${ss.head}").as("x"), col(s"h${ss.last}").as("y"))
+    }.toSeq
+
+  /** The SERVING core of cross-corpus dedup — verdicts for a new batch
+    * against CORPUS-side relations that may be inline ([[crossDedup]])
+    * or loaded from the persisted signature store
+    * ([[crossDedupPersisted]]): serving never re-signs the corpus. */
+  private def crossDedupServe(newDocs: DataFrame, corpusSha: DataFrame,
+                              corpusBands: DataFrame, newBands: DataFrame,
+                              sets: DataFrame, threshold: Double): DataFrame = {
+    val exact = newDocs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpusSha, "h")
+      .groupBy("doc_id").agg(min(col("cid")).as("exact_id"))
+    val cands = newBands.as("a")
+      .join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
         col("a.y") === col("b.y"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val near = jaccardVerify(cands, shingleSets(spark, d), threshold)
+    val near = jaccardVerify(cands, sets, threshold)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_id"))
-    src.filter(col("source") === newSource).select(col("doc_id"))
+    newDocs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1166,6 +1183,47 @@ object TextOps {
           .when(col("near_id").isNotNull, lit("near"))
           .otherwise(lit("keep")).as("verdict"),
         coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+  }
+
+  /** [[crossDedup]] served from the PERSISTED corpus signature store —
+    * the incremental-ingest production shape: the corpus side (content
+    * hashes, LSH bands, shingle sets — the expensive, corpus-sized
+    * relations) is signed ONCE and saved via
+    * `IndexStore.saveDedupSignatures`; every arriving batch computes
+    * only its OWN hashes/bands/shingles and joins the loaded artifact.
+    * Deterministic signing + lossless artifact ⇒ identical verdicts,
+    * so this query SHARES cross_dedup's DuckDB oracle.
+    *
+    * Scale: re-signing a 100 TB corpus per arriving batch is the cost
+    * this store removes — the daily ingest job appends new keepers to
+    * the artifact instead (the same relations, so append is a parquet
+    * write). Per batch, the work is O(batch) signing + the band
+    * equi-join against the store. */
+  def crossDedupPersisted(spark: SparkSession, d: String,
+                          newSource: String = "src5",
+                          threshold: Double = 0.5): DataFrame = {
+    import graft.sources.IndexStore
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text"))
+    val corpusIds = src.filter(col("source") =!= newSource).select("doc_id")
+    val bands = signatures(spark, d)
+      .select(col("doc_id"), explode(array(crossDedupBandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
+      .join(src.select(col("doc_id"), col("source")), "doc_id")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
+      s"${java.lang.Integer.toHexString((d + newSource).hashCode)}"
+    IndexStore.saveDedupSignatures(spark,
+      src.filter(col("source") =!= newSource)
+        .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid")),
+      bands.filter(col("source") =!= newSource)
+        .select("doc_id", "band", "x", "y"),
+      shingleSets(spark, d).join(corpusIds, "doc_id"), path)
+    val (sha, cBands, cSets) = IndexStore.loadDedupSignatures(spark, path)
+    val newSets = shingleSets(spark, d)
+      .join(src.filter(col("source") === newSource).select("doc_id"), "doc_id")
+    crossDedupServe(
+      src.filter(col("source") === newSource).select(col("doc_id"), col("text")),
+      sha, cBands, bands.filter(col("source") === newSource),
+      cSets.union(newSets), threshold)
   }
 
   def crossDedupSql(newSource: String = "src5", threshold: Double = 0.5): String = {

@@ -89,6 +89,49 @@ object IndexStore {
     (cent, cb, codes)
   }
 
+  /** The cross-corpus DEDUP signature store: content hashes (h → min
+    * corpus doc), LSH band keys, and shingle sets of the CORPUS side —
+    * the relations an incremental-ingest pipeline signs once and every
+    * arriving batch joins against (re-signing 100 TB per batch is the
+    * cost this store removes; daily keepers APPEND to the same
+    * relations). */
+  def saveDedupSignatures(spark: SparkSession, sha: DataFrame,
+                          bands: DataFrame, shingles: DataFrame,
+                          path: String): Unit = {
+    sha.select(col("h"), col("cid"))
+      .write.mode("overwrite").parquet(s"$path/sha")
+    bands.select(col("doc_id"), col("band"), col("x"), col("y"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingles.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    import spark.implicits._
+    Seq((FormatVersion,
+        spark.read.parquet(s"$path/sha").count(),
+        spark.read.parquet(s"$path/bands").count(),
+        spark.read.parquet(s"$path/shingles").count()))
+      .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadDedupSignatures(spark: SparkSession,
+                          path: String): (DataFrame, DataFrame, DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"dedup store at $path: meta must be one row, got ${meta.length}")
+    val m = meta.head
+    require(m.getAs[Int]("format_version") == FormatVersion,
+      s"dedup store at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (re-sign and re-save)")
+    val sha = spark.read.parquet(s"$path/sha")
+    val bands = spark.read.parquet(s"$path/bands")
+    val shingles = spark.read.parquet(s"$path/shingles")
+    require(sha.count() == m.getAs[Long]("n_sha") && m.getAs[Long]("n_sha") > 0,
+      s"dedup store at $path: sha rows disagree with meta")
+    require(bands.count() == m.getAs[Long]("n_band_rows") && m.getAs[Long]("n_band_rows") > 0,
+      s"dedup store at $path: band rows disagree with meta")
+    require(shingles.count() == m.getAs[Long]("n_shingle_rows") && m.getAs[Long]("n_shingle_rows") > 0,
+      s"dedup store at $path: shingle rows disagree with meta")
+    (sha, bands, shingles)
+  }
+
   /** Loads and VALIDATES the artifact: wrong format version, empty
     * relations, or a centroid count that disagrees with meta all fail
     * fast with the reason — a serving job must never probe a

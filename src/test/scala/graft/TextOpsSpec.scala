@@ -243,6 +243,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 7L, 6L)))
   }
 
+  test("crossDedupPersisted: signature-store round-trip serves identical verdicts") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the persisted path (corpus signed once → parquet store → new
+    // batch joins the loaded artifact) must be verdict-identical to
+    // the inline query, which is hash-checked against DuckDB
+    assert(key(TextOps.crossDedupPersisted(spark, sf)) ==
+      key(TextOps.crossDedup(spark, sf)))
+    // the stored relations honor the plain-parquet contract
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
+      s"${java.lang.Integer.toHexString((sf + "src5").hashCode)}"
+    val (sha, bands, shingles) =
+      graft.sources.IndexStore.loadDedupSignatures(spark, path)
+    assert(sha.columns.toSeq == Seq("h", "cid"))
+    assert(bands.columns.toSeq == Seq("doc_id", "band", "x", "y"))
+    assert(shingles.columns.toSeq == Seq("doc_id", "sh"))
+    // corpus-only: no src5 (new-batch) doc leaked into the store
+    val newIds = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source") === "src5")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bands.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet.intersect(newIds).isEmpty)
+  }
+
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
