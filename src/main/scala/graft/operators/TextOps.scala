@@ -1202,28 +1202,44 @@ object TextOps {
   def crossDedupPersisted(spark: SparkSession, d: String,
                           newSource: String = "src5",
                           threshold: Double = 0.5): DataFrame = {
-    import graft.sources.IndexStore
-    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text"))
-    val corpusIds = src.filter(col("source") =!= newSource).select("doc_id")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
+      s"${java.lang.Integer.toHexString((d + newSource).hashCode)}"
+    val (sha, bands, sets) =
+      dedupSignatureFrames(spark, d, col("source") =!= newSource)
+    graft.sources.IndexStore.saveDedupSignatures(spark, sha, bands, sets, path)
+    crossDedupAgainstStore(spark, d, path, newSource, threshold)
+  }
+
+  /** The signature relations of the docs matching `pred` — the unit
+    * the store saves ([[crossDedupPersisted]]) and appends (keepers
+    * joining the corpus via `IndexStore.appendDedupSignatures`):
+    * (content sha → doc, LSH band keys, shingle sets). */
+  def dedupSignatureFrames(spark: SparkSession, d: String, pred: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ids = Tables.documents(spark, d).filter(pred).select("doc_id")
+    val sha = Tables.documents(spark, d).filter(pred)
+      .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid"))
     val bands = signatures(spark, d)
       .select(col("doc_id"), explode(array(crossDedupBandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
-      .join(src.select(col("doc_id"), col("source")), "doc_id")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
-      s"${java.lang.Integer.toHexString((d + newSource).hashCode)}"
-    IndexStore.saveDedupSignatures(spark,
-      src.filter(col("source") =!= newSource)
-        .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid")),
-      bands.filter(col("source") =!= newSource)
-        .select("doc_id", "band", "x", "y"),
-      shingleSets(spark, d).join(corpusIds, "doc_id"), path)
-    val (sha, cBands, cSets) = IndexStore.loadDedupSignatures(spark, path)
-    val newSets = shingleSets(spark, d)
-      .join(src.filter(col("source") === newSource).select("doc_id"), "doc_id")
+      .join(ids, "doc_id")
+    (sha, bands, shingleSets(spark, d).join(ids, "doc_id"))
+  }
+
+  /** Dedup an arriving batch against an EXISTING signature store — the
+    * steady-state ingest entry: only the batch is signed; the corpus
+    * side arrives from `IndexStore.loadDedupSignatures`. */
+  def crossDedupAgainstStore(spark: SparkSession, d: String, path: String,
+                             newSource: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val (sha, cBands, cSets) =
+      graft.sources.IndexStore.loadDedupSignatures(spark, path)
+    val (_, newBands, newSets) =
+      dedupSignatureFrames(spark, d, col("source") === newSource)
     crossDedupServe(
-      src.filter(col("source") === newSource).select(col("doc_id"), col("text")),
-      sha, cBands, bands.filter(col("source") === newSource),
-      cSets.union(newSets), threshold)
+      Tables.documents(spark, d).filter(col("source") === newSource)
+        .select(col("doc_id"), col("text")),
+      sha, cBands, newBands, cSets.union(newSets), threshold)
   }
 
   def crossDedupSql(newSource: String = "src5", threshold: Double = 0.5): String = {

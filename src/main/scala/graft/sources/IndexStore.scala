@@ -113,6 +113,32 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** APPEND a batch's signatures (the keepers joining the corpus) to
+    * an existing store — the daily-ingest move: no corpus re-sign,
+    * just three parquet appends plus a meta refresh. Meta is rewritten
+    * LAST from re-counted relations, so a crash mid-append leaves meta
+    * disagreeing with the relations and [[loadDedupSignatures]] fails
+    * fast instead of serving the torn store. */
+  def appendDedupSignatures(spark: SparkSession, sha: DataFrame,
+                            bands: DataFrame, shingles: DataFrame,
+                            path: String): Unit = {
+    // fail fast if the target store is absent or torn BEFORE appending
+    loadDedupSignatures(spark, path)
+    sha.select(col("h"), col("cid"))
+      .write.mode("append").parquet(s"$path/sha")
+    bands.select(col("doc_id"), col("band"), col("x"), col("y"))
+      .write.mode("append").parquet(s"$path/bands")
+    shingles.select(col("doc_id"), col("sh"))
+      .write.mode("append").parquet(s"$path/shingles")
+    import spark.implicits._
+    Seq((FormatVersion,
+        spark.read.parquet(s"$path/sha").count(),
+        spark.read.parquet(s"$path/bands").count(),
+        spark.read.parquet(s"$path/shingles").count()))
+      .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   def loadDedupSignatures(spark: SparkSession,
                           path: String): (DataFrame, DataFrame, DataFrame) = {
     val meta = spark.read.parquet(s"$path/meta").collect()

@@ -267,6 +267,44 @@ class TextOpsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet.intersect(newIds).isEmpty)
   }
 
+  test("signature store append: keepers join the corpus, next batch sees them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus c, batch b1 (all unique → all keepers), batch b2 (one copy
+    // of a b1 text, one copy of a corpus text, one fresh text)
+    val t = (i: Int) => s"doc number $i with its own distinct words w$i x$i y$i"
+    val rows = Seq(
+      (1L, t(1), "c"), (2L, t(2), "c"), (3L, t(3), "c"),
+      (11L, t(11), "b1"), (12L, t(12), "b1"),
+      (21L, t(11), "b2"), (22L, t(2), "b2"), (23L, t(23), "b2"))
+    val dir = java.nio.file.Files.createTempDirectory("graftstore").toString
+    rows.map { case (i, x, s) => (i, x, "en", s, x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftsig").toString + "/store"
+    // day 0: sign the corpus once
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "c")
+    graft.sources.IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    // day 1: b1 arrives, all keepers
+    def verdicts(src: String) =
+      TextOps.crossDedupAgainstStore(spark, dir, path, src).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val v1 = verdicts("b1")
+    assert(v1 == Map(11L -> (("keep", -1L)), 12L -> (("keep", -1L))))
+    // keepers' signatures APPEND — no corpus re-sign
+    val (s1, b1, g1) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "b1")
+    graft.sources.IndexStore.appendDedupSignatures(spark, s1, b1, g1, path)
+    // day 2: b2 sees the appended keepers AND the original corpus, and
+    // the store-served verdicts equal the inline query whose corpus is
+    // everything non-b2 (c ∪ b1) — hash-checked machinery, same result
+    val v2 = verdicts("b2")
+    assert(v2(21L) == (("exact", 11L)) && v2(22L) == (("exact", 2L)) &&
+      v2(23L)._1 == "keep")
+    val inline = TextOps.crossDedup(spark, dir, "b2").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(v2 == inline)
+  }
+
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
