@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "attribution_asof", "contamination",
     "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup",
     "textrank_keywords", "label_spread", "profile_table", "key_skew_report",
-    "retention_cohorts", "contamination_bloom")
+    "retention_cohorts", "contamination_bloom", "split_leakage",
+    "cross_dedup_persisted", "ann_ivf_persisted")
 
   test("retention_cohorts joins only broadcast bitmap relations — the " +
     "event volume is touched by exactly one aggregation scan") {
