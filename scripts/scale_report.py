@@ -51,7 +51,7 @@ _cls(1.0,
      'audio_windows', 'avg_value_udaf', 'blacklist',
      'blacklist_stateful', 'cdc_chunks', 'channel_counts',
      'chunk_documents', 'click_no_purchase', 'clicks_by_province',
-     'contamination', 'contamination_bloom', 'bloom_calibration', 'split_leakage',
+     'contamination', 'contamination_bloom', 'contamination_bloom_sql', 'bloom_calibration', 'split_leakage',
      'corpus_coverage', 'dataset_card', 'event_daily_leaf',
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',
      'rolling_active_users_sql', 'acquisition_cohorts',

@@ -84,6 +84,41 @@ object SqlSurface {
     * byte-identical to [[EventAnalytics.userChurn]] (the DataFrame
     * form shares its DuckDB oracle). `X''` is the empty-set bitmap for
     * shards present on only one side of the full outer join. */
+  /** The decontamination PREFILTER in pure SQL — the injected
+    * `graft_hash_lo`/`graft_hash_hi` portable pair feeding
+    * `bloom_state`/`bloom_contains` from SQL text: the whole
+    * sketch-family pipeline with no DataFrame code, byte-identical to
+    * [[TextOps.contaminationBloom]] (the DataFrame form shares its
+    * DuckDB oracle). Same deliberately mid-loaded stress geometry. */
+  def contaminationBloomSqlText(spark: SparkSession, d: String, n: Int = 5,
+                                benchMod: Int = 10, benchRes: Int = 7,
+                                k: Int = 4, mBits: Int = 4096): DataFrame = {
+    Tables.documents(spark, d).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH t AS (SELECT doc_id, ${TextOps.toksExpr} AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        explode(array_distinct(${TextOps.shinglesExpr(n)})) AS gram
+         |      FROM t WHERE size(toks) >= $n),
+         |h AS (SELECT doc_id, gram,
+         |        graft_hash_lo('bl', gram) AS lo,
+         |        graft_hash_hi('bl', gram) AS hi
+         |      FROM g),
+         |bloom AS (SELECT bloom_state(lo, hi, $k, $mBits) AS bf
+         |          FROM h WHERE doc_id % $benchMod = $benchRes),
+         |bgrams AS (SELECT DISTINCT gram FROM g
+         |           WHERE doc_id % $benchMod = $benchRes)
+         |SELECT p.doc_id, count(1) AS n_grams,
+         |       sum(CAST(bloom_contains(b.bf, p.lo, p.hi) AS BIGINT))
+         |         AS n_flagged,
+         |       sum(CASE WHEN bg.gram IS NOT NULL THEN 1L ELSE 0L END)
+         |         AS n_exact
+         |FROM h p CROSS JOIN bloom b
+         |LEFT JOIN bgrams bg ON bg.gram = p.gram
+         |WHERE p.doc_id % $benchMod <> $benchRes
+         |GROUP BY p.doc_id
+         |HAVING n_flagged > 0""".stripMargin)
+  }
+
   def userChurnSqlText(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d).createOrReplaceTempView("events")
     val shardBits = EventAnalytics.RetentionShardBits

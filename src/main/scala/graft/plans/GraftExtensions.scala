@@ -981,6 +981,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     inject2(ext, "cms_inner_product", classOf[CmsInnerProduct].getName,
       CmsInnerProduct(_, _))
+    // the portable hash pair as SQL functions (Hash64.scala) — makes
+    // every sketch family reachable from pure SQL text
+    inject2(ext, "graft_hash_lo", classOf[Hash64Lo].getName, Hash64Lo(_, _))
+    inject2(ext, "graft_hash_hi", classOf[Hash64Hi].getName, Hash64Hi(_, _))
     // Bloom membership family (BloomFilter.scala) — mergeable
     // membership bits: bloom_state(lo, hi [, k, m]) builds, bloom_merge
     // ORs, bloom_contains probes (no false negatives), bloom_bits_set

@@ -788,4 +788,22 @@ class SurfaceSpec extends AnyFunSuite {
       """SELECT bloom_bits_set(bloom_state(lo, hi, 2, 64)) AS nb
         |FROM bl_t""".stripMargin).collect().head.getLong(0) <= 6L)
   }
+
+  test("graft_hash_lo/hi == ColumnFunctions.hash64Pair, and the SQL-text prefilter") {
+    // the injected JVM kernel must be bit-identical to the md5/conv
+    // column chain on real text (unicode, empties, long grams)
+    val (lo, hi) = ColumnFunctions.hash64Pair(col("text"), "bl")
+    val mism = graft.sources.Tables.documents(spark, sf)
+      .select(lo.as("clo"), hi.as("chi"),
+        expr("graft_hash_lo('bl', text)").as("klo"),
+        expr("graft_hash_hi('bl', text)").as("khi"))
+      .filter(col("clo") =!= col("klo") || col("chi") =!= col("khi"))
+      .count()
+    assert(mism == 0L)
+    // the pure-SQL-text prefilter equals the DataFrame form row for row
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(SqlSurface.contaminationBloomSqlText(spark, sf)) ==
+      key(TextOps.contaminationBloom(spark, sf)))
+  }
 }
