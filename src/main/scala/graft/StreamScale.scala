@@ -82,6 +82,11 @@ object StreamScale {
       "spark.sql.streaming.stateStore.providerClass").getOrElse("hdfs-default")
     println(s"""{"provider":"$provider","sf":"$sfDir"}""")
 
+    // dev knob: SPARK_GRAFT_FACES=contamination_stream (comma-sep) runs
+    // a subset — re-measuring one face doesn't pay for the other four
+    val faces = sys.env.get("SPARK_GRAFT_FACES").map(_.split(',').toSet)
+    def enabled(f: String): Boolean = faces.forall(_.contains(f))
+
     // ---- shared event ingest: one file per day, arriving in order ----
     val ev = Tables.events(spark, sfDir)
       // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
@@ -90,11 +95,12 @@ object StreamScale {
       .select(col("ts"), col("user_id"), col("event_type"), col("event_id"), col("value"))
       .withColumn("day", EventAnalytics.dayKey(col("ts")))
     val evDir = s"$work/events"
-    writeSlices(ev, "day", evDir)
+    if (Seq("topn_update", "snapshot_partitioned", "sketch_leaf").exists(enabled))
+      writeSlices(ev, "day", evDir)
     val evSchema = ev.schema
 
     // ---- face 1: watermarked windowed counts + update-mode fold ----
-    locally {
+    if (enabled("topn_update")) locally {
       val stream = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", 1).parquet(evDir)
       val counts = StreamingJobs.windowedCounts(
@@ -109,7 +115,7 @@ object StreamScale {
     }
 
     // ---- face 2: chained-stateful streaming SemDeDup ----
-    locally {
+    if (enabled("semdedup_stream")) locally {
       val corpus = Tables.embeddings(spark, sfDir)
       // arrivals: a 1-in-29 slice of the corpus (live gating against the
       // full reference model is the production shape; arrival count sets
@@ -152,7 +158,7 @@ object StreamScale {
     // from the durable event parquet, finishes the ingest, and asserts
     // the final serving store (including the day that STRADDLES the
     // restart) equals the batch leaf query over the retained days. ----
-    locally {
+    if (enabled("snapshot_partitioned")) locally {
       val ckpt = s"$work/snap_ckpt"
       // fresh checkpoint per spot-run (work dir is /tmp scratch)
       val ckptPath = java.nio.file.Paths.get(ckpt)
@@ -237,7 +243,7 @@ object StreamScale {
     // streamed state is BYTE-IDENTICAL to the batch-computed sketch
     // leaf over the retained days (KMV determinism end-to-end at
     // scale, not just in the unit parity spec). ----
-    locally {
+    if (enabled("sketch_leaf")) locally {
       import graft.streaming.ServingFolds
       val days = ev.select("day").distinct().orderBy("day")
         .collect().map(_.getLong(0))
@@ -301,7 +307,7 @@ object StreamScale {
     // the stream side), and the streamed candidate set is IDENTICAL —
     // false positives included — to the oracle-checked batch prefilter
     // over the same split. ----
-    locally {
+    if (enabled("contamination_stream")) locally {
       import graft.operators.TextOps
       import graft.streaming.StreamingJobs
       val docs = graft.sources.Tables.documents(spark, sfDir)

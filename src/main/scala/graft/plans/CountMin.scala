@@ -69,6 +69,7 @@ object GraftCms {
       * pair: row s uses bucket g_s mod width, g_s = (lo + s·hi) mod p
       * built incrementally with [[addModP]]. */
     def insert(lo: Long, hi: Long, w: Long): Unit = {
+      GraftBloom.checkHashPair(lo, hi)
       var g = lo
       var s = 0
       while (s < depth) {
@@ -129,6 +130,7 @@ object GraftCms {
     * over by at most the colliding mass in the LIGHTEST row. Reads the
     * d counters straight from the serialized bytes, zero allocation. */
   def est(bytes: Array[Byte], lo: Long, hi: Long): Long = {
+    GraftBloom.checkHashPair(lo, hi)
     val (depth, width) = header(bytes)
     var g = lo
     var m = Long.MaxValue

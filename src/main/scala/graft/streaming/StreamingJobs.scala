@@ -287,16 +287,27 @@ object StreamingJobs {
     * constant key — the broadcast ships m/8 BYTES per executor and the
     * per-gram probe is O(k) word reads in codegen, so the stream side
     * never joins against benchmark gram strings at all (the thing the
-    * prefilter exists to avoid). State is one (window, doc_id) count
-    * row per arriving doc, watermark-evicted. Run on a batch frame the
-    * identical plan executes one-shot — parity-tested against the
-    * oracle-checked batch prefilter (StreamingDedupSpec). */
+    * prefilter exists to avoid). Geometry sizes from the counted
+    * benchmark grams by default — the same `GraftBloom.geometryFor`
+    * the batch prefilter uses (one O(benchmark) count at plan build,
+    * against the STATIC side only), so stream and batch build the
+    * identical filter and parity holds false-positives-included; the
+    * r11 fixed 4×4096 default SATURATED at 10× (every doc flagged).
+    * State is one (window, doc_id) count row per arriving doc,
+    * watermark-evicted. Run on a batch frame the identical plan
+    * executes one-shot — parity-tested against the oracle-checked
+    * batch prefilter (StreamingDedupSpec). */
   def streamingContamination(docs: DataFrame, benchmark: DataFrame,
-                             n: Int = 5, k: Int = 4, mBits: Int = 4096,
+                             n: Int = 5, k: Int = 0, mBits: Int = 0,
                              wmDelay: String = "30 seconds",
-                             win: String = "1 minute"): DataFrame = {
+                             win: String = "1 minute",
+                             targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr): DataFrame = {
     import graft.operators.TextOps
-    val bloom = TextOps.benchmarkBloom(benchmark, n, k, mBits)
+    val (kk, mm) =
+      if (k > 0 && mBits > 0) (k, mBits)
+      else graft.plans.GraftBloom.geometryFor(
+        TextOps.benchmarkGramCount(benchmark, n), targetFpr)
+    val bloom = TextOps.benchmarkBloom(benchmark, n, kk, mm)
       .withColumn("one", lit(1))
     val (lo, hi) = graft.functions.ColumnFunctions
       .hash64Pair(col("gram"), TextOps.BloomTag)

@@ -395,4 +395,44 @@ class PropertiesSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(agg.eval(merged).asInstanceOf[Array[Byte]], sk))
     }
   }
+
+  test("bloom geometryFor: meets the FPR target at measured fill; kernel contract") {
+    import graft.plans.GraftBloom
+    // k = smallest with 2^-k ≤ fpr; exercised over decades
+    assert(GraftBloom.kFor(0.5) == 1 && GraftBloom.kFor(0.01) == 7 &&
+      GraftBloom.kFor(1e-4) == 14 && GraftBloom.kFor(6.2e-5) == 14 &&
+      GraftBloom.kFor(6.0e-5) == 15)
+    // m = ceil(1.443 n) word-rounded, floor 64 — the exact integer
+    // formula the DuckDB geometry CTE mirrors with // division
+    assert(GraftBloom.mBitsFor(0) == 64 && GraftBloom.mBitsFor(44) == 64 &&
+      GraftBloom.mBitsFor(45) == 128 && GraftBloom.mBitsFor(2326) == 3392 &&
+      GraftBloom.mBitsFor(1000000) == 1443008)
+    // measured FPR of an auto-sized filter on random items ≈ 2^-k:
+    // fill ≤ ~1/2 by construction, so non-members pass all k segments
+    // at ≤ ~2^-k — assert within 4× slack of the target
+    val rnd = new Random(23)
+    val P = BigInt(graft.functions.ColumnFunctions.HashPrime)
+    def randHash(): Long = (BigInt(63, rnd) mod P).toLong
+    val items = Vector.fill(5000)((randHash(), randHash()))
+    val (k, m) = GraftBloom.geometryFor(items.size.toLong, 0.01)
+    val b = new GraftBloom.Buf(k, m)
+    items.foreach { case (lo, hi) => b.insert(lo, hi) }
+    val sk = GraftBloom.serialize(b)
+    val fp = (1 to 20000).count { _ =>
+      GraftBloom.contains(sk, randHash(), randHash())
+    }
+    assert(fp.toDouble / 20000 <= 0.04, s"measured FPR ${fp / 20000.0} > 4×0.01")
+    // ADVICE r11: out-of-contract hash inputs fail fast with the
+    // portable-pair message, not an array-index error in an executor
+    val bad = intercept[IllegalArgumentException](b.insert(-1L, 5L))
+    assert(bad.getMessage.contains("portable hash pair"))
+    val bad2 = intercept[IllegalArgumentException](
+      GraftBloom.contains(sk, 5L, Long.MaxValue))
+    assert(bad2.getMessage.contains("portable hash pair"))
+    val bad3 = intercept[IllegalArgumentException] {
+      val c = new graft.plans.GraftCms.Buf(2, 64)
+      c.insert(5L, -3L, 1L)
+    }
+    assert(bad3.getMessage.contains("portable hash pair"))
+  }
 }

@@ -761,10 +761,18 @@ class SurfaceSpec extends AnyFunSuite {
     val convicted = TextOps.contamination(spark, sf).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(convicted.subsetOf(candidates))
-    // the stress geometry must actually produce false positives —
-    // otherwise the FPR calibration columns measure nothing
-    assert(rows.map(_.getAs[Long]("n_flagged")).sum >
-      rows.map(_.getAs[Long]("n_exact")).sum)
+    // the AUTO geometry (the registered default, sized from the
+    // counted benchmark grams) must NOT saturate: candidates stay a
+    // sliver of the ~450 probe docs, not all of them — the r11 fixed
+    // geometry flagged everything at 10×
+    assert(candidates.size < 50,
+      s"auto-sized prefilter flagged ${candidates.size} docs — saturated")
+    // the explicit STRESS geometry (kept for calibration) must still
+    // produce false positives — otherwise the FPR calibration columns
+    // measure nothing
+    val stress = TextOps.contaminationBloom(spark, sf, k = 4, mBits = 4096).collect()
+    assert(stress.map(_.getAs[Long]("n_flagged")).sum >
+      stress.map(_.getAs[Long]("n_exact")).sum)
     // SQL injection end-to-end: build per-group filters from SQL text,
     // merge across groups, probe members and a non-member. Default
     // geometry (5×2^16) on 3 items: a false positive needs all 5
