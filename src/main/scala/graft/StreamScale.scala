@@ -364,6 +364,81 @@ object StreamScale {
       assert(parity, "streamed prefilter diverged from the batch prefilter")
     }
 
+    // ---- face 6: store-backed streaming cross-dedup — the steady-
+    // state ingest loop (VERDICT r11 #2) at 10×: the corpus signed
+    // ONCE into the durable signature store, then per-slice cycles of
+    // slice → stream verdict against the store → append the keepers →
+    // next slice. The claims this measures: per-slice cost stays FLAT
+    // as the store grows (each cycle is O(slice) signing + equi-joins
+    // against store-sized relations), and every slice's streamed
+    // verdicts equal the oracle-checked batch serve bit-for-bit. ----
+    if (enabled("crossdedup_store")) locally {
+      import graft.operators.TextOps
+      import graft.sources.IndexStore
+      import graft.streaming.StreamingJobs
+      val slices = Seq("src2", "src3", "src4", "src5")
+      val path = s"$work/dedup_store"
+      val storePath = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(storePath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(storePath).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val (sha0, bands0, sets0) = TextOps.dedupSignatureFrames(
+        spark, sfDir, !col("source").isin(slices: _*))
+      val tSign0 = System.nanoTime()
+      IndexStore.saveDedupSignatures(spark, sha0, bands0, sets0, path)
+      val signSec = (System.nanoTime() - tSign0) / 1e9
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      var parity = true
+      val wall = scala.collection.mutable.ArrayBuffer[Double]()
+      val shaRows = scala.collection.mutable.ArrayBuffer[Long]()
+      val verdictCounts = scala.collection.mutable.ArrayBuffer[String]()
+      slices.foreach { src =>
+        val sDir = s"$work/dedup_slice_$src"
+        docs.filter(col("source") === src)
+          .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+          .select(col("ts"), col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(sDir)
+        // watermark-flush sentinel so the append-mode window closes
+        docs.filter(col("source") === src).limit(1)
+          .withColumn("ts", timestamp_seconds(lit(1700000000L + 7200)))
+          .withColumn("doc_id", lit(-1L)).withColumn("text", lit("flush"))
+          .select(col("ts"), col("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(sDir)
+        val t0 = System.nanoTime()
+        val stream = spark.readStream
+          .schema(spark.read.parquet(sDir).schema).parquet(sDir)
+        val got = scala.collection.mutable.Map[Long, (String, Long)]()
+        val q = StreamingJobs.streamingCrossDedupAgainstStore(spark, stream, path)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        val truth = TextOps.crossDedupAgainstStore(spark, sfDir, path, src)
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        parity &&= (got.toMap - (-1L)) == truth
+        val keepers = truth.collect { case (id, ("keep", _)) => id }.toSeq
+        val (s, b, sh) = TextOps.dedupSignatureFrames(
+          spark, sfDir, col("source") === src && col("doc_id").isin(keepers: _*))
+        IndexStore.appendDedupSignatures(spark, s, b, sh, path)
+        wall += (System.nanoTime() - t0) / 1e9
+        shaRows += IndexStore.loadDedupSignatures(spark, path)._1.count()
+        verdictCounts += s"""{"src":"$src","keep":${keepers.length},""" +
+          s""""exact":${truth.valuesIterator.count(_._1 == "exact")},""" +
+          s""""near":${truth.valuesIterator.count(_._1 == "near")}}"""
+      }
+      println(s"""{"face":"crossdedup_store","sign_once_sec":${f"$signSec%.1f"},""" +
+        s""""slice_wall_sec":${wall.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
+        s""""store_sha_rows":${shaRows.mkString("[", ",", "]")},""" +
+        s""""slices":${verdictCounts.mkString("[", ",", "]")},""" +
+        s""""store_parity":$parity}""")
+      assert(parity, "store-backed streamed verdicts diverged from the batch serve")
+    }
+
     spark.stop()
   }
 }

@@ -991,8 +991,7 @@ object Similarity {
                           nQueries: Int = 10, nprobe: Int = 2,
                           nlists: Int = 8, iters: Int = 2): DataFrame = {
     import graft.sources.IndexStore
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-      s"${java.lang.Integer.toHexString(d.hashCode)}_${nlists}_$iters"
+    val path = IndexStore.artifactPath("ivf", s"$d|$nlists|$iters")
     IndexStore.saveIvf(spark, ivfTrain(spark, d, nlists, iters),
       probeCentroids(spark, d, nlists, iters), path, nlists, iters)
     val (assign, cents) = IndexStore.loadIvf(spark, path)
@@ -1615,8 +1614,7 @@ object Similarity {
     import graft.sources.IndexStore
     val (cent0, cb0, codes0) =
       ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-      s"${java.lang.Integer.toHexString(d.hashCode)}_${nlists}_${nSub}_$nCodes"
+    val path = IndexStore.artifactPath("ivfpq", s"$d|$nlists|$nSub|$nCodes")
     IndexStore.saveIvfPq(spark, cent0, cb0, codes0, path,
       nlists, nSub, nCodes)
     val (cent, cb, codes) = IndexStore.loadIvfPq(spark, path)

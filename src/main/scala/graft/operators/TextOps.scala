@@ -1202,8 +1202,7 @@ object TextOps {
   def crossDedupPersisted(spark: SparkSession, d: String,
                           newSource: String = "src5",
                           threshold: Double = 0.5): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
-      s"${java.lang.Integer.toHexString((d + newSource).hashCode)}"
+    val path = graft.sources.IndexStore.artifactPath("dedup", s"$d|$newSource")
     val (sha, bands, sets) =
       dedupSignatureFrames(spark, d, col("source") =!= newSource)
     graft.sources.IndexStore.saveDedupSignatures(spark, sha, bands, sets, path)
@@ -1239,7 +1238,11 @@ object TextOps {
     crossDedupServe(
       Tables.documents(spark, d).filter(col("source") === newSource)
         .select(col("doc_id"), col("text")),
-      sha, cBands, newBands, cSets.union(newSets), threshold)
+      // distinct: a doc present on BOTH sides (an already-appended
+      // batch re-served against the store — the ingest-retry shape)
+      // would otherwise double its shingle rows and zero the Jaccard
+      // denominator (na + nb − inter) on its self-pair
+      sha, cBands, newBands, cSets.union(newSets).distinct(), threshold)
   }
 
   def crossDedupSql(newSource: String = "src5", threshold: Double = 0.5): String = {

@@ -34,6 +34,34 @@ object IndexStore {
   /** Bumped on any layout/semantics change; load fails fast on skew. */
   val FormatVersion = 1
 
+  /** Collision-free scratch path for a persisted-artifact round-trip
+    * (ADVICE r11): keyed by an md5 digest of the logical key (not
+    * `String.hashCode`, whose 32-bit collisions alias unrelated
+    * datasets) PLUS the owning process id, so two concurrent sessions
+    * over the same dataset never race save-vs-load on one path. These
+    * paths exist to prove train→save→load→serve round-trips inside one
+    * run; a production deployment passes its own durable path. */
+  def artifactPath(kind: String, key: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${digest}" +
+      s"_p${ProcessHandle.current().pid}"
+  }
+
+  /** Leaf parquet part files of one relation dir, store-relative —
+    * the manifest unit. Sorted for deterministic meta bytes. */
+  private def partFiles(path: String, rel: String): Seq[String] = {
+    val dir = new java.io.File(s"$path/$rel")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s"$rel/${f.getName}").sorted.toSeq
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+                           files: Seq[String]): DataFrame =
+    spark.read.parquet(files.map(f => s"$path/$f"): _*)
+
   def saveIvf(spark: SparkSession, assign: DataFrame, centroids: DataFrame,
               path: String, nlists: Int, iters: Int): Unit = {
     assign.select(col("vec_id"), col("list_id"))
@@ -95,6 +123,20 @@ object IndexStore {
     * arriving batch joins against (re-signing 100 TB per batch is the
     * cost this store removes; daily keepers APPEND to the same
     * relations). */
+  private def writeDedupMeta(spark: SparkSession, path: String,
+                             fSha: Seq[String], fBands: Seq[String],
+                             fShingles: Seq[String]): Unit = {
+    import spark.implicits._
+    Seq((FormatVersion,
+        readManifest(spark, path, fSha).count(),
+        readManifest(spark, path, fBands).count(),
+        readManifest(spark, path, fShingles).count(),
+        fSha, fBands, fShingles))
+      .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows",
+        "files_sha", "files_bands", "files_shingles")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   def saveDedupSignatures(spark: SparkSession, sha: DataFrame,
                           bands: DataFrame, shingles: DataFrame,
                           path: String): Unit = {
@@ -104,58 +146,77 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/bands")
     shingles.select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
-    import spark.implicits._
-    Seq((FormatVersion,
-        spark.read.parquet(s"$path/sha").count(),
-        spark.read.parquet(s"$path/bands").count(),
-        spark.read.parquet(s"$path/shingles").count()))
-      .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeDedupMeta(spark, path, partFiles(path, "sha"),
+      partFiles(path, "bands"), partFiles(path, "shingles"))
   }
 
   /** APPEND a batch's signatures (the keepers joining the corpus) to
     * an existing store — the daily-ingest move: no corpus re-sign,
-    * just three parquet appends plus a meta refresh. Meta is rewritten
-    * LAST from re-counted relations, so a crash mid-append leaves meta
-    * disagreeing with the relations and [[loadDedupSignatures]] fails
-    * fast instead of serving the torn store. */
+    * just three parquet appends plus a meta refresh. Meta carries the
+    * FILE MANIFEST of the consistent generation and is rewritten LAST
+    * (VERDICT r11 #6): a crash between the relation appends and the
+    * meta rewrite leaves orphan part files the manifest never names,
+    * so [[loadDedupSignatures]] keeps serving the PRIOR generation
+    * instead of throwing — the torn batch simply is not in the store,
+    * and the ingest retry re-appends it (orphans stay invisible
+    * forever; only manifest files are ever read). */
   def appendDedupSignatures(spark: SparkSession, sha: DataFrame,
                             bands: DataFrame, shingles: DataFrame,
                             path: String): Unit = {
-    // fail fast if the target store is absent or torn BEFORE appending
-    loadDedupSignatures(spark, path)
+    // fail fast if the target store is absent or unreadable, and pick
+    // up the consistent manifest BEFORE appending
+    val m = dedupMeta(spark, path)
+    // dir snapshot BEFORE this append: the diff against it names
+    // exactly THIS append's files — orphans from an earlier torn
+    // append predate the snapshot, so they stay excluded and never
+    // double-count the retried batch
+    val before = Seq("sha", "bands", "shingles")
+      .map(rel => rel -> partFiles(path, rel).toSet).toMap
     sha.select(col("h"), col("cid"))
       .write.mode("append").parquet(s"$path/sha")
     bands.select(col("doc_id"), col("band"), col("x"), col("y"))
       .write.mode("append").parquet(s"$path/bands")
     shingles.select(col("doc_id"), col("sh"))
       .write.mode("append").parquet(s"$path/shingles")
-    import spark.implicits._
-    Seq((FormatVersion,
-        spark.read.parquet(s"$path/sha").count(),
-        spark.read.parquet(s"$path/bands").count(),
-        spark.read.parquet(s"$path/shingles").count()))
-      .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // new manifest = prior manifest + this append's dir diff
+    def grown(rel: String, prior: Seq[String]): Seq[String] =
+      prior ++ partFiles(path, rel).filterNot(before(rel))
+    writeDedupMeta(spark, path,
+      grown("sha", m.getAs[scala.collection.Seq[String]]("files_sha").toSeq),
+      grown("bands", m.getAs[scala.collection.Seq[String]]("files_bands").toSeq),
+      grown("shingles", m.getAs[scala.collection.Seq[String]]("files_shingles").toSeq))
   }
 
-  def loadDedupSignatures(spark: SparkSession,
-                          path: String): (DataFrame, DataFrame, DataFrame) = {
+  private def dedupMeta(spark: SparkSession,
+                        path: String): org.apache.spark.sql.Row = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"dedup store at $path: meta must be one row, got ${meta.length}")
     val m = meta.head
     require(m.getAs[Int]("format_version") == FormatVersion,
       s"dedup store at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (re-sign and re-save)")
-    val sha = spark.read.parquet(s"$path/sha")
-    val bands = spark.read.parquet(s"$path/bands")
-    val shingles = spark.read.parquet(s"$path/shingles")
-    require(sha.count() == m.getAs[Long]("n_sha") && m.getAs[Long]("n_sha") > 0,
-      s"dedup store at $path: sha rows disagree with meta")
-    require(bands.count() == m.getAs[Long]("n_band_rows") && m.getAs[Long]("n_band_rows") > 0,
-      s"dedup store at $path: band rows disagree with meta")
-    require(shingles.count() == m.getAs[Long]("n_shingle_rows") && m.getAs[Long]("n_shingle_rows") > 0,
-      s"dedup store at $path: shingle rows disagree with meta")
-    (sha, bands, shingles)
+    m
+  }
+
+  /** Loads the last CONSISTENT generation: only part files the meta
+    * manifest names are read, so orphans from a torn append are
+    * invisible rather than fatal; row counts are still verified
+    * against meta over exactly those files. A manifest file that is
+    * MISSING from disk is real corruption and still fails fast. */
+  def loadDedupSignatures(spark: SparkSession,
+                          path: String): (DataFrame, DataFrame, DataFrame) = {
+    val m = dedupMeta(spark, path)
+    def rel(filesCol: String, countCol: String): DataFrame = {
+      val files = m.getAs[scala.collection.Seq[String]](filesCol).toSeq
+      val missing = files.filterNot(f => new java.io.File(s"$path/$f").isFile)
+      require(missing.isEmpty,
+        s"dedup store at $path: manifest files missing on disk: ${missing.mkString(", ")}")
+      val df = readManifest(spark, path, files)
+      require(df.count() == m.getAs[Long](countCol) && m.getAs[Long](countCol) > 0,
+        s"dedup store at $path: $filesCol rows disagree with meta")
+      df
+    }
+    (rel("files_sha", "n_sha"), rel("files_bands", "n_band_rows"),
+      rel("files_shingles", "n_shingle_rows"))
   }
 
   /** Loads and VALIDATES the artifact: wrong format version, empty

@@ -266,6 +266,72 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("store-backed streaming cross-dedup: slice→verdict→append cycle across 3 batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    import graft.sources.IndexStore
+    // the steady-state ingest loop (VERDICT r11 #2): sign the corpus
+    // once, then three arriving batches each (1) stream-verdict against
+    // the store, (2) parity-check against the oracle-checked batch
+    // serve, (3) append their keepers so batch N+1 dedups against
+    // batch N's survivors — the production slice→verdict→append cycle
+    val sfDir = "/root/testdata/sf0.001"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_cycle_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val batches = Seq("src3", "src4", "src5")
+    val (sha0, bands0, sets0) = TextOps.dedupSignatureFrames(
+      spark, sfDir, !col("source").isin(batches: _*))
+    IndexStore.saveDedupSignatures(spark, sha0, bands0, sets0, path)
+
+    def streamVerdicts(rows: Seq[(Long, Long, String)], tag: String): Map[Long, (String, Long)] = {
+      val input = MemoryStream[(Long, Long, String)]
+      val df = input.toDF().toDF("doc_id", "secs", "text")
+        .withColumn("ts", timestamp_seconds(col("secs")))
+      val q = Sinks.memory(
+        StreamingJobs.streamingCrossDedupAgainstStore(spark, df, path),
+        s"stream_store_dedup_$tag", "append")
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        input.addData(Seq((-1L, 600L, "late watermark pusher")))
+        q.processAllAvailable()
+        spark.table(s"stream_store_dedup_$tag").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap - (-1L)
+      } finally q.stop()
+    }
+    def shaCount(): Long =
+      IndexStore.loadDedupSignatures(spark, path)._1.count()
+
+    var keeperTexts = Map.empty[String, (Long, String)] // batch → (id, text)
+    batches.foreach { src =>
+      val truth = TextOps.crossDedupAgainstStore(spark, sfDir, path, src)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val arriving = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("source") === src).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), 10L, r.getString(1))).toSeq
+      val got = streamVerdicts(arriving, src)
+      assert(got == truth && truth.nonEmpty, s"$src diverged from batch serve")
+      val keepers = truth.collect { case (id, ("keep", _)) => id }.toSeq
+      assert(keepers.nonEmpty, s"$src produced no keepers")
+      val before = shaCount()
+      val (s, b, sh) = TextOps.dedupSignatureFrames(
+        spark, sfDir, col("source") === src && col("doc_id").isin(keepers: _*))
+      IndexStore.appendDedupSignatures(spark, s, b, sh, path)
+      assert(shaCount() == before + keepers.length,
+        s"$src append did not grow the store by its keepers")
+      val kid = keepers.min
+      keeperTexts += src -> ((kid, arriving.find(_._1 == kid).get._3))
+    }
+    // the appends MATTER: an exact copy of batch 1's first keeper,
+    // arriving after all appends, must verdict exact AGAINST THAT
+    // APPENDED keeper (it was not in the original corpus)
+    val (kid, ktext) = keeperTexts("src3")
+    val echo = streamVerdicts(Seq((9001L, 10L, ktext)), "echo")
+    assert(echo(9001L) == (("exact", kid)),
+      s"appended keeper not found by the next batch: ${echo(9001L)}")
+  }
+
   test("streamingLmScore equals batch lmBigramScore on real documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -252,8 +252,7 @@ class TextOpsSpec extends AnyFunSuite {
     assert(key(TextOps.crossDedupPersisted(spark, sf)) ==
       key(TextOps.crossDedup(spark, sf)))
     // the stored relations honor the plain-parquet contract
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
-      s"${java.lang.Integer.toHexString((sf + "src5").hashCode)}"
+    val path = graft.sources.IndexStore.artifactPath("dedup", s"$sf|src5")
     val (sha, bands, shingles) =
       graft.sources.IndexStore.loadDedupSignatures(spark, path)
     assert(sha.columns.toSeq == Seq("h", "cid"))
@@ -303,6 +302,53 @@ class TextOpsSpec extends AnyFunSuite {
     val inline = TextOps.crossDedup(spark, dir, "b2").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(v2 == inline)
+  }
+
+  test("torn append: load serves the prior generation; retry excludes orphans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val t = (i: Int) => s"doc number $i with its own distinct words w$i x$i y$i"
+    val rows = Seq(
+      (1L, t(1), "c"), (2L, t(2), "c"), (3L, t(3), "c"),
+      (11L, t(11), "b1"), (12L, t(12), "b1"))
+    val dir = java.nio.file.Files.createTempDirectory("grafttorn").toString
+    rows.map { case (i, x, s) => (i, x, "en", s, x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftsig2").toString + "/store"
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "c")
+    IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    val (shaBefore, bandsBefore, setsBefore) = {
+      val (a, b, c) = IndexStore.loadDedupSignatures(spark, path)
+      (a.count(), b.count(), c.count())
+    }
+    // simulate a crash BETWEEN the relation appends and the meta
+    // rewrite: the relation dirs gain part files the manifest never
+    // names (exactly what appendDedupSignatures leaves if killed after
+    // its three writes) — r11 behavior was a permanent throw here
+    val (s1, b1, g1) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "b1")
+    s1.write.mode("append").parquet(s"$path/sha")
+    b1.write.mode("append").parquet(s"$path/bands")
+    g1.write.mode("append").parquet(s"$path/shingles")
+    // load still succeeds and serves the PRIOR consistent generation
+    val (sha2, bands2, sets2) = IndexStore.loadDedupSignatures(spark, path)
+    assert(sha2.count() == shaBefore && bands2.count() == bandsBefore &&
+      sets2.count() == setsBefore)
+    // verdicts against the recovered store don't see the torn batch:
+    // a copy of a b1 text stays "keep" (b1 never made it in)
+    val v = TextOps.crossDedupAgainstStore(spark, dir, path, "b1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(11L -> "keep", 12L -> "keep"))
+    // the ingest RETRY re-appends the batch; the new manifest includes
+    // the retry's files but never the orphans — counts grow by exactly
+    // one batch, not two
+    IndexStore.appendDedupSignatures(spark, s1, b1, g1, path)
+    val (sha3, _, _) = IndexStore.loadDedupSignatures(spark, path)
+    assert(sha3.count() == shaBefore + 2) // b1 has two docs
+    val v2 = TextOps.crossDedupAgainstStore(spark, dir, path, "b1").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(v2 == Map(11L -> (("exact", 11L)), 12L -> (("exact", 12L))))
   }
 
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
