@@ -73,14 +73,21 @@ object ColumnFunctions {
     * HashPrime as non-negative BIGINT. A k-seed hash family then costs
     * one digest: g_s = (lo + s·hi) mod p (Kirsch–Mitzenmacher double
     * hashing; Bloom/minhash-standard). DuckDB twins:
-    * md5_number_lower / md5_number_upper — byte order verified. */
+    * md5_number_lower / md5_number_upper — byte order verified.
+    *
+    * Delegates to the NATIVE `graft_hash_lo/hi` kernel
+    * (graft.plans.GraftHash — one JVM md5 + a thread-local pair memo,
+    * so the (lo, hi) pair costs ONE digest) rather than the historical
+    * md5/conv/substring column chain: same bits (SurfaceSpec pins the
+    * equality on real text; every hash-gated query re-proves it
+    * against DuckDB), ~2× faster, and one implementation instead of
+    * two. This also unifies NULL semantics (ADVICE r11): both forms
+    * are now null-strict, like DuckDB's `'tag:' || c` (the old
+    * concat_ws chain silently hashed just the tag on NULL input). */
   def hash64Pair(c: Column, tag: String): (Column, Column) = {
-    val hex = md5(concat_ws(":", lit(tag), c).cast("string"))
-    def chunk(pairs: Seq[Int]): Column =
-      conv(concat(pairs.map(i => substring(hex, i, 2)): _*), 16, 10).cast("long")
-    val lo = shiftleft(chunk(Seq(31, 29, 27, 25)), 32).bitwiseOR(chunk(Seq(23, 21, 19, 17)))
-    val hi = shiftleft(chunk(Seq(15, 13, 11, 9)), 32).bitwiseOR(chunk(Seq(7, 5, 3, 1)))
-    (signedToModPrime(lo), signedToModPrime(hi))
+    val s = c.cast("string")
+    (org.apache.spark.sql.functions.call_function("graft_hash_lo", lit(tag), s),
+     org.apache.spark.sql.functions.call_function("graft_hash_hi", lit(tag), s))
   }
 
   /** Deterministic UUID-shaped id from arbitrary content — the

@@ -1086,6 +1086,55 @@ object EventAnalytics {
         qsampleState(col("event_id"), col("value")).as("values_sk"))
   }
 
+  /** Re-aggregation of [[eventDailyLeafFrom]] PARTIALS back to
+    * canonical leaves — the `merge` contract of
+    * [[graft.streaming.StreamingJobs.snapshotUpdateMerged]]: counts
+    * sum, shard bitmaps OR (`bitmap_merge`, byte-identical to a
+    * one-shot build). Every leaf column is a mergeable aggregate, so
+    * merge(plan(A) ∪ plan(B)) ≡ plan(A ∪ B) row-for-row. */
+  def eventDailyLeafMerge(leaves: DataFrame): DataFrame =
+    leaves.groupBy(col("day"), col("event_type"), col("hour"), col("shard"))
+      .agg(sum(col("cnt")).as("cnt"),
+        graft.plans.GraftFunctions.bitmapMerge(col("users_bm")).as("users_bm"))
+
+  /** [[sketchDailyLeafFrom]]'s merge twin: counts sum, theta/qsample
+    * states fold with their own deterministic merges (KMV k-smallest
+    * union / bottom-k union — split-insensitive by construction). */
+  def sketchDailyLeafMerge(leaves: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{qsampleMerge, thetaMerge}
+    leaves.groupBy(col("day"))
+      .agg(sum(col("cnt")).as("cnt"),
+        thetaMerge(col("users_sk")).as("users_sk"),
+        qsampleMerge(col("values_sk")).as("values_sk"))
+  }
+
+  /** Leaf-store ROUND-TRIP of the daily leaf grain (VERDICT r11 #3):
+    * the leaves computed once, upserted day-by-day into the durable
+    * `IndexStore` leaf store (the artifact a restarting stream reseeds
+    * from in O(days·shards) rows instead of re-scanning events), loaded
+    * back, and folded to the oracle-facing (day, type, hour) grain —
+    * SHARES event_daily_leaf's DuckDB oracle, so the hash gate pins
+    * the store lossless end-to-end (bitmap bytes included: the fold
+    * popcounts the loaded bitmaps). */
+  def eventDailyLeafStore(spark: SparkSession, d: String): DataFrame = {
+    val path = graft.sources.IndexStore.artifactPath("leafstore", d)
+    val dir = new java.io.File(path)
+    if (dir.exists()) { // fresh round-trip per call: meta is replaced
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    graft.sources.IndexStore.upsertLeafDays(
+      spark, eventDailyLeafFrom(events(spark, d)), path, "day", batchId = 0L)
+    graft.sources.IndexStore.loadLeafStore(spark, path)
+      .groupBy("day", "event_type", "hour")
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(graft.plans.GraftFunctions.bitmapCard(col("users_bm"))).as("users"))
+      .select(col("day"), col("event_type"), col("hour"), col("cnt"),
+        col("users"))
+  }
+
   /** Synthetic sizes for [[qsampleCalibration]] — the larger two force
     * estimation mode past k = 1024. */
   val QSampleCalibrationSizes: Seq[Long] = Seq(500L, 50000L, 500000L)

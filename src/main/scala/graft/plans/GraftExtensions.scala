@@ -543,6 +543,60 @@ case class BitmapMergeCard(
     copy(child = newChild)
 }
 
+/** OR-fold aggregate over serialized [[BitmapState]] columns that
+  * returns the merged BYTES — the state-preserving twin of
+  * [[BitmapMergeCard]] (which returns the cardinality): `bitmap_merge
+  * (bm)` re-aggregates pre-built bitmap partials into one bitmap,
+  * which is what makes the daily-leaf grain MERGEABLE state — a
+  * streaming face can fold per-batch leaf partials instead of
+  * retaining raw rows, and a leaf store can compact without touching
+  * events. Byte-identical to a one-shot `bitmap_state` over the union
+  * of the inputs' ids: OR is order/duplicate-insensitive and the
+  * serialized length is the longest input's (the highest set bit is
+  * the same either way). */
+case class BitmapMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_merge"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_merge requires BINARY bitmap bytes, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  override def update(buf: Array[Byte],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) GraftBitmaps.orInto(buf, v.asInstanceOf[Array[Byte]]) else buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    GraftBitmaps.orInto(b1, b2)
+
+  // clone: the caller may keep mutating the live buffer after eval
+  override def eval(buf: Array[Byte]): Any =
+    java.util.Arrays.copyOf(buf, buf.length)
+  override def serialize(buf: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOf(buf, buf.length)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapMerge =
+    copy(child = newChild)
+}
+
 /** Misra–Gries frequent-items sketch over a string column — at most
   * `k` counters per aggregation buffer, merged with the Agarwal et al.
   * ("Mergeable Summaries", PODS'12) rule: pointwise-sum, then subtract
@@ -818,6 +872,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new org.apache.spark.sql.AnalysisException(
           "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           Map("functionName" -> "`bitmap_merge_card`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    // bitmap_merge(bm) — OR-fold aggregate returning the merged BYTES
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_merge"),
+      new ExpressionInfo(classOf[BitmapMerge].getName, "bitmap_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b) => BitmapMerge(b)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bitmap_merge`", "expectedNum" -> "1",
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
@@ -1098,6 +1164,11 @@ object GraftFunctions {
   /** Column wrapper for [[BitmapMergeCard]] — exact union count. */
   def bitmapMergeCard(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("bitmap_merge_card", bytes)
+
+  /** OR-fold aggregate returning the merged bitmap BYTES — the
+    * state-preserving twin of [[bitmapMergeCard]]. */
+  def bitmapMerge(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("bitmap_merge", bytes)
 
   /** Column wrapper for [[ThetaState]] — the theta-sketch emitter. */
   def thetaState(id: Column): Column =

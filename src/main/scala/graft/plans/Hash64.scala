@@ -23,12 +23,44 @@ object GraftHash {
   private val P = java.math.BigInteger.valueOf(
     graft.functions.ColumnFunctions.HashPrime)
 
+  private val tlDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-thread single-entry memo of the last digest (VERDICT r11 #5):
+    * every consumer evaluates `lo` and `hi` on the SAME (tag, s)
+    * back-to-back — hash64Pair columns, SQL-text sketch pipelines —
+    * so the second call is an equality check + array reuse instead of
+    * a second md5: one digest per hash PAIR. Keys are defensive copies
+    * (UTF8String.getBytes may alias a reused row buffer); the returned
+    * digest array is never mutated after publication. Correctness is
+    * cache-independent — a miss just recomputes. */
+  private final class LastDigest {
+    var tag: Array[Byte] = _
+    var s: Array[Byte] = _
+    var md: Array[Byte] = _
+  }
+  private val last = new ThreadLocal[LastDigest] {
+    override def initialValue(): LastDigest = new LastDigest
+  }
+
   private def digest(tag: UTF8String, s: UTF8String): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(tag.getBytes)
-    md.update(':'.toByte)
-    md.update(s.getBytes)
-    md.digest()
+    val tb = tag.getBytes
+    val sb = s.getBytes
+    val m = last.get()
+    if (m.md != null && java.util.Arrays.equals(m.tag, tb) &&
+        java.util.Arrays.equals(m.s, sb)) return m.md
+    val d = tlDigest.get()
+    d.reset()
+    d.update(tb)
+    d.update(':'.toByte)
+    d.update(sb)
+    val md = d.digest()
+    m.tag = java.util.Arrays.copyOf(tb, tb.length)
+    m.s = java.util.Arrays.copyOf(sb, sb.length)
+    m.md = md
+    md
   }
 
   /** Little-endian long from md5 bytes [from, from+8), mod p. */

@@ -219,6 +219,100 @@ object IndexStore {
       rel("files_shingles", "n_shingle_rows"))
   }
 
+  // ---- daily serving-leaf store ---------------------------------------
+
+  /** The SERVING-LEAF store (VERDICT r11 #3): the per-day leaf rows a
+    * retention-partitioned streaming face serves (daily bitmap /
+    * sketch leaves — KiB per day) persisted as a durable artifact, so
+    * a RESTART reseeds from O(days · shards) leaf rows instead of
+    * re-scanning O(events) parquet.
+    *
+    * Layout: one subdir per day (`d<day>/` part files, the day column
+    * lives IN the rows) + a meta relation of per-day GENERATIONS:
+    * (format_version, day, gen_batch, n_rows, files). Every upsert
+    * writes new part files then rewrites meta LAST naming them, so a
+    * crash mid-upsert leaves orphans the loader never reads (the
+    * dedup-store manifest move). TWO generations per day are kept
+    * because foreachBatch is at-least-once: a batch can run its upsert
+    * and crash BEFORE its checkpoint commits, so on restart the
+    * replaying batch id must be able to read the day's state from
+    * strictly EARLIER batches ([[loadLeafStore]]'s `beforeBatch`) —
+    * the previous generation — or the replay would double-count
+    * non-idempotent leaf columns (event counts). */
+  def upsertLeafDays(spark: SparkSession, leaves: DataFrame, path: String,
+                     dayCol: String, batchId: Long): Unit = {
+    val prior = leafMetaRows(spark, path)
+    val days = leaves.select(col(dayCol)).distinct().collect()
+      .map(_.getLong(0)).sorted
+    val written = days.map { d =>
+      val rel = s"d$d"
+      val before = partFiles(path, rel).toSet
+      leaves.filter(col(dayCol) === d).write.mode("append").parquet(s"$path/$rel")
+      val files = partFiles(path, rel).filterNot(before)
+      (d, batchId, readManifest(spark, path, files).count(), files)
+    }
+    val touched = days.toSet
+    val kept = prior.filterNot(r => touched(r._1) && r._2 == batchId) // replace same-batch rows
+      .groupBy(_._1).flatMap { case (d, rows) =>
+        // keep at most the latest prior generation of a re-upserted day
+        if (touched(d)) rows.sortBy(-_._2).take(1) else rows
+      }.toSeq
+    writeLeafMeta(spark, path, kept ++ written)
+  }
+
+  /** Remove evicted days from the manifest (their files become
+    * invisible orphans) — the leaf-store face of `onEvict`. */
+  def dropLeafDays(spark: SparkSession, days: Seq[Long], path: String): Unit = {
+    val drop = days.toSet
+    writeLeafMeta(spark, path, leafMetaRows(spark, path).filterNot(r => drop(r._1)))
+  }
+
+  /** Leaf rows of the store's days — per day, the LATEST generation
+    * with gen_batch < `beforeBatch` (all generations eligible when
+    * None). A day whose only generations are ≥ beforeBatch simply is
+    * not returned: it did not exist before that batch. Row counts are
+    * validated against meta over exactly the manifest files. */
+  def loadLeafStore(spark: SparkSession, path: String,
+                    beforeBatch: Option[Long] = None): DataFrame = {
+    val rows = leafMetaRows(spark, path)
+    require(rows.nonEmpty, s"leaf store at $path: empty or absent meta")
+    val chosen = rows
+      .filter(r => beforeBatch.forall(r._2 < _))
+      .groupBy(_._1).map { case (_, gens) => gens.maxBy(_._2) }.toSeq
+    val files = chosen.flatMap(_._4)
+    require(files.nonEmpty,
+      s"leaf store at $path: no generation before batch $beforeBatch")
+    val missing = files.filterNot(f => new java.io.File(s"$path/$f").isFile)
+    require(missing.isEmpty,
+      s"leaf store at $path: manifest files missing on disk: ${missing.mkString(", ")}")
+    val df = readManifest(spark, path, files)
+    val expect = chosen.map(_._3).sum
+    require(df.count() == expect,
+      s"leaf store at $path: manifest rows disagree with meta ($expect expected)")
+    df
+  }
+
+  /** (day, gen_batch, n_rows, files) rows; empty when the store does
+    * not exist yet (first upsert creates it). */
+  private def leafMetaRows(spark: SparkSession,
+                           path: String): Seq[(Long, Long, Long, Seq[String])] = {
+    if (!new java.io.File(s"$path/meta").isDirectory) return Seq.empty
+    spark.read.parquet(s"$path/meta").collect().toSeq.map { m =>
+      require(m.getAs[Int]("format_version") == FormatVersion,
+        s"leaf store at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion")
+      (m.getAs[Long]("day"), m.getAs[Long]("gen_batch"), m.getAs[Long]("n_rows"),
+        m.getAs[scala.collection.Seq[String]]("files").toSeq)
+    }
+  }
+
+  private def writeLeafMeta(spark: SparkSession, path: String,
+                            rows: Seq[(Long, Long, Long, Seq[String])]): Unit = {
+    import spark.implicits._
+    rows.map { case (d, g, n, f) => (FormatVersion, d, g, n, f) }
+      .toDF("format_version", "day", "gen_batch", "n_rows", "files")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Loads and VALIDATES the artifact: wrong format version, empty
     * relations, or a centroid count that disagrees with meta all fail
     * fast with the reason — a serving job must never probe a

@@ -696,6 +696,123 @@ object StreamingJobs {
       }.start()
   }
 
+  /** MERGED-STATE retention face (VERDICT r11 #3) — the leaf-grain
+    * evolution of [[snapshotUpdatePartitioned]]: partition state is
+    * held at the PLAN'S OUTPUT grain (the daily leaf rows — KiB per
+    * day), not as raw input rows. Each micro-batch:
+    *
+    *  1. applies `plan` to the BATCH alone → leaf partials (the plan
+    *     must emit `partitionCol` as a column — checked on the first
+    *     batch);
+    *  2. folds each touched partition's partials into its held leaves
+    *     with `merge` (a re-aggregation over planned rows: same keys,
+    *     sum the counts, OR the bitmaps, merge the sketches — every
+    *     leaf column must be a mergeable aggregate, which is exactly
+    *     what the sketch-as-column family guarantees);
+    *  3. ages out closed partitions and upserts the touched leaves.
+    *
+    * Why this beats raw retention at scale: per-batch cost is
+    * O(batch + leaf rows of touched partitions) instead of O(RAW rows
+    * of touched partitions) — at 10× one retained day holds ~170k raw
+    * events but only ~100 leaf rows — and the held state is leaf-sized
+    * too, so the retention window costs KiB per day no matter the
+    * event volume. The price is the merge contract on the plan's
+    * aggregates; determinism (streamed ≡ batch BYTE-identically) holds
+    * because OR/sum/KMV merges are order- and split-insensitive by
+    * construction (PropertiesSpec pins the algebra).
+    *
+    * Restart contract: `reseed` returns LEAF rows of batches strictly
+    * before the resuming id — the shape `IndexStore.loadLeafStore
+    * (path, beforeBatch = Some(id))` serves directly, making reseed
+    * cost O(leaf store), independent of event volume (the r11 raw
+    * face re-scanned 517k events at 10× for 3 retained days of KiB
+    * leaves). */
+  def snapshotUpdateMerged(stream: DataFrame, partitionCol: String,
+                           plan: DataFrame => DataFrame,
+                           merge: DataFrame => DataFrame,
+                           retainPartitions: Int = Int.MaxValue,
+                           checkpointLocation: Option[String] = None,
+                           reseed: Option[Long => DataFrame] = None)
+                          (upsert: (DataFrame, Seq[Any], Long) => Unit,
+                           onEvict: Seq[Any] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainPartitions >= 1, "retainPartitions must be >= 1")
+    val parts = scala.collection.mutable.HashMap[Any, DataFrame]()
+    val keyOrd: Ordering[Any] = (a: Any, b: Any) =>
+      if (a == null && b == null) 0 else if (a == null) -1
+      else if (b == null) 1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    var firstBatchSeen = false
+    val writer = stream.writeStream.outputMode("append")
+    checkpointLocation.foreach(c => writer.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!firstBatchSeen) {
+          firstBatchSeen = true
+          if (batchId > 0 && parts.isEmpty) reseed match {
+            case Some(f) =>
+              val seeded = f(batchId).localCheckpoint(true)
+              val keys = seeded.select(partitionCol).distinct().collect()
+                .map(_.get(0)).toSeq.sorted(keyOrd)
+              keys.takeRight(retainPartitions).foreach { p =>
+                parts(p) = seeded.filter(
+                  if (p == null) col(partitionCol).isNull
+                  else col(partitionCol) <=> lit(p)).localCheckpoint(true)
+              }
+              val droppedSeed = keys.dropRight(retainPartitions)
+              if (droppedSeed.nonEmpty) onEvict(droppedSeed)
+              releaseCheckpoint(seeded)
+            case None => throw new IllegalStateException(
+              s"snapshotUpdateMerged: resuming from a checkpoint " +
+                s"(batchId=$batchId) with an empty driver partition index — " +
+                "pass reseed = id => <LEAF rows of committed batches (< id), " +
+                "e.g. IndexStore.loadLeafStore(path, beforeBatch = Some(id))>, " +
+                "or start with a fresh checkpoint location over the full replay.")
+          }
+        }
+        val partial = plan(batch).localCheckpoint(true)
+        require(partial.schema.fieldNames.contains(partitionCol),
+          s"snapshotUpdateMerged: plan output must carry '$partitionCol' " +
+            s"(got ${partial.schema.fieldNames.mkString("[", ",", "]")})")
+        val touched = partial.select(partitionCol).distinct().collect()
+          .map(_.get(0)).toSeq.sorted(keyOrd)
+        val horizon =
+          if (parts.size < retainPartitions) None
+          else Some(parts.keys.toSeq.sorted(keyOrd)
+            .apply(parts.size - retainPartitions))
+        val admitted = touched.filter(p =>
+          horizon.forall(h => keyOrd.compare(p, h) >= 0))
+        admitted.foreach { p =>
+          val slice = partial.filter(
+            if (p == null) col(partitionCol).isNull
+            else col(partitionCol) <=> lit(p))
+          parts.get(p) match {
+            case Some(prev) =>
+              // fold the partial INTO the held leaves — O(leaf rows)
+              val next = merge(prev.union(slice)).localCheckpoint(true)
+              releaseCheckpoint(prev)
+              parts(p) = next
+            case None =>
+              // plan output is already canonical for a fresh partition
+              parts(p) = slice.localCheckpoint(true)
+          }
+        }
+        if (parts.size > retainPartitions) {
+          val doomed = parts.keys.toSeq.sorted(keyOrd)
+            .dropRight(retainPartitions)
+          doomed.foreach { k => releaseCheckpoint(parts(k)); parts -= k }
+          onEvict(doomed)
+        }
+        val live = admitted.filter(parts.contains)
+        // the batch id rides along so a leaf-store upsert can stamp its
+        // generation (IndexStore.upsertLeafDays) — the two-generation
+        // replay guard needs to know which batch produced which rows
+        if (live.nonEmpty)
+          upsert(live.map(parts).reduce(_ union _), live, batchId)
+        releaseCheckpoint(partial)
+      }.start()
+  }
+
   /** See [[graft.Checkpoints.release]] — shared with the batch
     * iterative operators' lineage guard. */
   private def releaseCheckpoint(df: DataFrame): Unit =

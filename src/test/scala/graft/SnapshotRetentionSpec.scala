@@ -316,6 +316,135 @@ class SnapshotRetentionSpec extends AnyFunSuite {
       (0L, "a") -> 2L, (1L, "a") -> 2L, (2L, "b") -> 1L))
   }
 
+  test("merged-state face: leaf-grain state equals batch leaves bit-for-bit on real events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the leaf-grain evolution (VERDICT r11 #3): the face holds PLANNED
+    // rows and folds per-batch partials with eventDailyLeafMerge —
+    // state is KiB per day instead of the day's raw events. Parity must
+    // be BYTE-level on the bitmap column: merge(plan(A) ∪ plan(B)) ≡
+    // plan(A ∪ B) is the mergeable-aggregate contract
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(graft.functions.ColumnFunctions.epochSeconds(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = input.toDF().toDF("ts_s", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val served = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String, Long, Long), (Long, Seq[Byte])]()
+    val q = StreamingJobs.snapshotUpdateMerged(
+      stream, "day", EventAnalytics.eventDailyLeafFrom(_),
+      EventAnalytics.eventDailyLeafMerge(_))({ (res, touched, _) =>
+      val t = touched.map(_.asInstanceOf[Long]).toSet
+      served.keySet().removeIf(k => t.contains(k._1))
+      res.collect().foreach { r =>
+        served.put(
+          (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+            r.getAs[Long]("hour"), r.getAs[Long]("shard")),
+          (r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm").toSeq))
+      }
+    })
+    try {
+      rows.groupBy(_._4 % 3).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = EventAnalytics.eventDailyLeafFrom(graft.sources.Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("hour"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm").toSeq)))
+      .toMap
+    assert(served.asScala.toMap == batch && batch.nonEmpty)
+  }
+
+  test("leaf-store restart: reseed in O(leaf rows); generation guard survives a replayed upsert") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.IndexStore
+    val base = java.nio.file.Files.createTempDirectory("graftleafckpt").toString
+    val store = s"$base/leafstore"
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = input.toDF().toDF("ts_s", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val served = new java.util.concurrent.ConcurrentHashMap[
+      (Long, String, Long, Long), (Long, Seq[Byte])]()
+    def face(reseed: Option[Long => org.apache.spark.sql.DataFrame]) =
+      StreamingJobs.snapshotUpdateMerged(
+        stream, "day", EventAnalytics.eventDailyLeafFrom(_),
+        EventAnalytics.eventDailyLeafMerge(_),
+        checkpointLocation = Some(s"$base/ckpt"), reseed = reseed)({ (res, touched, bid) =>
+        // the serving table IS durable: every committed batch upserts
+        // its touched days' leaves, stamped with its generation
+        val r = res.localCheckpoint(true)
+        IndexStore.upsertLeafDays(spark, r, store, "day", bid)
+        val t = touched.map(_.asInstanceOf[Long]).toSet
+        served.keySet().removeIf(k => t.contains(k._1))
+        r.collect().foreach { row =>
+          served.put(
+            (row.getAs[Long]("day"), row.getAs[String]("event_type"),
+              row.getAs[Long]("hour"), row.getAs[Long]("shard")),
+            (row.getAs[Long]("cnt"), row.getAs[Array[Byte]]("users_bm").toSeq))
+        }
+      })
+    // phase 1 (batch 0, committed): day 0 and the straddling day 1
+    def ev(day: Long, user: Long, id: Long) = (day * 86400 + 10, user, "view", id)
+    val q1 = face(None)
+    try {
+      input.addData(Seq(ev(0, 1, 1), ev(0, 2, 2), ev(1, 3, 3)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a batch that ran its UPSERT but crashed before its checkpoint
+    // committed (foreachBatch is at-least-once): the store now has a
+    // gen-1 row for day 1 that reseed must NOT serve when batch 1
+    // replays — or the replayed events double-count
+    val phantom = Seq(ev(1, 4, 4)).toDF("ts_s", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    IndexStore.upsertLeafDays(spark,
+      EventAnalytics.eventDailyLeafFrom(phantom), store, "day", batchId = 1L)
+    // phase 2: batch 1 replays (same rows as the phantom) + a new day;
+    // reseed reads the LEAF STORE strictly before the replaying batch
+    var reseedRows = -1L
+    input.addData(Seq(ev(1, 4, 4)))
+    val q2 = face(Some { id =>
+      val seed = IndexStore.loadLeafStore(spark, store, beforeBatch = Some(id))
+      reseedRows = seed.count()
+      seed
+    })
+    try {
+      input.addData(Seq(ev(2, 5, 5)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the seed was leaf rows (2 leaves: users 1+2 share day-0's cell,
+    // day 1 has one; the phantom gen-1 row is correctly excluded),
+    // not raw events
+    assert(reseedRows == 2L, s"reseed read $reseedRows rows")
+    // final state equals the batch over ALL events — day 1 straddles
+    // the restart, its replayed event counts exactly once
+    val all = Seq(ev(0, 1, 1), ev(0, 2, 2), ev(1, 3, 3), ev(1, 4, 4), ev(2, 5, 5))
+      .toDF("ts_s", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val batch = EventAnalytics.eventDailyLeafFrom(all).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("hour"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm").toSeq)))
+      .toMap
+    assert(served.asScala.toMap == batch)
+    // and the durable store itself now serves the same truth
+    val stored = IndexStore.loadLeafStore(spark, store).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("hour"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm").toSeq)))
+      .toMap
+    assert(stored == batch)
+  }
+
   test("sketch-grain folds under retention: aged-out days degrade honestly") {
     import graft.plans.{GraftQSample, GraftTheta}
     import graft.streaming.ServingFolds

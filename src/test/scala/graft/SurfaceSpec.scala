@@ -798,14 +798,33 @@ class SurfaceSpec extends AnyFunSuite {
   }
 
   test("graft_hash_lo/hi == ColumnFunctions.hash64Pair, and the SQL-text prefilter") {
-    // the injected JVM kernel must be bit-identical to the md5/conv
-    // column chain on real text (unicode, empties, long grams)
-    val (lo, hi) = ColumnFunctions.hash64Pair(col("text"), "bl")
+    // hash64Pair now DELEGATES to the kernel (r12), so the original
+    // md5/conv/substring column chain lives on here as the independent
+    // reference implementation: the kernel must stay bit-identical to
+    // it on real text (unicode, empties, long grams) — this is what
+    // pins the little-endian byte order against DuckDB's
+    // md5_number_lower/upper
+    def chainPair(c: org.apache.spark.sql.Column, tag: String) = {
+      val p = lit(ColumnFunctions.HashPrime)
+      def signedToModPrime(x: org.apache.spark.sql.Column) =
+        when(x >= 0, pmod(x, p))
+          .otherwise(pmod(pmod(x, p) - lit(ColumnFunctions.HashPrime - 50L), p))
+      val hex = md5(concat_ws(":", lit(tag), c).cast("string"))
+      def chunk(pairs: Seq[Int]) =
+        conv(concat(pairs.map(i => substring(hex, i, 2)): _*), 16, 10).cast("long")
+      val lo = shiftleft(chunk(Seq(31, 29, 27, 25)), 32).bitwiseOR(chunk(Seq(23, 21, 19, 17)))
+      val hi = shiftleft(chunk(Seq(15, 13, 11, 9)), 32).bitwiseOR(chunk(Seq(7, 5, 3, 1)))
+      (signedToModPrime(lo), signedToModPrime(hi))
+    }
+    val (lo, hi) = chainPair(col("text"), "bl")
+    val (plo, phi) = ColumnFunctions.hash64Pair(col("text"), "bl")
     val mism = graft.sources.Tables.documents(spark, sf)
       .select(lo.as("clo"), hi.as("chi"),
         expr("graft_hash_lo('bl', text)").as("klo"),
-        expr("graft_hash_hi('bl', text)").as("khi"))
-      .filter(col("clo") =!= col("klo") || col("chi") =!= col("khi"))
+        expr("graft_hash_hi('bl', text)").as("khi"),
+        plo.as("wlo"), phi.as("whi"))
+      .filter(col("clo") =!= col("klo") || col("chi") =!= col("khi") ||
+        col("wlo") =!= col("klo") || col("whi") =!= col("khi"))
       .count()
     assert(mism == 0L)
     // the pure-SQL-text prefilter equals the DataFrame form row for row
