@@ -872,7 +872,7 @@ object EventAnalytics {
     * in exact mode (≤ k distinct ids per group, which holds at every
     * test SF — estimation mode is pinned by [[thetaCalibration]] and
     * the randomized PropertiesSpec bounds instead). */
-  private val ThetaTol = 0.15
+  private[operators] val ThetaTol = 0.15
 
   /** Daily UV through the theta sketch, as an ACCURACY CONTRACT the
     * hash gate actually verifies: per day, the exact distinct count

@@ -2316,7 +2316,7 @@ object TextOps {
 
   /** Hash-pair tag for the CM token family (distinct from minhash's
     * "mh" so bucket structure is independent of the signature family). */
-  private val CmsTag = "cms"
+  private[operators] val CmsTag = "cms"
 
   /** (source, token, lo, hi) — one md5 per token instance, both
     * portable 64-bit halves (Kirsch–Mitzenmacher base pair). */
