@@ -685,6 +685,41 @@ class SimilaritySpec extends AnyFunSuite {
       key(Similarity.ivfPqTopK(spark, sf)))
   }
 
+  test("covariance-rotated PQ: isometry holds, recall floor vs plain ADC (VERDICT r11 #4)") {
+    // exact ground truth: brute-force squared-L2 top-k per probe,
+    // driver-side over the collected sf0.001 vectors
+    val k = 5; val nQueries = 10
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def truth(q: Long): Set[Long] = {
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => rows.map(_.getAs[Long]("neighbor_id")).toSet
+          .intersect(truth(q)).size.toDouble / k }
+      got.sum / got.size
+    }
+    val plain = recall(Similarity.pqAdcTopK(spark, sf, k, nQueries))
+    val rot = recall(Similarity.pqWhitenAdcTopK(spark, sf, k, nQueries))
+    // the pinned floor: rotating must not cost recall on the same
+    // probes (the rotated codebook's distortion is LOWER, pinned by
+    // pq_whiten_compare's oracle booleans); small slack for tie noise
+    assert(rot >= plain - 0.05, s"rotated ADC recall $rot < plain $plain - 0.05")
+    // raw ADC without re-rank is coarse (16 codes/subspace); measured
+    // here: plain 0.12, rotated 0.20 — the rotation WINS outright on
+    // this corpus, the sanity floor just guards against degeneracy
+    assert(rot > 0.05 && plain > 0.05, s"ADC recall degenerate: rot=$rot plain=$plain")
+  }
+
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
     import spark.implicits._
     // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4
