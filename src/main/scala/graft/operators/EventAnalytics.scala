@@ -632,14 +632,20 @@ object EventAnalytics {
   /** [[rollingActiveUsers]] over any (ts TIMESTAMP, user_id BIGINT)
     * frame — the multi-shard test face. */
   def rollingActiveUsersFrom(ev: DataFrame): DataFrame = {
-    import graft.plans.GraftFunctions.{bitmapMergeCard, bitmapState}
-    val daily = ev
+    import graft.plans.GraftFunctions.bitmapState
+    rollingActiveServe(ev
       .groupBy(
         dayKey(col("ts")).as("day"),
         shiftright(col("user_id"), RetentionShardBits).as("shard"))
       .agg(bitmapState(
-        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm")))
+  }
 
+  /** The WAU serve-fold over a (day, shard, bm) daily-bitmap relation
+    * — shared by the event-scan face ([[rollingActiveUsersFrom]]) and
+    * the leaf-store face ([[rollingActiveUsersFromStore]]). */
+  private def rollingActiveServe(daily: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.bitmapMergeCard
     // a day's bitmap serves the window of every day in [day, day+6]
     val fanned = daily
       .withColumn("off", explode(array((0 until RollingActiveWindowDays)
@@ -1117,22 +1123,43 @@ object EventAnalytics {
     * the store lossless end-to-end (bitmap bytes included: the fold
     * popcounts the loaded bitmaps). */
   def eventDailyLeafStore(spark: SparkSession, d: String): DataFrame = {
-    val path = graft.sources.IndexStore.artifactPath("leafstore", d)
-    val dir = new java.io.File(path)
-    if (dir.exists()) { // fresh round-trip per call: meta is replaced
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir.toPath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-    graft.sources.IndexStore.upsertLeafDays(
-      spark, eventDailyLeafFrom(events(spark, d)), path, "day", batchId = 0L)
-    graft.sources.IndexStore.loadLeafStore(spark, path)
+    graft.sources.IndexStore.loadLeafStore(spark, leafStorePath(spark, d))
       .groupBy("day", "event_type", "hour")
       .agg(sum(col("cnt")).as("cnt"),
         sum(graft.plans.GraftFunctions.bitmapCard(col("users_bm"))).as("users"))
       .select(col("day"), col("event_type"), col("hour"), col("cnt"),
         col("users"))
+  }
+
+  /** Build (once per session) and return the daily-leaf store of a
+    * scale dir — the SHARED artifact both store-serving queries load
+    * ([[eventDailyLeafStore]], [[rollingActiveUsersFromStore]]): the
+    * leaves are deterministic, so sharing the build cannot change any
+    * hash, and a bench pass pays the store write once. */
+  private def leafStorePath(spark: SparkSession, d: String): String =
+    leafStoreCache.getOrBuild((spark, d)) {
+      val path = graft.sources.IndexStore.artifactPath("leafstore", d)
+      graft.sources.IndexStore.resetDir(path) // fresh round-trip: meta replaced
+      graft.sources.IndexStore.upsertLeafDays(
+        spark, eventDailyLeafFrom(events(spark, d)), path, "day", batchId = 0L)
+      path
+    }
+
+  private val leafStoreCache = new graft.SessionMemo[
+    (SparkSession, String), String]("event_leaf_store")
+
+  /** Trailing 7-day WAU served FROM THE LEAF STORE — no event scan:
+    * the per-(day, shard) bitmaps come from `bitmap_merge`-folding the
+    * stored (day, type, hour, shard) leaves (OR across cells = the
+    * day's user set exactly), then the same fan-out/OR-fold serve as
+    * [[rollingActiveUsers]]. Shards partition the id space, so the
+    * fold is exact and this SHARES rolling_active_users' DuckDB
+    * oracle — the hash gate pins that the durable artifact answers
+    * the window-distinct question bit-for-bit without the events. */
+  def rollingActiveUsersFromStore(spark: SparkSession, d: String): DataFrame = {
+    val loaded = graft.sources.IndexStore.loadLeafStore(spark, leafStorePath(spark, d))
+    rollingActiveServe(loaded.groupBy("day", "shard")
+      .agg(graft.plans.GraftFunctions.bitmapMerge(col("users_bm")).as("bm")))
   }
 
   /** Synthetic sizes for [[qsampleCalibration]] — the larger two force

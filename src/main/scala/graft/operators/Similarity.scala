@@ -1407,15 +1407,27 @@ object Similarity {
     * stops earning its keep is a HASH FAILURE (the theta_calibration
     * contract shape). The recall floor vs plain IVF/ADC is pinned in
     * SimilaritySpec on the same probes. */
+  /** Session memo of the rotated side's distortion relation (8 rows):
+    * the rotation + rotated Lloyd chain is deterministic, and a bench
+    * pass should pay it once — the pqRawCodebook memo pattern. */
+  private val whitenCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int, Int, Int),
+    (DataFrame, DataFrame, Double)]("pq_whiten")
+
   def pqWhitenCompare(spark: SparkSession, d: String, nSub: Int = 8,
                       nCodes: Int = 16, iters: Int = 2,
                       dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
-    val (r, orthoErr) = pqWhitenRotation(spark, d, nSub, dim)
-    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val (rotDist, _, orthoErr) = whitenCache.getOrBuild(
+      (spark, d, nSub, nCodes, iters, dim)) {
+        val (r, err) = pqWhitenRotation(spark, d, nSub, dim)
+        val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        val rb = rotateEmbeddings(spark, base, r).persist()
+        // rb rides in the cached value so eviction unpersists it too
+        (pqDistortionFrom(rb, nSub, nCodes, iters, dim).persist(), rb, err)
+      }
     val plain = pqDistortion(spark, d, nSub, nCodes, iters, dim)
-    val rot = pqDistortionFrom(
-        rotateEmbeddings(spark, base, r).persist(), nSub, nCodes, iters, dim)
+    val rot = rotDist
       .select(col("sub_id"), col("mse").as("mse_rot"),
         col("total_sqerr").as("ts_rot"))
     val totals = rot.agg(sum(col("ts_rot")).as("rot_total"))

@@ -101,14 +101,14 @@ object SqlSurface {
     Tables.documents(spark, d).createOrReplaceTempView("documents")
     val (kk, mm) =
       if (k > 0 && mBits > 0) (k, mBits)
-      else graft.plans.GraftBloom.geometryFor(
+      else TextOps.bloomGeometry(spark, d, n, benchMod, benchRes, targetFpr)(
         spark.sql(
           s"""SELECT count(DISTINCT gram) FROM (
              |  SELECT doc_id, explode(array_distinct(${TextOps.shinglesExpr(n)})) AS gram
              |  FROM (SELECT doc_id, ${TextOps.toksExpr} AS toks FROM documents)
              |  WHERE size(toks) >= $n
              |) WHERE doc_id % $benchMod = $benchRes""".stripMargin)
-          .head().getLong(0), targetFpr)
+          .head().getLong(0))
     spark.sql(
       s"""WITH t AS (SELECT doc_id, ${TextOps.toksExpr} AS toks FROM documents),
          |g AS (SELECT doc_id,

@@ -1539,6 +1539,21 @@ object TextOps {
   /** Hash-pair tag for the bloom membership family. */
   private[graft] val BloomTag = "bl"
 
+  /** Session memo of the auto-derived prefilter geometry: the sizing
+    * distinct-count is deterministic per (dir, split, n), and a bench
+    * pass should pay the counting job once, not once per call of each
+    * of the three prefilter faces. */
+  private val bloomGeomCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int, Int, java.lang.Double),
+    (Int, Int)]("bloom_geometry")
+
+  private[operators] def bloomGeometry(spark: SparkSession, d: String, n: Int,
+                                       benchMod: Int, benchRes: Int,
+                                       targetFpr: Double)(count: => Long): (Int, Int) =
+    bloomGeomCache.getOrBuild(
+      (spark, d, n, benchMod, benchRes, Double.box(targetFpr)))(
+      graft.plans.GraftBloom.geometryFor(count, targetFpr))
+
   /** The benchmark n-gram set folded to ONE Bloom filter row — the
     * broadcastable artifact both the batch prefilter and the streaming
     * face probe. Stays a DataFrame (no driver collect, no plan
@@ -1608,8 +1623,8 @@ object TextOps {
     val bench = hashed.filter(col("doc_id") % benchMod === benchRes)
     val (kk, mm) =
       if (k > 0 && mBits > 0) (k, mBits)
-      else graft.plans.GraftBloom.geometryFor(
-        bench.select("gram").distinct().count(), targetFpr)
+      else bloomGeometry(spark, d, n, benchMod, benchRes, targetFpr)(
+        bench.select("gram").distinct().count())
     val bloom = bench.agg(
       graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), kk, mm)
         .as("bf"))

@@ -49,6 +49,19 @@ object IndexStore {
       s"_p${ProcessHandle.current().pid}"
   }
 
+  /** Delete a scratch artifact dir recursively — the fresh-round-trip
+    * reset the registered store queries use (meta is replaced, so a
+    * stale tree must not leak old generations into the manifest). */
+  def resetDir(path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Leaf parquet part files of one relation dir, store-relative —
     * the manifest unit. Sorted for deterministic meta bytes. */
   private def partFiles(path: String, rel: String): Seq[String] = {
@@ -242,15 +255,23 @@ object IndexStore {
   def upsertLeafDays(spark: SparkSession, leaves: DataFrame, path: String,
                      dayCol: String, batchId: Long): Unit = {
     val prior = leafMetaRows(spark, path)
+    // ONE partitioned write job for all touched days (a 30-day bulk
+    // load was 30 sequential jobs before) — the partition column is a
+    // duplicate so the day survives INSIDE the rows too (manifest
+    // loads read part files directly, no partition-dir inference)
     val days = leaves.select(col(dayCol)).distinct().collect()
       .map(_.getLong(0)).sorted
-    val written = days.map { d =>
-      val rel = s"d$d"
-      val before = partFiles(path, rel).toSet
-      leaves.filter(col(dayCol) === d).write.mode("append").parquet(s"$path/$rel")
-      val files = partFiles(path, rel).filterNot(before)
-      (d, batchId, readManifest(spark, path, files).count(), files)
-    }
+    def rel(d: Long) = s"leaves/_day_part=$d"
+    val before = days.map(d => d -> partFiles(path, rel(d)).toSet).toMap
+    leaves.withColumn("_day_part", col(dayCol))
+      .write.mode("append").partitionBy("_day_part").parquet(s"$path/leaves")
+    val newFiles = days.map(d =>
+      d -> partFiles(path, rel(d)).filterNot(before(d))).toMap
+    // per-day row counts of exactly the new files, in one read job
+    val counts = readManifest(spark, path, days.flatMap(newFiles).toSeq)
+      .groupBy(col(dayCol)).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val written = days.map(d => (d, batchId, counts.getOrElse(d, 0L), newFiles(d)))
     val touched = days.toSet
     val kept = prior.filterNot(r => touched(r._1) && r._2 == batchId) // replace same-batch rows
       .groupBy(_._1).flatMap { case (d, rows) =>
