@@ -22,7 +22,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "lm_bigram_score", "vocab_growth", "embedding_covariance", "semdedup",
     "textrank_keywords", "label_spread", "profile_table", "key_skew_report",
     "retention_cohorts", "contamination_bloom", "split_leakage",
-    "cross_dedup_persisted", "ann_ivf_persisted")
+    "cross_dedup_persisted", "ann_ivf_persisted",
+    "event_daily_leaf_store", "rolling_active_users_store",
+    "pq_whiten_compare", "uv_theta_daily_sql", "cms_topk_est_sql")
 
   test("retention_cohorts joins only broadcast bitmap relations — the " +
     "event volume is touched by exactly one aggregation scan") {
@@ -70,6 +72,20 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains(op),
         s"contamination_bloom plans a $op over the gram volume:\n$plan")
     }
+  }
+
+  test("rolling_active_users_store serves from the leaf artifact — the " +
+    "events table is never scanned") {
+    val df = SparkEntry.queries("rolling_active_users_store")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the leaf store: the serving fold reads the
+    // KiB-sized leaf parquet, not the event volume — an events scan
+    // here means the store stopped being the source of truth
+    assert(!plan.contains("events.parquet"),
+      s"rolling_active_users_store scans the event volume:\n$plan")
+    assert(plan.contains("graft_leafstore") || plan.contains("leaves"),
+      s"rolling_active_users_store does not read the leaf store:\n$plan")
   }
 
   test("chunk_documents is one codegen scan — no shuffle, no join, no window") {
