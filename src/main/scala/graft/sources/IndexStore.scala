@@ -313,6 +313,47 @@ object IndexStore {
     df
   }
 
+  /** Delete every part file under `rels` the manifest does not name —
+    * reclaiming torn-append orphans (dedup store) and superseded
+    * generations (leaf store). Safe at any time: loaders only ever
+    * read manifest files, so a concurrent reader never notices.
+    * Returns the number of files deleted. */
+  private def deleteOrphans(path: String, rels: Seq[String],
+                            live: Set[String]): Int = {
+    var n = 0
+    rels.foreach { rel =>
+      val root = new java.io.File(s"$path/$rel")
+      if (root.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root.toPath).iterator().asScala
+          .map(_.toFile)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val relPath = f.getPath.stripPrefix(s"$path/")
+            if (!live(relPath)) { f.delete(); n += 1 }
+          }
+      }
+    }
+    n
+  }
+
+  /** Vacuum a dedup signature store: drop part files orphaned by a
+    * torn append (the manifest excluded them permanently — their bytes
+    * are pure waste). */
+  def vacuumDedupStore(spark: SparkSession, path: String): Int = {
+    val m = dedupMeta(spark, path)
+    val live = Seq("files_sha", "files_bands", "files_shingles")
+      .flatMap(c => m.getAs[scala.collection.Seq[String]](c)).toSet
+    deleteOrphans(path, Seq("sha", "bands", "shingles"), live)
+  }
+
+  /** Vacuum a leaf store: drop part files of superseded generations
+    * (the manifest keeps ≤2 per day) and of torn upserts. */
+  def vacuumLeafStore(spark: SparkSession, path: String): Int = {
+    val live = leafMetaRows(spark, path).flatMap(_._4).toSet
+    deleteOrphans(path, Seq("leaves"), live)
+  }
+
   /** (day, gen_batch, n_rows, files) rows; empty when the store does
     * not exist yet (first upsert creates it). */
   private def leafMetaRows(spark: SparkSession,

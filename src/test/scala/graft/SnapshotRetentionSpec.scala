@@ -443,6 +443,64 @@ class SnapshotRetentionSpec extends AnyFunSuite {
         ((r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm").toSeq)))
       .toMap
     assert(stored == batch)
+    // vacuum drops the phantom generation's files (superseded by the
+    // replay); the current AND kept-previous generations survive, so
+    // loads — including the beforeBatch fallback — are unchanged
+    assert(IndexStore.vacuumLeafStore(spark, store) >= 1)
+    val revac = IndexStore.loadLeafStore(spark, store).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("hour"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_bm").toSeq)))
+      .toMap
+    assert(revac == batch)
+    assert(IndexStore.vacuumLeafStore(spark, store) == 0)
+  }
+
+  test("merged-state face on the SKETCH grain: theta/qsample leaves fold byte-identically") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the approximate-family twin of the bitmap merged-face test:
+    // sketchDailyLeafMerge folds per-batch theta/qsample partials, and
+    // KMV determinism (k-smallest-set union) makes the merged state
+    // BYTE-identical to the one-shot batch sketch — the property that
+    // lets the hash gate verify approximate operators extends to the
+    // leaf-grain streaming face
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(graft.functions.ColumnFunctions.epochSeconds(col("ts")).as("ts_s"),
+        col("user_id"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val stream = input.toDF().toDF("ts_s", "user_id", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("day", EventAnalytics.dayKey(col("ts")))
+    val served = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Seq[Byte], Seq[Byte])]()
+    val q = StreamingJobs.snapshotUpdateMerged(
+      stream, "day", EventAnalytics.sketchDailyLeafFrom(_),
+      EventAnalytics.sketchDailyLeafMerge(_))({ (res, touched, _) =>
+      val t = touched.map(_.asInstanceOf[Long]).toSet
+      served.keySet().removeIf(t.contains(_))
+      res.collect().foreach { r =>
+        served.put(r.getAs[Long]("day"),
+          (r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk").toSeq,
+            r.getAs[Array[Byte]]("values_sk").toSeq))
+      }
+    })
+    try {
+      rows.groupBy(_._3 % 3).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = EventAnalytics.sketchDailyLeafFrom(
+        graft.sources.Tables.events(spark, sf))
+      .collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Array[Byte]]("users_sk").toSeq,
+          r.getAs[Array[Byte]]("values_sk").toSeq)))
+      .toMap
+    assert(served.asScala.toMap == batch && batch.nonEmpty)
   }
 
   test("sketch-grain folds under retention: aged-out days degrade honestly") {

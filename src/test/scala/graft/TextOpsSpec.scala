@@ -349,6 +349,16 @@ class TextOpsSpec extends AnyFunSuite {
     val v2 = TextOps.crossDedupAgainstStore(spark, dir, path, "b1").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(v2 == Map(11L -> (("exact", 11L)), 12L -> (("exact", 12L))))
+    // vacuum reclaims exactly the torn append's orphans (3 relations ×
+    // the orphan write's part files); the store reloads identically
+    val deleted = IndexStore.vacuumDedupStore(spark, path)
+    assert(deleted > 0, "vacuum found no orphans after a torn append")
+    val (sha4, bands4, sets4) = IndexStore.loadDedupSignatures(spark, path)
+    assert(sha4.count() == shaBefore + 2)
+    assert(IndexStore.vacuumDedupStore(spark, path) == 0) // idempotent
+    val v3 = TextOps.crossDedupAgainstStore(spark, dir, path, "b1").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(v3 == v2)
   }
 
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
