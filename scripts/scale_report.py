@@ -52,7 +52,8 @@ _cls(1.0,
      'blacklist_stateful', 'cdc_chunks', 'channel_counts',
      'chunk_documents', 'click_no_purchase', 'clicks_by_province',
      'contamination', 'contamination_bloom', 'contamination_bloom_sql', 'bloom_calibration', 'split_leakage',
-     'event_daily_leaf_store', 'rolling_active_users_store', 'uv_theta_daily_sql',
+     'event_daily_leaf_store', 'rolling_active_users_store',
+     'retention_cohorts_store', 'user_churn_store', 'uv_theta_daily_sql',
      'value_quantiles_daily_sql', 'cms_topk_est_sql', 'pq_whiten_compare',
      'corpus_coverage', 'dataset_card', 'event_daily_leaf',
      'retention_cohorts', 'retention_cohorts_sql', 'rolling_active_users',

@@ -552,15 +552,25 @@ object EventAnalytics {
   /** [[retentionCohorts]] over any frame with (ts TIMESTAMP,
     * user_id BIGINT) — the face the multi-shard tests drive with ids
     * crossing the 2^20 shard boundary. */
-  def retentionCohortsFrom(ev: DataFrame): DataFrame = {
-    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapCard, bitmapState}
-    val daily = ev
-      .groupBy(
+  def retentionCohortsFrom(ev: DataFrame): DataFrame =
+    retentionServe(dailyShardBitmaps(ev))
+
+  /** The (day, shard, bm) daily-bitmap relation every bitmap serving
+    * query starts from — from an event scan here; the leaf-store
+    * faces derive the SAME relation by OR-folding stored leaves. */
+  private def dailyShardBitmaps(ev: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.bitmapState
+    ev.groupBy(
         dayKey(col("ts")).as("day"),
         shiftright(col("user_id"), RetentionShardBits).as("shard"))
       .agg(bitmapState(
         col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+  }
 
+  /** The cohort-retention serve-fold over a (day, shard, bm) relation
+    * — shared by the event-scan and leaf-store faces. */
+  private def retentionServe(daily: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapCard}
     val cohorts = daily.groupBy("day")
       .agg(sum(bitmapCard(col("bm"))).as("cohort_users"))
 
@@ -754,14 +764,13 @@ object EventAnalytics {
 
   /** [[userChurn]] over any (ts TIMESTAMP, user_id BIGINT) frame —
     * the multi-shard test face. */
-  def userChurnFrom(ev: DataFrame): DataFrame = {
-    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapAndNotCard, bitmapCard, bitmapState}
-    val daily = ev
-      .groupBy(
-        dayKey(col("ts")).as("day"),
-        shiftright(col("user_id"), RetentionShardBits).as("shard"))
-      .agg(bitmapState(
-        col("user_id").bitwiseAND(lit((1L << RetentionShardBits) - 1))).as("bm"))
+  def userChurnFrom(ev: DataFrame): DataFrame =
+    churnServe(dailyShardBitmaps(ev))
+
+  /** The churn-decomposition serve-fold over a (day, shard, bm)
+    * relation — shared by the event-scan and leaf-store faces. */
+  private def churnServe(daily: DataFrame): DataFrame = {
+    import graft.plans.GraftFunctions.{bitmapAndCard, bitmapAndNotCard, bitmapCard}
     val prev = daily.select((col("day") + 1).as("day"), col("shard"),
       col("bm").as("pbm"))
     val present = daily.select("day").distinct()
@@ -1156,11 +1165,32 @@ object EventAnalytics {
     * fold is exact and this SHARES rolling_active_users' DuckDB
     * oracle — the hash gate pins that the durable artifact answers
     * the window-distinct question bit-for-bit without the events. */
-  def rollingActiveUsersFromStore(spark: SparkSession, d: String): DataFrame = {
-    val loaded = graft.sources.IndexStore.loadLeafStore(spark, leafStorePath(spark, d))
-    rollingActiveServe(loaded.groupBy("day", "shard")
-      .agg(graft.plans.GraftFunctions.bitmapMerge(col("users_bm")).as("bm")))
-  }
+  def rollingActiveUsersFromStore(spark: SparkSession, d: String): DataFrame =
+    rollingActiveServe(storeDailyBitmaps(spark, d))
+
+  /** The (day, shard, bm) relation served FROM THE LEAF STORE:
+    * `bitmap_merge`-fold the stored (day, type, hour, shard) leaves —
+    * OR across a day's cells is exactly the day's user set, so every
+    * bitmap serving query (WAU, retention, churn) runs off the durable
+    * artifact bit-for-bit, no event re-scan. */
+  private def storeDailyBitmaps(spark: SparkSession, d: String): DataFrame =
+    graft.sources.IndexStore.loadLeafStore(spark, leafStorePath(spark, d))
+      .groupBy("day", "shard")
+      .agg(graft.plans.GraftFunctions.bitmapMerge(col("users_bm")).as("bm"))
+
+  /** Cohort retention served FROM THE LEAF STORE — shares
+    * retention_cohorts' DuckDB oracle (the store relation equals the
+    * event-derived daily bitmaps exactly; shards partition the id
+    * space, so every AND-popcount matches). */
+  def retentionCohortsFromStore(spark: SparkSession, d: String): DataFrame =
+    retentionServe(storeDailyBitmaps(spark, d))
+
+  /** Churn decomposition served FROM THE LEAF STORE — shares
+    * user_churn's oracle. With WAU and retention this completes the
+    * claim: every bitmap serving question the engine answers from
+    * events is ALSO answerable from the durable artifact alone. */
+  def userChurnFromStore(spark: SparkSession, d: String): DataFrame =
+    churnServe(storeDailyBitmaps(spark, d))
 
   /** Synthetic sizes for [[qsampleCalibration]] — the larger two force
     * estimation mode past k = 1024. */
