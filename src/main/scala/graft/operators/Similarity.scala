@@ -1412,19 +1412,33 @@ object Similarity {
     * pass should pay it once — the pqRawCodebook memo pattern. */
   private val whitenCache = new graft.SessionMemo[
     (SparkSession, String, Int, Int, Int, Int),
-    (DataFrame, DataFrame, Double)]("pq_whiten")
+    (DataFrame, Double)]("pq_whiten")
+
+  /** Session memo of the covariance-ROTATED embedding base (persisted)
+    * + the rotation's orthonormality witness — shared by the compare
+    * query and the rotated-ADC/rotated-IVFADC serving faces (ADVICE
+    * r12: the serving face used to persist its own rotated copy per
+    * call and never unpersist it). Eviction unpersists via the memo's
+    * standard hook. */
+  private val whitenBaseCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int), (DataFrame, Double)]("pq_whiten_base")
+
+  private[operators] def whitenedBase(spark: SparkSession, d: String,
+                                      nSub: Int, dim: Int): (DataFrame, Double) =
+    whitenBaseCache.getOrBuild((spark, d, nSub, dim)) {
+      val (r, err) = pqWhitenRotation(spark, d, nSub, dim)
+      val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      (rotateEmbeddings(spark, base, r).persist(), err)
+    }
 
   def pqWhitenCompare(spark: SparkSession, d: String, nSub: Int = 8,
                       nCodes: Int = 16, iters: Int = 2,
                       dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
-    val (rotDist, _, orthoErr) = whitenCache.getOrBuild(
+    val (rotDist, orthoErr) = whitenCache.getOrBuild(
       (spark, d, nSub, nCodes, iters, dim)) {
-        val (r, err) = pqWhitenRotation(spark, d, nSub, dim)
-        val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-        val rb = rotateEmbeddings(spark, base, r).persist()
-        // rb rides in the cached value so eviction unpersists it too
-        (pqDistortionFrom(rb, nSub, nCodes, iters, dim).persist(), rb, err)
+        val (rb, err) = whitenedBase(spark, d, nSub, dim)
+        (pqDistortionFrom(rb, nSub, nCodes, iters, dim).persist(), err)
       }
     val plain = pqDistortion(spark, d, nSub, nCodes, iters, dim)
     val rot = rotDist
@@ -1480,11 +1494,8 @@ object Similarity {
                       nQueries: Int = 10, nSub: Int = 8, nCodes: Int = 16,
                       iters: Int = 2, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
-    val (r, _) = pqWhitenRotation(spark, d, nSub, dim)
-    val base = rotateEmbeddings(spark,
-      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")), r)
-      .persist()
-    pqAdcTopKFrom(base, k, nQueries, nSub, nCodes, iters, dim)
+    pqAdcTopKFrom(whitenedBase(spark, d, nSub, dim)._1,
+      k, nQueries, nSub, nCodes, iters, dim)
   }
 
   /** Scalar int8 quantization — the training-free third member of the
@@ -1850,7 +1861,10 @@ object Similarity {
     val path = IndexStore.artifactPath("ivfpq", s"$d|$nlists|$nSub|$nCodes")
     IndexStore.saveIvfPq(spark, cent0, cb0, codes0, path,
       nlists, nSub, nCodes)
-    val (cent, cb, codes) = IndexStore.loadIvfPq(spark, path)
+    val (cent, cb, codes, rot) = IndexStore.loadIvfPq(spark, path)
+    require(rot.isEmpty,
+      s"ivfpq bundle at $path was trained in a rotated basis — probe it " +
+        "via ivfPqRotatedTopKPersisted, not the plain serving path")
     ivfPqServe(
       Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
       Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)

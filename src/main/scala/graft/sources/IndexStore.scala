@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,13 +17,35 @@ import org.apache.spark.sql.functions._
   *   - `assign/`    (vec_id BIGINT, list_id BIGINT) — one row per vector
   *   - `centroids/` (list_id BIGINT, cemb ARRAY<DOUBLE>, cnorm DOUBLE)
   *     — the probing centroids with exact norms
-  *   - `meta/`      one row: format version + training params + counts
+  *   - `meta/v<n>/` GENERATIONS of the one-row meta relation: format
+  *     version + training params + counts (see below)
   *
   * Training is deterministic (hash-seeded Lloyd, exact decimal means),
   * so a saved index is REPRODUCIBLE: re-training from the same corpus
   * bit-matches the artifact, and results served from a loaded index
   * hash-match results served from a fresh train — pinned by the
   * `ann_ivf_persisted` query sharing `ann_ivf_trained`'s DuckDB oracle.
+  *
+  * Meta durability (ADVICE r12): meta is never overwritten in place —
+  * parquet "overwrite" is delete-then-write, so a crash mid-rewrite
+  * would brick the store. Instead every meta write lands in a FRESH
+  * generation dir `meta/v<n>` (monotonic n), complete only once
+  * Spark's `_SUCCESS` marker exists; readers load the NEWEST COMPLETE
+  * generation, so a crash at any byte of a meta write leaves the prior
+  * generation intact and served. The newest two generations are kept
+  * (a reader that just listed may still be opening the previous one);
+  * older ones are pruned on the next write.
+  *
+  * Filesystem: all listing/exists/delete goes through the Hadoop
+  * FileSystem API resolved from the path URI (ADVICE r12) — a store
+  * under `hdfs://` / `s3a://` behaves identically to a local one.
+  *
+  * Concurrency contract: any number of concurrent READERS are safe at
+  * all times (they only ever touch manifest-named files and complete
+  * meta generations). Appends/upserts and vacuum assume a SINGLE
+  * WRITER per store — the streaming faces satisfy this by construction
+  * (one query owns one store); two concurrent appenders would race on
+  * the last-writer-wins meta generation and one append would vanish.
   *
   * Scale: the assignment is n rows of two BIGINTs (KBs per million
   * vectors in parquet), the centroid table nlists rows — loading is a
@@ -31,8 +54,10 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  /** Bumped on any layout/semantics change; load fails fast on skew. */
-  val FormatVersion = 1
+  /** Bumped on any layout/semantics change; load fails fast on skew.
+    * v2 (round 13): generation-dir meta (`meta/v<n>`) replaces the
+    * in-place overwrite; IVF-PQ bundles may carry a rotation relation. */
+  val FormatVersion = 2
 
   /** Collision-free scratch path for a persisted-artifact round-trip
     * (ADVICE r11): keyed by an md5 digest of the logical key (not
@@ -49,31 +74,95 @@ object IndexStore {
       s"_p${ProcessHandle.current().pid}"
   }
 
+  /** Hadoop FileSystem of a path URI — local, HDFS, or object store;
+    * the active session's Hadoop conf when one exists (credentials,
+    * fs.defaultFS), the vanilla conf otherwise. */
+  private def fsOf(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
   /** Delete a scratch artifact dir recursively — the fresh-round-trip
     * reset the registered store queries use (meta is replaced, so a
     * stale tree must not leak old generations into the manifest). */
   def resetDir(path: String): Unit = {
-    val dir = new java.io.File(path)
-    if (dir.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir.toPath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val (fs, p) = fsOf(path)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Leaf parquet part files of one relation dir, store-relative —
     * the manifest unit. Sorted for deterministic meta bytes. */
   private def partFiles(path: String, rel: String): Seq[String] = {
-    val dir = new java.io.File(s"$path/$rel")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => s"$rel/${f.getName}").sorted.toSeq
+    val (fs, p) = fsOf(s"$path/$rel")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}").sorted
   }
 
   private def readManifest(spark: SparkSession, path: String,
                            files: Seq[String]): DataFrame =
     spark.read.parquet(files.map(f => s"$path/$f"): _*)
+
+  // ---- versioned meta generations (ADVICE r12: atomic meta) -----------
+
+  private val MetaGenName = "^v(\\d+)$".r
+
+  /** Existing meta generation numbers under `path/meta`, ascending —
+    * complete or not. */
+  private def metaGenNumbers(path: String): Seq[Long] = {
+    val (fs, p) = fsOf(s"$path/meta")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case MetaGenName(n) => Some(n.toLong)
+        case _              => None
+      }
+    }.flatten.sorted
+  }
+
+  /** Generation numbers whose `_SUCCESS` marker exists — the ones a
+    * reader may serve. */
+  private def completeMetaGens(path: String): Seq[Long] = {
+    val (fs, _) = fsOf(path)
+    metaGenNumbers(path)
+      .filter(n => fs.exists(new Path(s"$path/meta/v$n/_SUCCESS")))
+  }
+
+  /** Write one meta relation as a NEW generation dir, then prune all
+    * but {this gen, the newest previously-complete gen}. The prior
+    * generation stays complete on disk until this one's `_SUCCESS`
+    * lands, so a crash at any point leaves a servable store. */
+  private def writeMeta(path: String)(write: String => Unit): Unit = {
+    val prior = completeMetaGens(path)
+    val next = metaGenNumbers(path).lastOption.getOrElse(0L) + 1
+    write(s"$path/meta/v$next")
+    val keep = Set(next) ++ prior.lastOption
+    val (fs, _) = fsOf(path)
+    metaGenNumbers(path).filterNot(keep).foreach { n =>
+      fs.delete(new Path(s"$path/meta/v$n"), true)
+    }
+  }
+
+  /** The newest COMPLETE meta generation, or None for an absent /
+    * never-completed store. */
+  private def readLatestMeta(spark: SparkSession,
+                             path: String): Option[DataFrame] =
+    completeMetaGens(path).lastOption
+      .map(n => spark.read.parquet(s"$path/meta/v$n"))
+
+  /** Modification time of the newest complete meta generation's
+    * `_SUCCESS` marker — the vacuum guard's "files at least this old
+    * are adjudicated by the current manifest" watermark. */
+  private def latestMetaMtime(path: String): Long =
+    completeMetaGens(path).lastOption.map { n =>
+      val (fs, _) = fsOf(path)
+      fs.getFileStatus(new Path(s"$path/meta/v$n/_SUCCESS"))
+        .getModificationTime
+    }.getOrElse(Long.MinValue)
 
   def saveIvf(spark: SparkSession, assign: DataFrame, centroids: DataFrame,
               path: String, nlists: Int, iters: Int): Unit = {
@@ -84,37 +173,58 @@ object IndexStore {
     val nVecs = spark.read.parquet(s"$path/assign").count()
     val nCents = spark.read.parquet(s"$path/centroids").count()
     import spark.implicits._
-    Seq((FormatVersion, nlists, iters, nVecs, nCents))
-      .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(path)(gen =>
+      Seq((FormatVersion, nlists, iters, nVecs, nCents))
+        .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
+        .coalesce(1).write.mode("overwrite").parquet(gen))
   }
 
   /** The IVF-PQ bundle: coarse probing centroids, residual codebook,
     * cell-tagged PQ codes — everything [[graft.operators.Similarity]]'s
     * `ivfPqServe` needs; raw vectors are touched only by the re-rank
-    * join, from the corpus table itself. */
+    * join, from the corpus table itself. `rotation` (optional, round
+    * 13) carries the OPQ-style orthonormal basis the bundle was trained
+    * in as one (dim, matrix) row — a serving job MUST rotate queries by
+    * exactly this matrix, so it rides in the artifact and the loader
+    * fails fast when a rotated bundle is probed as plain (or vice
+    * versa). */
   def saveIvfPq(spark: SparkSession, cent: DataFrame, codebook: DataFrame,
                 codes: DataFrame, path: String,
-                nlists: Int, nSub: Int, nCodes: Int): Unit = {
+                nlists: Int, nSub: Int, nCodes: Int,
+                rotation: Option[DataFrame] = None): Unit = {
     cent.select(col("list_id"), col("cemb"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     codebook.select(col("sub_id"), col("code"), col("cemb"))
       .write.mode("overwrite").parquet(s"$path/codebook")
     codes.select(col("vec_id"), col("sub_id"), col("code"), col("list_id"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    rotation.foreach(_.select(col("dim"), col("rot"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation"))
     import spark.implicits._
-    Seq((FormatVersion, nlists, nSub, nCodes,
-        spark.read.parquet(s"$path/centroids").count(),
-        spark.read.parquet(s"$path/codebook").count(),
-        spark.read.parquet(s"$path/codes").count()))
-      .toDF("format_version", "nlists", "n_sub", "n_codes",
-        "n_centroids", "n_codebook", "n_code_rows")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val nRot = rotation.map(_ => spark.read.parquet(s"$path/rotation").count())
+      .getOrElse(0L)
+    writeMeta(path)(gen =>
+      Seq((FormatVersion, nlists, nSub, nCodes,
+          spark.read.parquet(s"$path/centroids").count(),
+          spark.read.parquet(s"$path/codebook").count(),
+          spark.read.parquet(s"$path/codes").count(),
+          nRot))
+        .toDF("format_version", "nlists", "n_sub", "n_codes",
+          "n_centroids", "n_codebook", "n_code_rows", "n_rotation")
+        .coalesce(1).write.mode("overwrite").parquet(gen))
   }
 
-  def loadIvfPq(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1, s"ivfpq index at $path: meta must be one row, got ${meta.length}")
+  /** Loads and validates the bundle; the fourth element is the
+    * rotation relation iff the bundle was trained in a rotated basis —
+    * a caller expecting a plain bundle must check (ivfPqServe probes
+    * raw queries; probing a rotated bundle with raw queries would be
+    * silently wrong, hence fail-fast in the serving wrappers). */
+  def loadIvfPq(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
+    val meta = readLatestMeta(spark, path)
+      .map(_.collect()).getOrElse(Array.empty)
+    require(meta.length == 1,
+      s"ivfpq index at $path: no complete meta generation (absent or torn store)")
     val m = meta.head
     require(m.getAs[Int]("format_version") == FormatVersion,
       s"ivfpq index at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (retrain and re-save)")
@@ -127,7 +237,13 @@ object IndexStore {
       s"ivfpq index at $path: codebook rows disagree with meta")
     require(codes.count() == m.getAs[Long]("n_code_rows") && m.getAs[Long]("n_code_rows") > 0,
       s"ivfpq index at $path: code rows disagree with meta")
-    (cent, cb, codes)
+    val rot = if (m.getAs[Long]("n_rotation") > 0) {
+      val r = spark.read.parquet(s"$path/rotation")
+      require(r.count() == m.getAs[Long]("n_rotation"),
+        s"ivfpq index at $path: rotation rows disagree with meta")
+      Some(r)
+    } else None
+    (cent, cb, codes, rot)
   }
 
   /** The cross-corpus DEDUP signature store: content hashes (h → min
@@ -140,14 +256,16 @@ object IndexStore {
                              fSha: Seq[String], fBands: Seq[String],
                              fShingles: Seq[String]): Unit = {
     import spark.implicits._
-    Seq((FormatVersion,
-        readManifest(spark, path, fSha).count(),
-        readManifest(spark, path, fBands).count(),
-        readManifest(spark, path, fShingles).count(),
-        fSha, fBands, fShingles))
-      .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows",
-        "files_sha", "files_bands", "files_shingles")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val row = (FormatVersion,
+      readManifest(spark, path, fSha).count(),
+      readManifest(spark, path, fBands).count(),
+      readManifest(spark, path, fShingles).count(),
+      fSha, fBands, fShingles)
+    writeMeta(path)(gen =>
+      Seq(row)
+        .toDF("format_version", "n_sha", "n_band_rows", "n_shingle_rows",
+          "files_sha", "files_bands", "files_shingles")
+        .coalesce(1).write.mode("overwrite").parquet(gen))
   }
 
   def saveDedupSignatures(spark: SparkSession, sha: DataFrame,
@@ -166,13 +284,16 @@ object IndexStore {
   /** APPEND a batch's signatures (the keepers joining the corpus) to
     * an existing store — the daily-ingest move: no corpus re-sign,
     * just three parquet appends plus a meta refresh. Meta carries the
-    * FILE MANIFEST of the consistent generation and is rewritten LAST
-    * (VERDICT r11 #6): a crash between the relation appends and the
-    * meta rewrite leaves orphan part files the manifest never names,
-    * so [[loadDedupSignatures]] keeps serving the PRIOR generation
-    * instead of throwing — the torn batch simply is not in the store,
-    * and the ingest retry re-appends it (orphans stay invisible
-    * forever; only manifest files are ever read). */
+    * FILE MANIFEST of the consistent generation and is written LAST,
+    * as a fresh generation dir (VERDICT r11 #6 + ADVICE r12): a crash
+    * between the relation appends and the meta write leaves orphan
+    * part files the manifest never names, and a crash DURING the meta
+    * write leaves an incomplete generation dir readers skip — either
+    * way [[loadDedupSignatures]] keeps serving the PRIOR generation
+    * instead of throwing; the torn batch simply is not in the store,
+    * and the ingest retry re-appends it (orphans stay invisible until
+    * [[vacuumDedupStore]] reclaims them). Single writer per store
+    * (see the object scaladoc). */
   def appendDedupSignatures(spark: SparkSession, sha: DataFrame,
                             bands: DataFrame, shingles: DataFrame,
                             path: String): Unit = {
@@ -202,8 +323,10 @@ object IndexStore {
 
   private def dedupMeta(spark: SparkSession,
                         path: String): org.apache.spark.sql.Row = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1, s"dedup store at $path: meta must be one row, got ${meta.length}")
+    val meta = readLatestMeta(spark, path)
+      .map(_.collect()).getOrElse(Array.empty)
+    require(meta.length == 1,
+      s"dedup store at $path: no complete meta generation (absent or torn store)")
     val m = meta.head
     require(m.getAs[Int]("format_version") == FormatVersion,
       s"dedup store at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (re-sign and re-save)")
@@ -218,9 +341,10 @@ object IndexStore {
   def loadDedupSignatures(spark: SparkSession,
                           path: String): (DataFrame, DataFrame, DataFrame) = {
     val m = dedupMeta(spark, path)
+    val (fs, _) = fsOf(path)
     def rel(filesCol: String, countCol: String): DataFrame = {
       val files = m.getAs[scala.collection.Seq[String]](filesCol).toSeq
-      val missing = files.filterNot(f => new java.io.File(s"$path/$f").isFile)
+      val missing = files.filterNot(f => fs.isFile(new Path(s"$path/$f")))
       require(missing.isEmpty,
         s"dedup store at $path: manifest files missing on disk: ${missing.mkString(", ")}")
       val df = readManifest(spark, path, files)
@@ -243,24 +367,32 @@ object IndexStore {
     * Layout: one subdir per day (`d<day>/` part files, the day column
     * lives IN the rows) + a meta relation of per-day GENERATIONS:
     * (format_version, day, gen_batch, n_rows, files). Every upsert
-    * writes new part files then rewrites meta LAST naming them, so a
-    * crash mid-upsert leaves orphans the loader never reads (the
-    * dedup-store manifest move). TWO generations per day are kept
-    * because foreachBatch is at-least-once: a batch can run its upsert
-    * and crash BEFORE its checkpoint commits, so on restart the
-    * replaying batch id must be able to read the day's state from
+    * writes new part files then writes meta LAST as a fresh meta
+    * generation, so a crash mid-upsert leaves orphans the loader never
+    * reads (the dedup-store manifest move). TWO generations per day
+    * are kept because foreachBatch is at-least-once: a batch can run
+    * its upsert and crash BEFORE its checkpoint commits, so on restart
+    * the replaying batch id must be able to read the day's state from
     * strictly EARLIER batches ([[loadLeafStore]]'s `beforeBatch`) —
     * the previous generation — or the replay would double-count
     * non-idempotent leaf columns (event counts). */
   def upsertLeafDays(spark: SparkSession, leaves: DataFrame, path: String,
                      dayCol: String, batchId: Long): Unit = {
+    // guards (ADVICE r12): an empty batch must not touch meta (and
+    // zero-path parquet reads throw unrelated schema errors); a null
+    // day is a caller bug worth naming
+    val days = leaves.select(col(dayCol)).distinct().collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"upsertLeafDays: null $dayCol in leaves — day keys must be non-null")
+        r.getLong(0)
+      }.sorted
+    if (days.isEmpty) return
     val prior = leafMetaRows(spark, path)
     // ONE partitioned write job for all touched days (a 30-day bulk
     // load was 30 sequential jobs before) — the partition column is a
     // duplicate so the day survives INSIDE the rows too (manifest
     // loads read part files directly, no partition-dir inference)
-    val days = leaves.select(col(dayCol)).distinct().collect()
-      .map(_.getLong(0)).sorted
     def rel(d: Long) = s"leaves/_day_part=$d"
     val before = days.map(d => d -> partFiles(path, rel(d)).toSet).toMap
     leaves.withColumn("_day_part", col(dayCol))
@@ -303,7 +435,8 @@ object IndexStore {
     val files = chosen.flatMap(_._4)
     require(files.nonEmpty,
       s"leaf store at $path: no generation before batch $beforeBatch")
-    val missing = files.filterNot(f => new java.io.File(s"$path/$f").isFile)
+    val (fs, _) = fsOf(path)
+    val missing = files.filterNot(f => fs.isFile(new Path(s"$path/$f")))
     require(missing.isEmpty,
       s"leaf store at $path: manifest files missing on disk: ${missing.mkString(", ")}")
     val df = readManifest(spark, path, files)
@@ -315,23 +448,34 @@ object IndexStore {
 
   /** Delete every part file under `rels` the manifest does not name —
     * reclaiming torn-append orphans (dedup store) and superseded
-    * generations (leaf store). Safe at any time: loaders only ever
-    * read manifest files, so a concurrent reader never notices.
-    * Returns the number of files deleted. */
+    * generations (leaf store). Safe against any concurrent READER
+    * (loaders only ever read manifest-named files) — but NOT against a
+    * concurrent WRITER: an in-flight append's fresh part files are not
+    * yet manifest-named, so vacuum additionally skips files newer than
+    * the current meta generation, and the store's single-writer
+    * contract (object scaladoc) means the one writer simply should not
+    * vacuum mid-append. Returns the number of files deleted. */
   private def deleteOrphans(path: String, rels: Seq[String],
                             live: Set[String]): Int = {
+    val metaMtime = latestMetaMtime(path)
+    val (fs, _) = fsOf(path)
     var n = 0
     rels.foreach { rel =>
-      val root = new java.io.File(s"$path/$rel")
-      if (root.isDirectory) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root.toPath).iterator().asScala
-          .map(_.toFile)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach { f =>
-            val relPath = f.getPath.stripPrefix(s"$path/")
-            if (!live(relPath)) { f.delete(); n += 1 }
+      val root = new Path(s"$path/$rel")
+      if (fs.exists(root) && fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet")
+              // files at least as new as the current meta may belong to
+              // an append racing this vacuum — leave them for the next
+              // vacuum, which will see a newer meta
+              && s.getModificationTime < metaMtime) {
+            val relPath = s.getPath.toUri.getPath
+              .stripPrefix(new Path(path).toUri.getPath).stripPrefix("/")
+            if (!live(relPath)) { fs.delete(s.getPath, false); n += 1 }
           }
+        }
       }
     }
     n
@@ -358,21 +502,24 @@ object IndexStore {
     * not exist yet (first upsert creates it). */
   private def leafMetaRows(spark: SparkSession,
                            path: String): Seq[(Long, Long, Long, Seq[String])] = {
-    if (!new java.io.File(s"$path/meta").isDirectory) return Seq.empty
-    spark.read.parquet(s"$path/meta").collect().toSeq.map { m =>
-      require(m.getAs[Int]("format_version") == FormatVersion,
-        s"leaf store at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion")
-      (m.getAs[Long]("day"), m.getAs[Long]("gen_batch"), m.getAs[Long]("n_rows"),
-        m.getAs[scala.collection.Seq[String]]("files").toSeq)
+    readLatestMeta(spark, path) match {
+      case None => Seq.empty
+      case Some(df) => df.collect().toSeq.map { m =>
+        require(m.getAs[Int]("format_version") == FormatVersion,
+          s"leaf store at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion")
+        (m.getAs[Long]("day"), m.getAs[Long]("gen_batch"), m.getAs[Long]("n_rows"),
+          m.getAs[scala.collection.Seq[String]]("files").toSeq)
+      }
     }
   }
 
   private def writeLeafMeta(spark: SparkSession, path: String,
                             rows: Seq[(Long, Long, Long, Seq[String])]): Unit = {
     import spark.implicits._
-    rows.map { case (d, g, n, f) => (FormatVersion, d, g, n, f) }
-      .toDF("format_version", "day", "gen_batch", "n_rows", "files")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(path)(gen =>
+      rows.map { case (d, g, n, f) => (FormatVersion, d, g, n, f) }
+        .toDF("format_version", "day", "gen_batch", "n_rows", "files")
+        .coalesce(1).write.mode("overwrite").parquet(gen))
   }
 
   /** Loads and VALIDATES the artifact: wrong format version, empty
@@ -380,8 +527,10 @@ object IndexStore {
     * fast with the reason — a serving job must never probe a
     * half-written or stale-layout index silently. */
   def loadIvf(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1, s"ivf index at $path: meta must be one row, got ${meta.length}")
+    val meta = readLatestMeta(spark, path)
+      .map(_.collect()).getOrElse(Array.empty)
+    require(meta.length == 1,
+      s"ivf index at $path: no complete meta generation (absent or torn store)")
     val m = meta.head
     require(m.getAs[Int]("format_version") == FormatVersion,
       s"ivf index at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (retrain and re-save)")

@@ -656,8 +656,7 @@ class SimilaritySpec extends AnyFunSuite {
       key(Similarity.annIvfTopKTrained(spark, sf)))
     // artifact relations are the plain-parquet contract: a vec_id →
     // list_id assignment covering the corpus, nlists probing centroids
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-      s"${java.lang.Integer.toHexString(sf.hashCode)}_8_2"
+    val path = IndexStore.artifactPath("ivf", s"$sf|8|2")
     val (assign, cents) = IndexStore.loadIvf(spark, path)
     assert(assign.count() ==
       graft.sources.Tables.embeddings(spark, sf).count())
@@ -669,15 +668,19 @@ class SimilaritySpec extends AnyFunSuite {
     cents.write.parquet(s"$bad/centroids")
     Seq((IndexStore.FormatVersion + 1, 8, 2, assign.count(), 8L))
       .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
-      .write.parquet(s"$bad/meta")
+      .write.parquet(s"$bad/meta/v1")
     val e1 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, bad))
     assert(e1.getMessage.contains("format"))
+    // an absent / never-completed store names itself too
+    val absent = java.nio.file.Files.createTempDirectory("graftidx0").toString
+    val e0 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, absent))
+    assert(e0.getMessage.contains("no complete meta generation"))
     val torn = java.nio.file.Files.createTempDirectory("graftidx2").toString
     assign.write.parquet(s"$torn/assign")
     cents.limit(3).write.parquet(s"$torn/centroids")
     Seq((IndexStore.FormatVersion, 8, 2, assign.count(), 8L))
       .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
-      .write.parquet(s"$torn/meta")
+      .write.parquet(s"$torn/meta/v1")
     val e2 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, torn))
     assert(e2.getMessage.contains("centroid rows"))
     // the compressed-index bundle round-trips identically too

@@ -361,6 +361,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v3 == v2)
   }
 
+  test("torn META write: incomplete meta generation is skipped, prior serves (ADVICE r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val t = (i: Int) => s"doc number $i with its own distinct words w$i x$i y$i"
+    val rows = Seq((1L, t(1), "c"), (2L, t(2), "c"), (11L, t(11), "b1"))
+    val dir = java.nio.file.Files.createTempDirectory("graftmetatorn").toString
+    rows.map { case (i, x, s) => (i, x, "en", s, x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftmetasig").toString + "/store"
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "c")
+    IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    val before = {
+      val (a, b, c) = IndexStore.loadDedupSignatures(spark, path)
+      (a.count(), b.count(), c.count())
+    }
+    // simulate a crash DURING the meta write: a NEWER generation dir
+    // exists, holds garbage bytes, and has no _SUCCESS marker — the
+    // r12 in-place overwrite would have deleted meta before this point
+    // and bricked the store; the versioned reader must skip it (it
+    // would throw if it tried to read the junk parquet)
+    val gens = new java.io.File(s"$path/meta").listFiles()
+      .filter(_.getName.matches("v\\d+")).map(_.getName.drop(1).toLong).sorted
+    val junk = new java.io.File(s"$path/meta/v${gens.last + 1}")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(junk, "part-00000.parquet").toPath,
+      Array[Byte](0x13, 0x37, 0x13, 0x37))
+    val after = {
+      val (a, b, c) = IndexStore.loadDedupSignatures(spark, path)
+      (a.count(), b.count(), c.count())
+    }
+    assert(after == before, "incomplete meta generation was not skipped")
+    // the next writer allocates PAST the torn generation (no reuse of
+    // a junk dir) and the store keeps working end to end
+    val (s1, b1, g1) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "b1")
+    IndexStore.appendDedupSignatures(spark, s1, b1, g1, path)
+    val (sha2, _, _) = IndexStore.loadDedupSignatures(spark, path)
+    assert(sha2.count() == before._1 + 1)
+  }
+
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
