@@ -1131,14 +1131,19 @@ object EventAnalytics {
     * SHARES event_daily_leaf's DuckDB oracle, so the hash gate pins
     * the store lossless end-to-end (bitmap bytes included: the fold
     * popcounts the loaded bitmaps). */
-  def eventDailyLeafStore(spark: SparkSession, d: String): DataFrame = {
-    loadedLeaves(spark, d)
+  def eventDailyLeafStore(spark: SparkSession, d: String): DataFrame =
+    leafOracleFold(loadedLeaves(spark, d))
+
+  /** The (day, type, hour) oracle-facing fold of a loaded leaf
+    * relation — shared by the self-building round-trip query and the
+    * load-only serving face. */
+  private def leafOracleFold(leaves: DataFrame): DataFrame =
+    leaves
       .groupBy("day", "event_type", "hour")
       .agg(sum(col("cnt")).as("cnt"),
         sum(graft.plans.GraftFunctions.bitmapCard(col("users_bm"))).as("users"))
       .select(col("day"), col("event_type"), col("hour"), col("cnt"),
         col("users"))
-  }
 
   /** Build (once per session) and return the daily-leaf store of a
     * scale dir — the SHARED artifact both store-serving queries load
@@ -1187,9 +1192,48 @@ object EventAnalytics {
     * bitmap serving query (WAU, retention, churn) runs off the durable
     * artifact bit-for-bit, no event re-scan. */
   private def storeDailyBitmaps(spark: SparkSession, d: String): DataFrame =
-    loadedLeaves(spark, d)
+    dailyBitmapsOfLeaves(loadedLeaves(spark, d))
+
+  private def dailyBitmapsOfLeaves(leaves: DataFrame): DataFrame =
+    leaves
       .groupBy("day", "shard")
       .agg(graft.plans.GraftFunctions.bitmapMerge(col("users_bm")).as("bm"))
+
+  // ---- load-only serving posture (VERDICT r12 #3) ---------------------
+
+  /** Build the daily-leaf store of a scale dir at an EXPLICIT durable
+    * path — the INGEST half of the serving split: one partitioned
+    * upsert of the event-derived leaves. The registered `_store`
+    * queries keep their self-building scratch-path form (the write IS
+    * what their round-trip oracle verifies); a production pipeline
+    * calls this once per load and serving clusters answer from the
+    * `...StoreAt` faces, which NEVER build. */
+  def buildLeafStore(spark: SparkSession, d: String, path: String): Unit =
+    graft.sources.IndexStore.upsertLeafDays(
+      spark, eventDailyLeafFrom(events(spark, d)), path, "day", batchId = 0L)
+
+  /** LOAD-ONLY leaf relation of an explicit store path: fails fast
+    * naming the artifact when the store is absent or torn (the
+    * `loadIvf` validation posture) — a serving session must never
+    * silently fall back to the event scan the store exists to avoid. */
+  private def leavesAt(spark: SparkSession, path: String): DataFrame =
+    graft.sources.IndexStore.loadLeafStore(spark, path)
+
+  /** [[eventDailyLeafStore]]'s load-only face over an explicit path. */
+  def eventDailyLeafStoreAt(spark: SparkSession, path: String): DataFrame =
+    leafOracleFold(leavesAt(spark, path))
+
+  /** [[rollingActiveUsersFromStore]]'s load-only face. */
+  def rollingActiveUsersStoreAt(spark: SparkSession, path: String): DataFrame =
+    rollingActiveServe(dailyBitmapsOfLeaves(leavesAt(spark, path)))
+
+  /** [[retentionCohortsFromStore]]'s load-only face. */
+  def retentionCohortsStoreAt(spark: SparkSession, path: String): DataFrame =
+    retentionServe(dailyBitmapsOfLeaves(leavesAt(spark, path)))
+
+  /** [[userChurnFromStore]]'s load-only face. */
+  def userChurnStoreAt(spark: SparkSession, path: String): DataFrame =
+    churnServe(dailyBitmapsOfLeaves(leavesAt(spark, path)))
 
   /** Cohort retention served FROM THE LEAF STORE — shares
     * retention_cohorts' DuckDB oracle (the store relation equals the

@@ -456,6 +456,37 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     assert(IndexStore.vacuumLeafStore(spark, store) == 0)
   }
 
+  test("load-only serving: explicit shared path, no event scan, absent store fails fast (VERDICT r12 #3)") {
+    import graft.operators.EventAnalytics
+    val path = java.nio.file.Files.createTempDirectory("graftserve").toString + "/leafstore"
+    // absent store: a load-only face must fail fast NAMING the
+    // artifact, never fall back to the event scan it exists to avoid
+    val e = intercept[IllegalArgumentException](
+      EventAnalytics.rollingActiveUsersStoreAt(spark, path).collect())
+    assert(e.getMessage.contains(path))
+    // ingest session builds once at the explicit durable path…
+    EventAnalytics.buildLeafStore(spark, sf, path)
+    // …and a SECOND session (fresh session state, none of the builder
+    // session's memos) serves every bitmap question from it
+    val s2 = spark.newSession()
+    val df = EventAnalytics.rollingActiveUsersStoreAt(s2, path)
+    val got = df.collect()
+    // plan assert: the serving plan reads the leaf store, NEVER events
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      s"load-only serving scanned the event volume:\n$plan")
+    assert(plan.contains("leafstore") || plan.contains("leaves"),
+      s"load-only serving does not read the leaf store:\n$plan")
+    // cross-session parity with the event-scan truth
+    val want = EventAnalytics.rollingActiveUsers(spark, sf).collect()
+    assert(got.map(_.toSeq).toSet == want.map(_.toSeq).toSet && got.nonEmpty)
+    // churn + retention + the leaf grain serve from the same artifact
+    assert(EventAnalytics.userChurnStoreAt(s2, path).collect().map(_.toSeq).toSet ==
+      EventAnalytics.userChurn(spark, sf).collect().map(_.toSeq).toSet)
+    assert(EventAnalytics.eventDailyLeafStoreAt(s2, path).collect().map(_.toSeq).toSet ==
+      EventAnalytics.eventDailyLeaf(spark, sf).collect().map(_.toSeq).toSet)
+  }
+
   test("merged-state face on the SKETCH grain: theta/qsample leaves fold byte-identically") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
