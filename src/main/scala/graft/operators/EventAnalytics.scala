@@ -109,6 +109,33 @@ object EventAnalytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(epochSeconds(col("window.end")).as("window_end"), col("uv_approx"))
 
+  /** Accuracy-contract twin of [[uniqueVisitorsApprox]] (VERDICT r12
+    * #5 — retiring the engine's last `no_oracle` row): per daily
+    * window, the EXACT distinct count (hash-matched by the oracle)
+    * plus the pinned boolean `hll_within_3rsd` = |HLL++ estimate −
+    * exact| ≤ 3·rsd·exact. The theta_calibration contract shape: the
+    * oracle pins the boolean as literal TRUE, so an HLL++ estimate
+    * drifting past its published 3-sigma relative-error bound is a
+    * HASH FAILURE, not a silent quality regression. (The estimate
+    * itself stays out of the hashed columns — sketch values are
+    * engine-specific; the BOUND is the portable contract.) The
+    * rows-only uniqueVisitorsApprox query remains as the estimate
+    * surface. */
+  def uvHllCalibration(spark: SparkSession, d: String,
+                       rsd: Double = 0.01): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("uv"),
+        approx_count_distinct(col("user_id"), rsd).as("est"))
+      .select(epochSeconds(col("window.end")).as("window_end"), col("uv"),
+        (abs(col("est").cast("double") - col("uv")) <=
+          col("uv") * lit(3 * rsd)).as("hll_within_3rsd"))
+
+  val uvHllCalibrationSql: String =
+    """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 + 86400 AS window_end,
+      |       count(DISTINCT user_id) AS uv, TRUE AS hll_within_3rsd
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Exact UV via the fixed-size-bitmap TypedImperativeAggregate
     * ([[graft.plans.BitmapDistinct]]) — the faithful form of the
     * reference's Redis-bitmap UV (UniqueVisitor_03_Bloom.scala:96-176),
@@ -1174,6 +1201,14 @@ object EventAnalytics {
 
   private val leafLoadCache = new graft.SessionMemo[
     (SparkSession, String), DataFrame]("event_leaf_loaded")
+
+  /** Register the session's loaded leaf-store relation as the
+    * `leaf_store` temp view — the SQL-text entry to the durable
+    * serving layer (VERDICT r12 #6): a pure-SQL client folds the
+    * stored leaves with the injected bitmap functions and answers
+    * every serving question the DataFrame faces answer. */
+  def registerLeafStoreView(spark: SparkSession, d: String): Unit =
+    loadedLeaves(spark, d).createOrReplaceTempView("leaf_store")
 
   /** Trailing 7-day WAU served FROM THE LEAF STORE — no event scan:
     * the per-(day, shard) bitmaps come from `bitmap_merge`-folding the
