@@ -332,6 +332,48 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"appended keeper not found by the next batch: ${echo(9001L)}")
   }
 
+  test("store-dedup band join carries keys only, one Jaccard per candidate (VERDICT r12 #1)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import graft.operators.TextOps
+    import graft.sources.IndexStore
+    val sfDir = "/root/testdata/sf0.001"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_shape_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(
+      spark, sfDir, col("source") =!= "src5")
+    IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val plan = StreamingJobs.streamingCrossDedupAgainstStore(spark, df, path)
+      .queryExecution.analyzed
+    // the band-key stream-static join must ship NO shingle payload on
+    // its static side — the r12 face replicated each corpus doc's full
+    // shingle array onto every band row of the join build side
+    val bandJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "band-key join not found in the plan")
+    bandJoins.foreach { j =>
+      val static = j.right.output.map(_.name)
+      assert(!static.contains("cshd"),
+        s"band join static side carries shingle arrays: $static")
+    }
+    // the Jaccard verify joins the per-doc shingle relation AFTER the
+    // candidate-dedup aggregate: exactly one join references cshd, and
+    // its subtree contains the first windowed aggregate
+    val shdJoins = plan.collect {
+      case j: Join if j.right.output.map(_.name).contains("cshd") => j
+    }
+    assert(shdJoins.size == 1,
+      s"expected exactly one per-candidate shingle join, got ${shdJoins.size}")
+    assert(shdJoins.head.left.collect { case a: Aggregate => a }.nonEmpty,
+      "Jaccard verify runs before the candidate-dedup aggregate " +
+        "(per-band-row verification regressed)")
+  }
+
   test("streamingLmScore equals batch lmBigramScore on real documents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
