@@ -393,6 +393,7 @@ object StreamScale {
       val signSec = (System.nanoTime() - tSign0) / 1e9
       val docs = graft.sources.Tables.documents(spark, sfDir)
       var parity = true
+      var dedupVacuumed = 0L
       val wall = scala.collection.mutable.ArrayBuffer[Double]()
       val shaRows = scala.collection.mutable.ArrayBuffer[Long]()
       val verdictCounts = scala.collection.mutable.ArrayBuffer[String]()
@@ -426,6 +427,11 @@ object StreamScale {
         val (s, b, sh) = TextOps.dedupSignatureFrames(
           spark, sfDir, col("source") === src && col("doc_id").isin(keepers: _*))
         IndexStore.appendDedupSignatures(spark, s, b, sh, path)
+        // vacuum IN the ingest loop (VERDICT r12 #7): after each
+        // append — reclaims orphans from any torn earlier append; in a
+        // clean run it deletes 0 (every file is manifest-named), which
+        // the reported counter makes visible
+        dedupVacuumed += IndexStore.vacuumDedupStore(spark, path)
         wall += (System.nanoTime() - t0) / 1e9
         shaRows += IndexStore.loadDedupSignatures(spark, path)._1.count()
         verdictCounts += s"""{"src":"$src","keep":${keepers.length},""" +
@@ -435,6 +441,7 @@ object StreamScale {
       println(s"""{"face":"crossdedup_store","sign_once_sec":${f"$signSec%.1f"},""" +
         s""""slice_wall_sec":${wall.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
         s""""store_sha_rows":${shaRows.mkString("[", ",", "]")},""" +
+        s""""vacuumed_files":$dedupVacuumed,""" +
         s""""slices":${verdictCounts.mkString("[", ",", "]")},""" +
         s""""store_parity":$parity}""")
       assert(parity, "store-backed streamed verdicts diverged from the batch serve")
@@ -469,9 +476,30 @@ object StreamScale {
       val served = new java.util.concurrent.ConcurrentHashMap[
         (Long, String, Long, Long), (Long, Seq[Byte])]()
       @volatile var leafRows = 0L
+      // vacuum IN the ingest loop (VERDICT r12 #7): every upsert of an
+      // already-stored day supersedes a generation whose part files
+      // become invisible orphans — without periodic vacuum the store's
+      // on-disk file count grows with BATCHES, not with retained days.
+      // Every `vacuumEvery` batches the loop reclaims them; the
+      // per-batch file census proves the count stays bounded.
+      val vacuumEvery = 8
+      @volatile var leafVacuumed = 0L
+      val fileCensus = scala.collection.mutable.ArrayBuffer[Long]()
+      def leafFileCount(): Long = {
+        val root = java.nio.file.Paths.get(s"$store/leaves")
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(p => p.toString.endsWith(".parquet")).count()
+          finally s.close()
+        }
+      }
       def upsert(res: DataFrame, touched: Seq[Any], bid: Long): Unit = {
         val r = res.localCheckpoint(true)
         IndexStore.upsertLeafDays(spark, r, store, "day", bid)
+        if (bid % vacuumEvery == (vacuumEvery - 1))
+          leafVacuumed += IndexStore.vacuumLeafStore(spark, store)
+        fileCensus += leafFileCount()
         val t = touched.map(_.asInstanceOf[Long]).toSet
         served.keySet().removeIf(k => t.contains(k._1))
         r.collect().foreach { row =>
@@ -521,11 +549,25 @@ object StreamScale {
       import scala.jdk.CollectionConverters._
       val parity = served.asScala.toMap == batch
       val storeLeaves = IndexStore.loadLeafStore(spark, store).count()
+      // end-of-run reclamation: one final vacuum must leave disk ==
+      // manifest (a second vacuum finds nothing), and the in-loop
+      // vacuums must have actually reclaimed superseded generations —
+      // otherwise file count grows with batch count, unbounded
+      leafVacuumed += IndexStore.vacuumLeafStore(spark, store)
+      val finalFiles = leafFileCount()
+      val maxFiles = if (fileCensus.isEmpty) 0L else fileCensus.max
       println(metricsLine("snapshot_leafstore", leafRows,
         (System.nanoTime() - t0) / 1e9, q2,
         s""","restart_batch":$resumedAt,"reseed_rows":$reseedRows""" +
-          s""","store_leaf_rows":$storeLeaves,"restart_parity":$parity"""))
+          s""","store_leaf_rows":$storeLeaves,"restart_parity":$parity""" +
+          s""","vacuumed_files":$leafVacuumed,"max_store_files":$maxFiles""" +
+          s""","final_store_files":$finalFiles"""))
       assert(parity, "leaf-store restart diverged from batch leaves")
+      assert(leafVacuumed > 0, "in-loop vacuum reclaimed nothing")
+      assert(IndexStore.vacuumLeafStore(spark, store) == 0,
+        "final vacuum left reclaimable orphans")
+      assert(finalFiles <= maxFiles,
+        s"store file count not bounded: final $finalFiles > max-seen $maxFiles")
     }
 
     spark.stop()
