@@ -38,7 +38,8 @@ _cls(1.5, 'semdedup', 'doc_similar_topk', 'embedding_neardup',
      'embedding_lsh_neardup', 'embedding_clusters', 'knn_graph',
      'knn_label_vote', 'knn_triangles', 'label_spread', 'ann_ivf_topk',
      'ann_ivf_trained', 'ann_ivf_persisted', 'ivf_train', 'ivf_pq_topk', 'ivf_pq_topk_set', 'ivf_pq_persisted',
-     'pq_adc_topk', 'semantic_mix', 'doc_topics', 'topic_keywords')
+     'pq_adc_topk', 'semantic_mix', 'doc_topics', 'topic_keywords',
+     'ivf_pq_rotated_topk', 'ivf_pq_rotated_persisted')
 _cls(2.0, 'ngram_jaccard', 'containment_pairs')
 # Every other query is EXPLICITLY classified linear (ann brute force:
 # n_query fixed slice x n corpus; scans/aggs/joins-with-dims/windows;

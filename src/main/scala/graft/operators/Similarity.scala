@@ -1352,9 +1352,16 @@ object Similarity {
     (r, err)
   }
 
-  /** Rotate an embedding frame by R (array-HOF matrix multiply: fixed
-    * j-ascending fold order, deterministic doubles; the matrix rides
-    * as ONE broadcast row, never a plan literal). */
+  /** Rotate an embedding frame by R (array-HOF matrix multiply; the
+    * matrix rides as ONE broadcast row, never a plan literal). Each
+    * output coordinate is the EXACT-decimal fold of the 64 per-term
+    * double products (the [[exactDot]] arithmetic contract), so the
+    * rotated values are engine-portable bit for bit — the property the
+    * rotated-IVFADC serving oracle stands on: DuckDB re-derives the
+    * identical rotated base from the matrix literal and the whole
+    * train/probe/serve chain downstream hash-matches. (A plain double
+    * fold would be ~2× cheaper but order-fragile; the rotation is paid
+    * once per session via [[whitenedBase]]'s memo.) */
   private def rotateEmbeddings(spark: SparkSession, base: DataFrame,
                                r: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
@@ -1363,10 +1370,19 @@ object Similarity {
     base.crossJoin(broadcast(rotDf))
       .select(col("vec_id"), expr(
         s"transform(sequence(0, ${dim - 1}), i -> " +
-          s"aggregate(sequence(0, ${dim - 1}), 0.0D, " +
-          "(acc, j) -> acc + CAST(embedding[j] AS DOUBLE) * rot[j][i]))")
+          s"CAST(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DECIMAL(38,30)), " +
+          "(acc, j) -> CAST(acc + CAST(CAST(embedding[j] AS DOUBLE) * rot[j][i] " +
+          "AS DECIMAL(38,30)) AS DECIMAL(38,30))) AS DOUBLE))")
         .as("embedding"))
   }
+
+  /** The covariance rotation of a scale dir as a plain matrix — the
+    * public face [[graft.SparkEntry]]'s data-dependent oracle and the
+    * persisted-bundle round-trip use (R(j)(i) = component j of
+    * allocated direction i; deterministic given the corpus). */
+  def pqRotationFor(spark: SparkSession, d: String, nSub: Int = 8,
+                    dim: Int = 64): Array[Array[Double]] =
+    pqWhitenRotation(spark, d, nSub, dim)._1
 
   /** Per-subspace distortion of a PQ codebook trained on an ARBITRARY
     * (vec_id, embedding) frame — [[pqDistortion]]'s core over any
@@ -1714,15 +1730,29 @@ object Similarity {
     * IVF-PQ system materializes once at build time. */
   private def ivfPqIndex(spark: SparkSession, d: String, nlists: Int,
                          ivfIters: Int, nSub: Int, nCodes: Int, iters: Int,
-                         dim: Int): (DataFrame, DataFrame, DataFrame) = {
+                         dim: Int): (DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexFromBase(spark, d, "plain",
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      () => ivfTrainFull(spark, d, nlists, ivfIters),
+      nlists, ivfIters, nSub, nCodes, iters, dim)
+
+  /** [[ivfPqIndex]] trained over an ARBITRARY (vec_id, embedding)
+    * base — the rotated serving face trains in the covariance
+    * eigenbasis, the plain face on the raw table; `tag` keeps the two
+    * bundles apart in the session memo. */
+  private def ivfPqIndexFromBase(spark: SparkSession, d: String, tag: String,
+                                 base: DataFrame,
+                                 train: () => (DataFrame, DataFrame),
+                                 nlists: Int, ivfIters: Int, nSub: Int,
+                                 nCodes: Int, iters: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (cent, cb, codes, _) = ivfPqIndexCache.getOrBuild(
-      (spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)) {
-        val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      (spark, d, tag, nlists, ivfIters, nSub, nCodes, iters, dim)) {
         // trained coarse quantizer: assignment + the centroids it was
         // scored against (broadcast-sized: nlists rows). cent's LINEAGE
         // is a full Lloyd iteration — persist so the probe and LUT
         // branches don't re-train it (the table itself is nlists rows).
-        val (assign, cent0) = ivfTrainFull(spark, d, nlists, ivfIters)
+        val (assign, cent0) = train()
         val cent = cent0.persist()
         // residual relation: r = v − centroid(assigned cell), element-
         // wise. Materialized once: every Lloyd stage of the PQ chain
@@ -1747,8 +1777,22 @@ object Similarity {
   }
 
   private val ivfPqIndexCache = new graft.SessionMemo[
-    (SparkSession, String, Int, Int, Int, Int, Int, Int),
+    (SparkSession, String, String, Int, Int, Int, Int, Int, Int),
     (DataFrame, DataFrame, DataFrame, DataFrame)]("ivf_pq_index")
+
+  /** The ROTATED IVF-PQ index bundle (VERDICT r12 #1): coarse + PQ
+    * trained on the [[whitenedBase]] covariance-eigenbasis frame with
+    * the same deterministic seeds as the plain bundle. */
+  private def ivfPqRotIndex(spark: SparkSession, d: String, nlists: Int,
+                            ivfIters: Int, nSub: Int, nCodes: Int, iters: Int,
+                            dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (rb, err) = whitenedBase(spark, d, nSub, dim)
+    require(err <= 1e-9,
+      f"rotated IVF-PQ: covariance rotation not orthonormal (witness $err%.3g)")
+    ivfPqIndexFromBase(spark, d, "rotated", rb,
+      () => ivfTrainFullFrom(rb, nlists, ivfIters),
+      nlists, ivfIters, nSub, nCodes, iters, dim)
+  }
 
   /** IVF-PQ top-k over an ARBITRARY query set — the same (query_id,
     * embedding) contract and broadcast-size bound as the
@@ -1774,7 +1818,9 @@ object Similarity {
   private[operators] def ivfPqServe(base: DataFrame, queries: DataFrame,
                                     cent: DataFrame, cb: DataFrame,
                                     codes: DataFrame, k: Int, nprobe: Int,
-                                    nSub: Int, dim: Int): DataFrame = {
+                                    nSub: Int, dim: Int,
+                                    rerankBase: Option[DataFrame] = None,
+                                    rerankQueries: Option[DataFrame] = None): DataFrame = {
     // probe: top-nprobe cells per query by exact centroid distance
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qe"))
@@ -1814,10 +1860,19 @@ object Similarity {
     val wR = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val shortlist = approx.withColumn("arn", row_number().over(wR))
       .filter(col("arn") <= rerank).drop("arn")
+    // re-rank space: by default the probing space itself; the ROTATED
+    // bundle shortlists in the eigenbasis but re-ranks against the
+    // ORIGINAL vectors/queries (an isometry, so either ranks the true
+    // metric — original-space distances are the published contract)
+    val rBase = rerankBase.getOrElse(base)
+    val rQ = rerankQueries
+      .map(_.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qe")))
+      .getOrElse(q)
     val exact = shortlist
-      .join(base.select(col("vec_id").as("neighbor_id"),
+      .join(rBase.select(col("vec_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("ce")), "neighbor_id")
-      .join(broadcast(q), "query_id")
+      .join(broadcast(rQ), "query_id")
       .select(col("query_id"), col("neighbor_id"), col("adist"),
         exactSqDist("qe", "ce").as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
@@ -1870,6 +1925,198 @@ object Similarity {
       Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
       cent, cb, codes, k, nprobe, nSub, dim)
+  }
+
+  /** ROTATED IVFADC serving (VERDICT r12 #1 — pq_whiten_compare's
+    * measured rotation finally SERVES): coarse quantizer and residual
+    * PQ train in the covariance eigenbasis ([[whitenedBase]] — exact-
+    * decimal rotation, so both engines see bit-identical rotated
+    * values), queries probe ROTATED, the ADC shortlist forms in the
+    * rotated space where the variance-balanced subspaces quantize
+    * tighter, and the final re-rank scores the shortlist against the
+    * ORIGINAL vectors — the rotation is an isometry, so the original
+    * metric is exactly the one the rotated index approximates, and the
+    * published (query_id, neighbor_id, adist, dist, rank) contract is
+    * the same shape as [[ivfPqTopK]]'s.
+    *
+    * Oracle: [[ivfPqRotatedTopKSql]] replays the ENTIRE chain in
+    * DuckDB — the rotation matrix rides as a literal (it derives
+    * deterministically from the hash-verified embedding_covariance
+    * relation; `graft.Verify` computes it at dump time), the rotated
+    * base re-derives bit-for-bit via the shared decimal arithmetic,
+    * and train/probe/ADC/re-rank are the [[ivfPqTopKSqlWhere]] CTEs —
+    * so the hash gate pins the rotated SERVING path end to end, not
+    * just a comparison telemetry row. Recall floor vs the plain
+    * bundle is pinned in SimilaritySpec on the standard probes. */
+  def ivfPqRotatedTopK(spark: SparkSession, d: String, k: Int = 5,
+                       nQueries: Int = 10, nprobe: Int = 2,
+                       nlists: Int = 8, ivfIters: Int = 2,
+                       nSub: Int = 8, nCodes: Int = 16,
+                       iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val (rb, _) = whitenedBase(spark, d, nSub, dim)
+    val (cent, cb, codes) =
+      ivfPqRotIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
+    val orig = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    ivfPqServe(rb,
+      rb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      cent, cb, codes, k, nprobe, nSub, dim,
+      rerankBase = Some(orig),
+      rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"))))
+  }
+
+  /** [[ivfPqRotatedTopK]] served from a PERSISTED bundle that CARRIES
+    * THE ROTATION (saveIvfPq's `rotation` relation, format v2): load
+    * validates the rotation is present (a rotated bundle probed as
+    * plain fails fast, and vice versa), the loaded matrix — not a
+    * fresh derivation — rotates base and queries, and the serve chain
+    * is [[ivfPqServe]] unchanged. Deterministic training + lossless
+    * artifact ⇒ identical results, so this SHARES
+    * ivf_pq_rotated_topk's oracle. */
+  def ivfPqRotatedTopKPersisted(spark: SparkSession, d: String, k: Int = 5,
+                                nQueries: Int = 10, nprobe: Int = 2,
+                                nlists: Int = 8, ivfIters: Int = 2,
+                                nSub: Int = 8, nCodes: Int = 16,
+                                iters: Int = 2, dim: Int = 64): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val (cent0, cb0, codes0) =
+      ivfPqRotIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
+    val r0 = pqRotationFor(spark, d, nSub, dim)
+    val rotDf = Seq((dim.toLong, r0.map(_.toSeq).toSeq)).toDF("dim", "rot")
+    val path = IndexStore.artifactPath("ivfpqrot", s"$d|$nlists|$nSub|$nCodes")
+    IndexStore.saveIvfPq(spark, cent0, cb0, codes0, path,
+      nlists, nSub, nCodes, rotation = Some(rotDf))
+    val (cent, cb, codes, rotRel) = IndexStore.loadIvfPq(spark, path)
+    require(rotRel.isDefined,
+      s"ivfpq bundle at $path: rotated serving requires the rotation " +
+        "relation — this bundle was trained unrotated (probe it via " +
+        "ivfPqTopKPersisted)")
+    // the LOADED rotation (one dim×dim row — bounded collect by
+    // construction) is the serving basis: a serving cluster must
+    // rotate queries by exactly the matrix the bundle trained in
+    val loaded = rotRel.get.collect()
+    require(loaded.length == 1 && loaded.head.getAs[Long]("dim") == dim.toLong,
+      s"ivfpq bundle at $path: rotation relation malformed")
+    val r = loaded.head.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot")
+      .map(_.toArray).toArray
+    val orig = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val rb = rotateEmbeddings(spark, orig, r)
+    ivfPqServe(rb,
+      rb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      cent, cb, codes, k, nprobe, nSub, dim,
+      rerankBase = Some(orig),
+      rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"))))
+  }
+
+  /** DuckDB twin of [[ivfPqRotatedTopK]]: the rotation matrix as a
+    * literal (computed by the caller from the same covariance chain —
+    * `graft.Verify` passes [[pqRotationFor]]'s matrix at oracle-dump
+    * time), the rotated base re-derived with the shared exact-decimal
+    * arithmetic, then the [[ivfPqTopKSqlWhere]] train/probe/ADC CTEs
+    * over the rotated positions, with the final re-rank on ORIGINAL
+    * positions. */
+  def ivfPqRotatedTopKSql(r: Array[Array[Double]], k: Int = 5,
+                          nQueries: Int = 10, nprobe: Int = 2,
+                          nlists: Int = 8, ivfIters: Int = 2,
+                          nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                          dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val iN = ivfIters
+    // the matrix rides as ONE STRING literal parsed element-wise with
+    // CAST(VARCHAR AS DOUBLE) — strtod, correctly rounded. A bare
+    // numeric literal would NOT round-trip: DuckDB parses it as
+    // DECIMAL and its decimal→double conversion is off by 1 ulp for
+    // ~16% of full-precision doubles (measured round 13).
+    val mat = r.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString(";")
+    val residPrelude =
+      s"""rmat AS (SELECT list_transform(string_split('$mat', ';'),
+         |  r -> list_transform(string_split(r, ','),
+         |       s -> CAST(s AS DOUBLE))) AS m),
+         |orig AS (SELECT vec_id,
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |         FROM embeddings),
+         |rp AS (SELECT vec_id, emb, unnest(range(1, ${dim + 1})) AS i FROM orig),
+         |rt AS (SELECT vec_id, i, emb, unnest(range(1, ${dim + 1})) AS j FROM rp),
+         |rote AS (
+         |  SELECT vec_id, i - 1 AS pos,
+         |    CAST(CAST(sum(CAST(CAST(emb[j] * m[j][i] AS VARCHAR)
+         |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS v
+         |  FROM rt CROSS JOIN rmat
+         |  GROUP BY 1, 2
+         |),
+         |oe AS (SELECT vec_id, i - 1 AS pos, emb[i] AS v FROM rp),
+         |${ivfChainSqlFrom(nlists, ivfIters, "iv", "SELECT vec_id, pos, v FROM rote")}, e AS (
+         |  SELECT b.vec_id, CAST(b.pos // $subDim AS BIGINT) AS sub_id,
+         |         b.pos % $subDim AS spos, b.v - c.cv AS v
+         |  FROM ive b
+         |  JOIN iva$iN a USING (vec_id)
+         |  JOIN ivc${iN - 1} c ON c.list_id = a.list_id AND c.pos = b.pos
+         |)""".stripMargin
+    val queryPred = s"q.vec_id < $nQueries"
+    s"""${pqSqlChain(nSub, nCodes, iters, dim, Some(residPrelude))}, qd AS (
+       |  SELECT q.vec_id AS query_id, c.list_id,
+       |    CAST(CAST(sum(CAST(CAST((q.v - c.cv) * (q.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS cdist
+       |  FROM ive q JOIN ivc${iN - 1} c ON q.pos = c.pos
+       |  WHERE $queryPred
+       |  GROUP BY 1, 2
+       |), probe AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cdist, list_id) AS pr FROM qd
+       |  ) WHERE pr <= $nprobe
+       |), rq AS (
+       |  SELECT q.vec_id AS query_id, pb.list_id, q.pos, q.v - c.cv AS v
+       |  FROM ive q
+       |  JOIN probe pb ON pb.query_id = q.vec_id
+       |  JOIN ivc${iN - 1} c ON c.list_id = pb.list_id AND c.pos = q.pos
+       |  WHERE $queryPred
+       |), rqe AS (
+       |  SELECT query_id, list_id, CAST(pos // $subDim AS BIGINT) AS sub_id,
+       |         pos % $subDim AS spos, v
+       |  FROM rq
+       |), lut AS (
+       |  SELECT r.query_id, r.list_id, r.sub_id, c.code,
+       |    CAST(CAST(sum(CAST(CAST((r.v - c.cv) * (r.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS ld
+       |  FROM rqe r JOIN c${iters - 1} c ON r.sub_id = c.sub_id AND r.spos = c.spos
+       |  GROUP BY 1, 2, 3, 4
+       |), adc AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    CAST(CAST(sum(CAST(CAST(l.ld AS VARCHAR) AS DECIMAL(38,30)))
+       |      AS VARCHAR) AS DOUBLE) AS adist
+       |  FROM a$iters a
+       |  JOIN iva$iN la ON la.vec_id = a.vec_id
+       |  JOIN lut l ON l.list_id = la.list_id AND l.sub_id = a.sub_id
+       |             AND l.code = a.code
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), rr AS (
+       |  SELECT query_id, neighbor_id, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adist, neighbor_id) AS arn
+       |    FROM adc
+       |  ) WHERE arn <= ${4 * k}
+       |), ex AS (
+       |  SELECT r.query_id, r.neighbor_id, r.adist,
+       |    CAST(CAST(sum(CAST(CAST((q.v - n.v) * (q.v - n.v) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+       |  FROM rr r
+       |  JOIN oe q ON q.vec_id = r.query_id
+       |  JOIN oe n ON n.vec_id = r.neighbor_id AND n.pos = q.pos
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT query_id, neighbor_id, adist, dist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY dist, neighbor_id) AS rank
+       |  FROM ex
+       |) WHERE rank <= $k""".stripMargin
   }
 
   def ivfPqTopKSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,

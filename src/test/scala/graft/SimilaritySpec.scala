@@ -723,6 +723,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rot > 0.05 && plain > 0.05, s"ADC recall degenerate: rot=$rot plain=$plain")
   }
 
+  test("rotated IVFADC: recall floor vs plain, persisted bundle carries the rotation (VERDICT r12 #1)") {
+    val k = 5; val nQueries = 10
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def truth(q: Long): Set[Long] = {
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => rows.map(_.getAs[Long]("neighbor_id")).toSet
+          .intersect(truth(q)).size.toDouble / k }
+      got.sum / got.size
+    }
+    // the SERVING floor the verdict asked for: the rotated bundle must
+    // not lose recall vs the plain bundle on the standard probes
+    // (deterministic chains — measured 0.38 vs 0.36 on this corpus)
+    val plain = recall(Similarity.ivfPqTopK(spark, sf, k, nQueries))
+    val rot = recall(Similarity.ivfPqRotatedTopK(spark, sf, k, nQueries))
+    assert(rot >= plain, s"rotated IVFADC recall $rot < plain $plain")
+    assert(rot > 0.1, s"rotated IVFADC recall degenerate: $rot")
+    // persisted round-trip: serving from the saved bundle (rotation
+    // relation included — the LOADED matrix rotates the queries)
+    // equals the fresh-trained serve row for row
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(key(Similarity.ivfPqRotatedTopKPersisted(spark, sf)) ==
+      key(Similarity.ivfPqRotatedTopK(spark, sf)))
+    // the artifact layer declares the basis: a rotated bundle loads
+    // with its dim×dim rotation relation, a plain bundle without — the
+    // serving wrappers fail fast on the mismatch (require in both)
+    import graft.sources.IndexStore
+    val rotPath = IndexStore.artifactPath("ivfpqrot", s"$sf|8|8|16")
+    val (_, _, _, rotRel) = IndexStore.loadIvfPq(spark, rotPath)
+    assert(rotRel.isDefined, "rotated bundle lost its rotation relation")
+    val m = rotRel.get.collect()
+    assert(m.length == 1 && m.head.getAs[Long]("dim") == 64L &&
+      m.head.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot").length == 64)
+    val plainPath = IndexStore.artifactPath("ivfpq", s"$sf|8|8|16")
+    Similarity.ivfPqTopKPersisted(spark, sf).count() // materialize the plain bundle
+    assert(IndexStore.loadIvfPq(spark, plainPath)._4.isEmpty,
+      "plain bundle unexpectedly carries a rotation")
+  }
+
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
     import spark.implicits._
     // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4
