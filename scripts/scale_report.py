@@ -55,6 +55,7 @@ _cls(1.0,
      'contamination', 'contamination_bloom', 'contamination_bloom_sql', 'bloom_calibration', 'split_leakage',
      'event_daily_leaf_store', 'rolling_active_users_store',
      'rolling_active_users_store_sql', 'uv_hll_calibration',
+     'retention_cohorts_store_sql', 'user_churn_store_sql',
      'retention_cohorts_store', 'user_churn_store', 'uv_theta_daily_sql',
      'value_quantiles_daily_sql', 'cms_topk_est_sql', 'pq_whiten_compare',
      'corpus_coverage', 'dataset_card', 'event_daily_leaf',

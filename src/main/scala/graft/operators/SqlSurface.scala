@@ -275,6 +275,67 @@ object SqlSurface {
         |FROM agg a JOIN cover c USING (serve_day)""".stripMargin)
   }
 
+  /** Cohort retention served from the leaf store in PURE SQL text —
+    * [[rollingActiveUsersStoreSqlText]]'s retention sibling: daily
+    * bitmaps fold from the stored leaves with `bitmap_merge`, then the
+    * offsets/AND-popcount serve SQL of [[retentionCohortsSqlText]].
+    * Shares retention_cohorts' DuckDB oracle. */
+  def retentionCohortsStoreSqlText(spark: SparkSession, d: String): DataFrame = {
+    EventAnalytics.registerLeafStoreView(spark, d)
+    spark.sql(
+      s"""WITH daily AS (
+        |  SELECT day, shard, bitmap_merge(users_bm) AS bm
+        |  FROM leaf_store
+        |  GROUP BY 1, 2
+        |),
+        |cohorts AS (
+        |  SELECT day, sum(bitmap_card(bm)) AS cohort_users FROM daily GROUP BY 1
+        |),
+        |ret AS (
+        |  SELECT a.day, o.offset_days,
+        |         sum(coalesce(bitmap_and_card(a.bm, b.bm), 0L)) AS retained_users
+        |  FROM daily a
+        |  CROSS JOIN (SELECT explode(array(${EventAnalytics.RetentionOffsets
+             .map(o => s"${o}L").mkString(", ")})) AS offset_days) o
+        |  LEFT JOIN daily b
+        |    ON b.day = a.day + o.offset_days AND b.shard = a.shard
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.day, r.offset_days, c.cohort_users, r.retained_users,
+        |       r.retained_users / c.cohort_users AS retention_rate
+        |FROM ret r JOIN cohorts c USING (day)""".stripMargin)
+  }
+
+  /** Churn decomposition served from the leaf store in PURE SQL text —
+    * completes the set: every bitmap serving question (WAU, retention,
+    * churn) is now answerable from the durable artifact by a SQL-only
+    * client. Shares user_churn's DuckDB oracle. */
+  def userChurnStoreSqlText(spark: SparkSession, d: String): DataFrame = {
+    EventAnalytics.registerLeafStoreView(spark, d)
+    spark.sql(
+      s"""WITH daily AS (
+        |  SELECT day, shard, bitmap_merge(users_bm) AS bm
+        |  FROM leaf_store
+        |  GROUP BY 1, 2
+        |),
+        |prev AS (SELECT day + 1 AS day, shard, bm AS pbm FROM daily),
+        |present AS (SELECT DISTINCT day FROM daily),
+        |j AS (
+        |  SELECT coalesce(d.day, p.day) AS day,
+        |         coalesce(d.bm, X'') AS bm,
+        |         coalesce(p.pbm, X'') AS pbm
+        |  FROM daily d
+        |  FULL OUTER JOIN prev p ON p.day = d.day AND p.shard = d.shard
+        |)
+        |SELECT day,
+        |       sum(bitmap_card(bm)) AS active_users,
+        |       sum(bitmap_andnot_card(bm, pbm)) AS new_users,
+        |       sum(bitmap_and_card(bm, pbm)) AS retained_users,
+        |       sum(bitmap_andnot_card(pbm, bm)) AS churned_users
+        |FROM j JOIN present USING (day)
+        |GROUP BY 1""".stripMargin)
+  }
+
   def rollingActiveUsersSqlText(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d).createOrReplaceTempView("events")
     val shardBits = EventAnalytics.RetentionShardBits
