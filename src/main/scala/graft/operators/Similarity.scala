@@ -1314,8 +1314,25 @@ object Similarity {
     * embedding space the gap is the whole point of OPQ. Returns
     * (R with R(j)(k) = component j of the k-th allocated direction,
     * max |RᵀR − I| as the orthonormality witness). */
+  /** Session memo of the rotation derivation: the covariance query is
+    * an exact-decimal scan of the whole base (the single most expensive
+    * input of the rotated family — VERDICT r13 #1's remaining cost once
+    * the rotation APPLY went codegen), and the matrix is deterministic,
+    * so a session derives it once; [[whitenedBase]], [[pqRotationFor]],
+    * and every `_persisted` round-trip share this entry. */
+  private val rotationCache = new graft.SessionMemo[
+    (SparkSession, String, Int, Int),
+    (Array[Array[Double]], Double)]("pq_rotation")
+
   private[operators] def pqWhitenRotation(spark: SparkSession, d: String,
                                           nSub: Int, dim: Int)
+      : (Array[Array[Double]], Double) =
+    rotationCache.getOrBuild((spark, d, nSub, dim)) {
+      pqWhitenRotationUncached(spark, d, nSub, dim)
+    }
+
+  private def pqWhitenRotationUncached(spark: SparkSession, d: String,
+                                       nSub: Int, dim: Int)
       : (Array[Array[Double]], Double) = {
     val cov = Array.ofDim[Double](dim, dim)
     embeddingCovariance(spark, d).collect().foreach { r =>
@@ -1352,28 +1369,26 @@ object Similarity {
     (r, err)
   }
 
-  /** Rotate an embedding frame by R (array-HOF matrix multiply; the
-    * matrix rides as ONE broadcast row, never a plan literal). Each
-    * output coordinate is the EXACT-decimal fold of the 64 per-term
-    * double products (the [[exactDot]] arithmetic contract), so the
-    * rotated values are engine-portable bit for bit — the property the
-    * rotated-IVFADC serving oracle stands on: DuckDB re-derives the
-    * identical rotated base from the matrix literal and the whole
-    * train/probe/serve chain downstream hash-matches. (A plain double
-    * fold would be ~2× cheaper but order-fragile; the rotation is paid
-    * once per session via [[whitenedBase]]'s memo.) */
+  /** Rotate an embedding frame by R via the codegen'd
+    * [[graft.plans.MatVecF64]] kernel (the matrix rides as ONE
+    * broadcast row, never a plan literal). Each output coordinate is a
+    * DOUBLE fold of the per-term IEEE products in ascending-j order —
+    * a pinned fold order is just as engine-portable as the round-13
+    * exact-decimal fold (every add/mul is correctly rounded, so two
+    * engines folding the same terms in the same order agree bit for
+    * bit), and the DuckDB oracle replays exactly that order with
+    * `list_reduce` ([[ivfPqRotatedTopKSql]]'s `rote` CTE). VERDICT r13
+    * #1: the decimal HOF form this replaces ran ~16M interpreted boxed
+    * decimal ops over the sf0.1 base — 6.3× the plain bundle's whole
+    * train chain; this is one fused loop inside whole-stage codegen. */
   private def rotateEmbeddings(spark: SparkSession, base: DataFrame,
                                r: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    val dim = r.length
     val rotDf = Seq(Tuple1(r.map(_.toSeq).toSeq)).toDF("rot")
     base.crossJoin(broadcast(rotDf))
-      .select(col("vec_id"), expr(
-        s"transform(sequence(0, ${dim - 1}), i -> " +
-          s"CAST(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DECIMAL(38,30)), " +
-          "(acc, j) -> CAST(acc + CAST(CAST(embedding[j] AS DOUBLE) * rot[j][i] " +
-          "AS DECIMAL(38,30)) AS DECIMAL(38,30))) AS DOUBLE))")
-        .as("embedding"))
+      .select(col("vec_id"),
+        graft.plans.GraftFunctions.matVecF64(col("embedding"), col("rot"))
+          .as("embedding"))
   }
 
   /** The covariance rotation of a scale dir as a plain matrix — the
@@ -1929,9 +1944,9 @@ object Similarity {
 
   /** ROTATED IVFADC serving (VERDICT r12 #1 — pq_whiten_compare's
     * measured rotation finally SERVES): coarse quantizer and residual
-    * PQ train in the covariance eigenbasis ([[whitenedBase]] — exact-
-    * decimal rotation, so both engines see bit-identical rotated
-    * values), queries probe ROTATED, the ADC shortlist forms in the
+    * PQ train in the covariance eigenbasis ([[whitenedBase]] — the
+    * codegen'd pinned-order double rotation, so both engines see
+    * bit-identical rotated values), queries probe ROTATED, the ADC shortlist forms in the
     * rotated space where the variance-balanced subspaces quantize
     * tighter, and the final re-rank scores the shortlist against the
     * ORIGINAL vectors — the rotation is an isometry, so the original
@@ -1943,7 +1958,7 @@ object Similarity {
     * DuckDB — the rotation matrix rides as a literal (it derives
     * deterministically from the hash-verified embedding_covariance
     * relation; `graft.Verify` computes it at dump time), the rotated
-    * base re-derives bit-for-bit via the shared decimal arithmetic,
+    * base re-derives bit-for-bit via the pinned-order double fold,
     * and train/probe/ADC/re-rank are the [[ivfPqTopKSqlWhere]] CTEs —
     * so the hash gate pins the rotated SERVING path end to end, not
     * just a comparison telemetry row. Recall floor vs the plain
@@ -2016,10 +2031,10 @@ object Similarity {
   /** DuckDB twin of [[ivfPqRotatedTopK]]: the rotation matrix as a
     * literal (computed by the caller from the same covariance chain —
     * `graft.Verify` passes [[pqRotationFor]]'s matrix at oracle-dump
-    * time), the rotated base re-derived with the shared exact-decimal
-    * arithmetic, then the [[ivfPqTopKSqlWhere]] train/probe/ADC CTEs
-    * over the rotated positions, with the final re-rank on ORIGINAL
-    * positions. */
+    * time), the rotated base re-derived with the kernel's pinned
+    * ascending-j double fold (`list_reduce`), then the
+    * [[ivfPqTopKSqlWhere]] train/probe/ADC CTEs over the rotated
+    * positions, with the final re-rank on ORIGINAL positions. */
   def ivfPqRotatedTopKSql(r: Array[Array[Double]], k: Int = 5,
                           nQueries: Int = 10, nprobe: Int = 2,
                           nlists: Int = 8, ivfIters: Int = 2,
@@ -2042,13 +2057,18 @@ object Similarity {
          |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |         FROM embeddings),
          |rp AS (SELECT vec_id, emb, unnest(range(1, ${dim + 1})) AS i FROM orig),
-         |rt AS (SELECT vec_id, i, emb, unnest(range(1, ${dim + 1})) AS j FROM rp),
          |rote AS (
+         |  -- the engine's MatVecF64 kernel: per output coordinate a
+         |  -- DOUBLE fold of the IEEE per-term products in ascending-j
+         |  -- order, seeded 0.0 — list_reduce replays that exact order,
+         |  -- so both engines see bit-identical rotated values without
+         |  -- the decimal detour
          |  SELECT vec_id, i - 1 AS pos,
-         |    CAST(CAST(sum(CAST(CAST(emb[j] * m[j][i] AS VARCHAR)
-         |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS v
-         |  FROM rt CROSS JOIN rmat
-         |  GROUP BY 1, 2
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, ${dim + 1}), j -> emb[j] * m[j][i])),
+         |      (acc, x) -> acc + x) AS v
+         |  FROM rp CROSS JOIN rmat
          |),
          |oe AS (SELECT vec_id, i - 1 AS pos, emb[i] AS v FROM rp),
          |${ivfChainSqlFrom(nlists, ivfIters, "iv", "SELECT vec_id, pos, v FROM rote")}, e AS (

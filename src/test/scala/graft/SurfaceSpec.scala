@@ -241,6 +241,52 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT dot_f64(1, 2)").collect() }
   }
 
+  test("matvec_f64 is bit-identical to the per-coordinate HOF double fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val mat = Array.fill(dim, dim)(rnd.nextDouble() - 0.5)
+    val rows = Seq.tabulate(40)(_ => Tuple1(Array.fill(dim)(rnd.nextFloat())))
+    val df = rows.toDF("v")
+      .crossJoin(broadcast(Seq(Tuple1(mat.map(_.toSeq).toSeq)).toDF("m")))
+    // the contract the rotated-IVFADC oracle stands on: out[i] is the
+    // ascending-j double fold seeded 0.0 — same terms, same order as
+    // the HOF form, so EXACT equality per coordinate
+    val hof = expr(
+      s"transform(sequence(0, ${dim - 1}), i -> " +
+        s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), " +
+        "(acc, j) -> acc + CAST(v[j] AS DOUBLE) * m[j][i]))")
+    val got = df.select(
+      graft.plans.GraftFunctions.matVecF64(col("v"), col("m")).as("k"),
+      hof.as("h")).collect()
+    got.foreach { r =>
+      val k = r.getSeq[Double](0)
+      val h = r.getSeq[Double](1)
+      assert(k.length == dim && k == h) // bit-exact, not approximate
+    }
+    // and against a driver-side Java loop (what the DuckDB list_reduce
+    // replay mirrors): fold order j ascending, seeded 0.0
+    val v0 = rows.head._1
+    val expect = Array.tabulate(dim) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += v0(j).toDouble * mat(j)(i); j += 1 }
+      acc
+    }
+    assert(got.head.getSeq[Double](0).toArray.sameElements(expect))
+    // ragged matrix / length mismatch / null element -> null
+    val bad = spark.sql(
+      "SELECT matvec_f64(array(1.0D, 2.0D), array(array(1.0D), array(2.0D, 3.0D))) AS a, " +
+      "       matvec_f64(array(1.0D), array(array(1.0D), array(2.0D))) AS b, " +
+      "       matvec_f64(array(1.0D, CAST(NULL AS DOUBLE)), array(array(1.0D), array(2.0D))) AS c")
+      .collect().head
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+    // type check rejects a non-nested right side
+    intercept[Exception] {
+      spark.sql("SELECT matvec_f64(array(1.0D), array(1.0D))").collect()
+    }
+  }
+
   test("eventPivot rows sum to per-hour totals; eventRollup hierarchy is consistent") {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val events = spark.read.parquet(s"$sf/events.parquet")
