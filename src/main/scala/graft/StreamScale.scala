@@ -549,10 +549,13 @@ object StreamScale {
       import scala.jdk.CollectionConverters._
       val parity = served.asScala.toMap == batch
       val storeLeaves = IndexStore.loadLeafStore(spark, store).count()
+      // the in-loop vacuums must have actually reclaimed superseded
+      // generations — snapshot BEFORE the end-of-run vacuum joins the
+      // counter (ADVICE r13: asserting on the combined total could
+      // pass with zero in-loop reclamation)
+      val inLoopVacuumed = leafVacuumed
       // end-of-run reclamation: one final vacuum must leave disk ==
-      // manifest (a second vacuum finds nothing), and the in-loop
-      // vacuums must have actually reclaimed superseded generations —
-      // otherwise file count grows with batch count, unbounded
+      // manifest (a second vacuum finds nothing)
       leafVacuumed += IndexStore.vacuumLeafStore(spark, store)
       val finalFiles = leafFileCount()
       val maxFiles = if (fileCensus.isEmpty) 0L else fileCensus.max
@@ -560,10 +563,11 @@ object StreamScale {
         (System.nanoTime() - t0) / 1e9, q2,
         s""","restart_batch":$resumedAt,"reseed_rows":$reseedRows""" +
           s""","store_leaf_rows":$storeLeaves,"restart_parity":$parity""" +
-          s""","vacuumed_files":$leafVacuumed,"max_store_files":$maxFiles""" +
+          s""","vacuumed_files":$leafVacuumed,"in_loop_vacuumed":$inLoopVacuumed""" +
+          s""","max_store_files":$maxFiles""" +
           s""","final_store_files":$finalFiles"""))
       assert(parity, "leaf-store restart diverged from batch leaves")
-      assert(leafVacuumed > 0, "in-loop vacuum reclaimed nothing")
+      assert(inLoopVacuumed > 0, "in-loop vacuum reclaimed nothing")
       assert(IndexStore.vacuumLeafStore(spark, store) == 0,
         "final vacuum left reclaimable orphans")
       assert(finalFiles <= maxFiles,

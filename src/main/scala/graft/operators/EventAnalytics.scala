@@ -1180,7 +1180,7 @@ object EventAnalytics {
   private def leafStorePath(spark: SparkSession, d: String): String =
     leafStoreCache.getOrBuild((spark, d)) {
       val path = graft.sources.IndexStore.artifactPath("leafstore", d)
-      graft.sources.IndexStore.resetDir(path) // fresh round-trip: meta replaced
+      graft.sources.IndexStore.resetDir(spark, path) // fresh round-trip: meta replaced
       graft.sources.IndexStore.upsertLeafDays(
         spark, eventDailyLeafFrom(events(spark, d)), path, "day", batchId = 0L)
       path

@@ -990,11 +990,25 @@ object Similarity {
   def annIvfTopKPersisted(spark: SparkSession, d: String, k: Int = 5,
                           nQueries: Int = 10, nprobe: Int = 2,
                           nlists: Int = 8, iters: Int = 2): DataFrame = {
-    import graft.sources.IndexStore
-    val path = IndexStore.artifactPath("ivf", s"$d|$nlists|$iters")
-    IndexStore.saveIvf(spark, ivfTrain(spark, d, nlists, iters),
+    val path = graft.sources.IndexStore.artifactPath("ivf", s"$d|$nlists|$iters")
+    buildAnnIvf(spark, d, path, nlists, iters)
+    annIvfTopKAt(spark, d, path, k, nQueries, nprobe)
+  }
+
+  /** Train the uncompressed IVF index and publish it at `path` — the
+    * ingest half of the load-only serving split (VERDICT r13 #3). */
+  def buildAnnIvf(spark: SparkSession, d: String, path: String,
+                  nlists: Int = 8, iters: Int = 2): Unit =
+    graft.sources.IndexStore.saveIvf(spark, ivfTrain(spark, d, nlists, iters),
       probeCentroids(spark, d, nlists, iters), path, nlists, iters)
-    val (assign, cents) = IndexStore.loadIvf(spark, path)
+
+  /** LOAD-ONLY IVF serving from an explicit index path: the loaded
+    * assignment labels the corpus, the loaded centroids probe — never
+    * trains, fails fast on an absent/torn artifact. */
+  def annIvfTopKAt(spark: SparkSession, d: String, path: String,
+                   k: Int = 5, nQueries: Int = 10,
+                   nprobe: Int = 2): DataFrame = {
+    val (assign, cents) = graft.sources.IndexStore.loadIvf(spark, path)
     val base = Tables.embeddings(spark, d).drop("label")
       .join(assign.withColumnRenamed("list_id", "label"), "vec_id")
     ivfTopKImpl(base,
@@ -1925,21 +1939,96 @@ object Similarity {
                          nlists: Int = 8, ivfIters: Int = 2,
                          nSub: Int = 8, nCodes: Int = 16,
                          iters: Int = 2, dim: Int = 64): DataFrame = {
-    import graft.sources.IndexStore
-    val (cent0, cb0, codes0) =
+    val path = graft.sources.IndexStore.artifactPath(
+      "ivfpq", s"$d|$nlists|$nSub|$nCodes")
+    buildIvfPq(spark, d, path, nlists, ivfIters, nSub, nCodes, iters, dim)
+    ivfPqTopKAt(spark, d, path, k, nQueries, nprobe, nSub, dim)
+  }
+
+  // ---- load-only ANN serving posture (VERDICT r13 #3) ------------------
+  // The ingest/serving split the leaf store got in r13, extended to the
+  // ANN bundles: `build*(d, path)` trains once at an EXPLICIT durable
+  // path; `*At(path)` faces NEVER train — an absent or torn store fails
+  // fast naming the artifact (IndexStore.loadIvfPq/loadIvf validation),
+  // never silently falls back to a fresh train, and the executed plan
+  // touches raw vectors only on the query side and the
+  // O(queries·rerank) re-rank join (pinned in SimilaritySpec). The
+  // registered `_persisted` queries are now build-then-serve over these
+  // exact faces, so the round-trip oracle gates the same code a serving
+  // cluster runs against a mounted path.
+
+  /** Train the plain IVF-PQ bundle and publish it at `path` — the
+    * ingest half of the compressed-index serving split. */
+  def buildIvfPq(spark: SparkSession, d: String, path: String,
+                 nlists: Int = 8, ivfIters: Int = 2, nSub: Int = 8,
+                 nCodes: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
+    val (cent, cb, codes) =
       ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
-    val path = IndexStore.artifactPath("ivfpq", s"$d|$nlists|$nSub|$nCodes")
-    IndexStore.saveIvfPq(spark, cent0, cb0, codes0, path,
+    graft.sources.IndexStore.saveIvfPq(spark, cent, cb, codes, path,
       nlists, nSub, nCodes)
-    val (cent, cb, codes, rot) = IndexStore.loadIvfPq(spark, path)
+  }
+
+  /** Train the ROTATED IVF-PQ bundle (rotation relation included) and
+    * publish it at `path`. */
+  def buildIvfPqRotated(spark: SparkSession, d: String, path: String,
+                        nlists: Int = 8, ivfIters: Int = 2, nSub: Int = 8,
+                        nCodes: Int = 16, iters: Int = 2,
+                        dim: Int = 64): Unit = {
+    import spark.implicits._
+    val (cent, cb, codes) =
+      ivfPqRotIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
+    val r0 = pqRotationFor(spark, d, nSub, dim)
+    val rotDf = Seq((dim.toLong, r0.map(_.toSeq).toSeq)).toDF("dim", "rot")
+    graft.sources.IndexStore.saveIvfPq(spark, cent, cb, codes, path,
+      nlists, nSub, nCodes, rotation = Some(rotDf))
+  }
+
+  /** LOAD-ONLY IVF-PQ serving from an explicit bundle path: probe →
+    * residual LUT → cell-restricted ADC → exact re-rank, with every
+    * index relation read from the artifact — never trains, fails fast
+    * on an absent/torn/rotated-basis bundle. */
+  def ivfPqTopKAt(spark: SparkSession, d: String, path: String,
+                  k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                  nSub: Int = 8, dim: Int = 64): DataFrame = {
+    val (cent, cb, codes, rot) =
+      graft.sources.IndexStore.loadIvfPq(spark, path)
     require(rot.isEmpty,
-      s"ivfpq bundle at $path was trained in a rotated basis — probe it " +
-        "via ivfPqRotatedTopKPersisted, not the plain serving path")
-    ivfPqServe(
-      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
-      Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
+      s"ivfpq bundle at $path was trained in a rotated basis — serve it " +
+        "via ivfPqRotatedTopKAt, not the plain serving path")
+    val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    ivfPqServe(base,
+      base.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
       cent, cb, codes, k, nprobe, nSub, dim)
+  }
+
+  /** LOAD-ONLY rotated IVF-PQ serving: the LOADED rotation matrix (one
+    * dim×dim row — bounded collect by construction) rotates base and
+    * queries into the bundle's training basis, the shortlist forms
+    * there, and the re-rank scores ORIGINAL vectors. Never trains. */
+  def ivfPqRotatedTopKAt(spark: SparkSession, d: String, path: String,
+                         k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                         nSub: Int = 8, dim: Int = 64): DataFrame = {
+    val (cent, cb, codes, rotRel) =
+      graft.sources.IndexStore.loadIvfPq(spark, path)
+    require(rotRel.isDefined,
+      s"ivfpq bundle at $path: rotated serving requires the rotation " +
+        "relation — this bundle was trained unrotated (serve it via " +
+        "ivfPqTopKAt)")
+    val loaded = rotRel.get.collect()
+    require(loaded.length == 1 && loaded.head.getAs[Long]("dim") == dim.toLong,
+      s"ivfpq bundle at $path: rotation relation malformed")
+    val r = loaded.head.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot")
+      .map(_.toArray).toArray
+    val orig = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val rb = rotateEmbeddings(spark, orig, r)
+    ivfPqServe(rb,
+      rb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      cent, cb, codes, k, nprobe, nSub, dim,
+      rerankBase = Some(orig),
+      rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"))))
   }
 
   /** ROTATED IVFADC serving (VERDICT r12 #1 — pq_whiten_compare's
@@ -1995,37 +2084,11 @@ object Similarity {
                                 nlists: Int = 8, ivfIters: Int = 2,
                                 nSub: Int = 8, nCodes: Int = 16,
                                 iters: Int = 2, dim: Int = 64): DataFrame = {
-    import graft.sources.IndexStore
-    import spark.implicits._
-    val (cent0, cb0, codes0) =
-      ivfPqRotIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
-    val r0 = pqRotationFor(spark, d, nSub, dim)
-    val rotDf = Seq((dim.toLong, r0.map(_.toSeq).toSeq)).toDF("dim", "rot")
-    val path = IndexStore.artifactPath("ivfpqrot", s"$d|$nlists|$nSub|$nCodes")
-    IndexStore.saveIvfPq(spark, cent0, cb0, codes0, path,
-      nlists, nSub, nCodes, rotation = Some(rotDf))
-    val (cent, cb, codes, rotRel) = IndexStore.loadIvfPq(spark, path)
-    require(rotRel.isDefined,
-      s"ivfpq bundle at $path: rotated serving requires the rotation " +
-        "relation — this bundle was trained unrotated (probe it via " +
-        "ivfPqTopKPersisted)")
-    // the LOADED rotation (one dim×dim row — bounded collect by
-    // construction) is the serving basis: a serving cluster must
-    // rotate queries by exactly the matrix the bundle trained in
-    val loaded = rotRel.get.collect()
-    require(loaded.length == 1 && loaded.head.getAs[Long]("dim") == dim.toLong,
-      s"ivfpq bundle at $path: rotation relation malformed")
-    val r = loaded.head.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot")
-      .map(_.toArray).toArray
-    val orig = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val rb = rotateEmbeddings(spark, orig, r)
-    ivfPqServe(rb,
-      rb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding")),
-      cent, cb, codes, k, nprobe, nSub, dim,
-      rerankBase = Some(orig),
-      rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding"))))
+    val path = graft.sources.IndexStore.artifactPath(
+      "ivfpqrot", s"$d|$nlists|$nSub|$nCodes")
+    buildIvfPqRotated(spark, d, path, nlists, ivfIters, nSub, nCodes,
+      iters, dim)
+    ivfPqRotatedTopKAt(spark, d, path, k, nQueries, nprobe, nSub, dim)
   }
 
   /** DuckDB twin of [[ivfPqRotatedTopK]]: the rotation matrix as a

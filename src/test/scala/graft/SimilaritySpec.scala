@@ -669,6 +669,10 @@ class SimilaritySpec extends AnyFunSuite {
     Seq((IndexStore.FormatVersion + 1, 8, 2, assign.count(), 8L))
       .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
       .write.parquet(s"$bad/meta/v1")
+    // a handcrafted generation needs the store's own commit marker
+    // (completeness is keyed on it, not on Spark's _SUCCESS)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$bad/meta/v1/${IndexStore.CommitMarker}"))
     val e1 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, bad))
     assert(e1.getMessage.contains("format"))
     // an absent / never-completed store names itself too
@@ -681,6 +685,8 @@ class SimilaritySpec extends AnyFunSuite {
     Seq((IndexStore.FormatVersion, 8, 2, assign.count(), 8L))
       .toDF("format_version", "nlists", "iters", "n_vectors", "n_centroids")
       .write.parquet(s"$torn/meta/v1")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$torn/meta/v1/${IndexStore.CommitMarker}"))
     val e2 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, torn))
     assert(e2.getMessage.contains("centroid rows"))
     // the compressed-index bundle round-trips identically too
@@ -771,6 +777,71 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.ivfPqTopKPersisted(spark, sf).count() // materialize the plain bundle
     assert(IndexStore.loadIvfPq(spark, plainPath)._4.isEmpty,
       "plain bundle unexpectedly carries a rotation")
+  }
+
+  test("load-only ANN serving: explicit shared path, second session, no train subtree (VERDICT r13 #3)") {
+    import graft.sources.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("graftannserve").toString
+    val pqPath = s"$root/ivfpq"
+    val rotPath = s"$root/ivfpqrot"
+    val ivfPath = s"$root/ivf"
+    // absent store: every load-only face fails fast NAMING the artifact
+    // — never a silent fresh train
+    Seq(
+      () => Similarity.ivfPqTopKAt(spark, sf, pqPath).collect(),
+      () => Similarity.ivfPqRotatedTopKAt(spark, sf, rotPath).collect(),
+      () => Similarity.annIvfTopKAt(spark, sf, ivfPath).collect()
+    ).zip(Seq(pqPath, rotPath, ivfPath)).foreach { case (f, p) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains(p), s"absent-store error does not name $p")
+    }
+    // ingest session trains once at the explicit durable paths…
+    Similarity.buildIvfPq(spark, sf, pqPath)
+    Similarity.buildIvfPqRotated(spark, sf, rotPath)
+    Similarity.buildAnnIvf(spark, sf, ivfPath)
+    // …and a SECOND session (fresh session state, none of the builder
+    // session's memos) serves top-k from the mounted artifacts
+    val s2 = spark.newSession()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val dfPq = Similarity.ivfPqTopKAt(s2, sf, pqPath)
+    assert(rows(dfPq) == rows(Similarity.ivfPqTopK(spark, sf)) && rows(dfPq).nonEmpty)
+    val dfRot = Similarity.ivfPqRotatedTopKAt(s2, sf, rotPath)
+    assert(rows(dfRot) == rows(Similarity.ivfPqRotatedTopK(spark, sf)))
+    val dfIvf = Similarity.annIvfTopKAt(s2, sf, ivfPath)
+    assert(rows(dfIvf) == rows(Similarity.annIvfTopKTrained(spark, sf)))
+    // plan pin: every index relation comes from the ARTIFACT — the
+    // probing centroids, the residual codebook, and the codes are all
+    // parquet scans rooted at the bundle path. THAT is the no-train
+    // proof: with all three index inputs read from disk there is no
+    // Lloyd subtree left to feed them. The embedding-scan bound is the
+    // secondary sanity check: the serve DAG references the raw vectors
+    // from the probe/LUT query side and the O(queries·rerank) re-rank
+    // join (≤8 scan references, measured 6 plain); a train chain
+    // inlines the full embedding relation per Lloyd iteration on top.
+    def embScans(plan: String) = "embeddings\\.parquet".r.findAllIn(plan).size
+    def bundleScans(plan: String, p: String) =
+      Seq("centroids", "codebook", "codes").count(rel => plan.contains(s"$p/$rel"))
+    val planPq = dfPq.queryExecution.executedPlan.toString
+    assert(bundleScans(planPq, pqPath) == 3,
+      s"plain face does not read all three bundle relations from $pqPath:\n$planPq")
+    assert(embScans(planPq) <= 8,
+      s"plain face scans embeddings ${embScans(planPq)}x — train subtree?\n$planPq")
+    val planRot = dfRot.queryExecution.executedPlan.toString
+    assert(bundleScans(planRot, rotPath) == 3,
+      s"rotated face does not read all three bundle relations from $rotPath:\n$planRot")
+    // (the rotation relation is a one-row driver-side collect by
+    // construction, so it does not appear in the SERVE plan — its use
+    // is pinned by the basis-mismatch fail-fasts below and by row
+    // equality with the fresh-train truth)
+    assert(embScans(planRot) <= 10,
+      s"rotated face scans embeddings ${embScans(planRot)}x — train subtree?\n$planRot")
+    // basis mismatch fails fast BOTH ways
+    val eRot = intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKAt(s2, sf, rotPath).collect())
+    assert(eRot.getMessage.contains("rotated basis"))
+    val ePlain = intercept[IllegalArgumentException](
+      Similarity.ivfPqRotatedTopKAt(s2, sf, pqPath).collect())
+    assert(ePlain.getMessage.contains("trained unrotated"))
   }
 
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {

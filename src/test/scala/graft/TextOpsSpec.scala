@@ -403,6 +403,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sha2.count() == before._1 + 1)
   }
 
+  test("single-writer CAS: an appender whose base advanced underneath it fails loudly (VERDICT r13 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val t = (i: Int) => s"doc number $i with its own distinct words w$i x$i y$i"
+    val rows = Seq((1L, t(1), "c"), (2L, t(2), "c"),
+      (11L, t(11), "b1"), (21L, t(21), "b2"))
+    val dir = java.nio.file.Files.createTempDirectory("graftcas").toString
+    rows.map { case (i, x, s) => (i, x, "en", s, x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftcassig").toString + "/store"
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "c")
+    IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    val base = IndexStore.loadDedupSignatures(spark, path)._1.count()
+    // writer A appends batch b1; the interleave seam fires writer B's
+    // FULL append (batch b2) inside A's meta commit — i.e. B commits
+    // AFTER A read its manifest, the classic lost-update interleave
+    // that used to resolve last-writer-wins with B's rows vanishing
+    val (sA, bA, gA) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "b1")
+    val (sB, bB, gB) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "b2")
+    IndexStore.metaWriteInterleave = Some(() =>
+      IndexStore.appendDedupSignatures(spark, sB, bB, gB, path))
+    val e = intercept[IllegalStateException] {
+      try IndexStore.appendDedupSignatures(spark, sA, bA, gA, path)
+      finally IndexStore.metaWriteInterleave = None
+    }
+    assert(e.getMessage.contains("concurrent writer"),
+      s"error does not name the violation: ${e.getMessage}")
+    assert(e.getMessage.contains(path))
+    // the loader serves a CONSISTENT generation: the winner's (B's)
+    // append is in, the loser's (A's) is NOT silently half-merged
+    val (sha1, bands1, sets1) = IndexStore.loadDedupSignatures(spark, path)
+    assert(sha1.count() == base + 1, "winner's append missing or loser's leaked")
+    assert(bands1.count() > 0 && sets1.count() > 0)
+    // the loser's orphaned part files (its relation appends landed
+    // before its meta was rejected) are reclaimable, and the retry
+    // from the CURRENT manifest succeeds normally
+    assert(IndexStore.vacuumDedupStore(spark, path) > 0,
+      "aborted append left no reclaimable orphans?")
+    IndexStore.appendDedupSignatures(spark, sA, bA, gA, path)
+    assert(IndexStore.loadDedupSignatures(spark, path)._1.count() == base + 2)
+  }
+
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
