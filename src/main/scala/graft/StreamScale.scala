@@ -86,6 +86,9 @@ object StreamScale {
     // a subset — re-measuring one face doesn't pay for the other four
     val faces = sys.env.get("SPARK_GRAFT_FACES").map(_.split(',').toSet)
     def enabled(f: String): Boolean = faces.forall(_.contains(f))
+    // faces that only make sense when explicitly asked for (the
+    // cross-process drill runs as TWO separate JVM invocations)
+    def explicitly(f: String): Boolean = faces.exists(_.contains(f))
 
     // ---- shared event ingest: one file per day, arriving in order ----
     val ev = Tables.events(spark, sfDir)
@@ -572,6 +575,90 @@ object StreamScale {
         "final vacuum left reclaimable orphans")
       assert(finalFiles <= maxFiles,
         s"store file count not bounded: final $finalFiles > max-seen $maxFiles")
+    }
+
+    // ---- face 8: CROSS-PROCESS serving drill (VERDICT r13 #6) — the
+    // load-only posture proven across JVMs, not just across sessions:
+    //   process A: SPARK_GRAFT_FACES=xproc_build  sbt "runMain graft.StreamScale"
+    //   process B: SPARK_GRAFT_FACES=xproc_serve  sbt "runMain graft.StreamScale"
+    // A trains/signs the leaf, dedup-signature, and rotated-IVFADC
+    // stores at explicit durable paths and exits. B — a FRESH JVM with
+    // none of A's session memos or tmp artifacts — mounts the paths and
+    // serves WAU, churn, the daily leaf grain, dedup verdicts, and
+    // rotated top-k; parity booleans compare each served answer to the
+    // full-scan truth recomputed in B, and the serving plans are
+    // asserted to never scan the event volume / to read every ANN index
+    // relation from the bundle. ----
+    if (explicitly("xproc_build")) locally {
+      import graft.operators.{EventAnalytics, Similarity, TextOps}
+      import graft.sources.IndexStore
+      val root = s"$work/xproc"
+      val t0 = System.nanoTime()
+      IndexStore.resetDir(spark, s"$root/leafstore")
+      IndexStore.resetDir(spark, s"$root/dedupstore")
+      IndexStore.resetDir(spark, s"$root/ivfpqrot")
+      EventAnalytics.buildLeafStore(spark, sfDir, s"$root/leafstore")
+      val tLeaf = (System.nanoTime() - t0) / 1e9
+      // corpus = everything except the src2 batch, which process B will
+      // ask verdicts for against the mounted store
+      val (sha, bands, sets) = TextOps.dedupSignatureFrames(
+        spark, sfDir, col("source") =!= "src2")
+      IndexStore.saveDedupSignatures(spark, sha, bands, sets, s"$root/dedupstore")
+      val tDedup = (System.nanoTime() - t0) / 1e9 - tLeaf
+      Similarity.buildIvfPqRotated(spark, sfDir, s"$root/ivfpqrot")
+      val tRot = (System.nanoTime() - t0) / 1e9 - tLeaf - tDedup
+      val leafRows = IndexStore.loadLeafStore(spark, s"$root/leafstore").count()
+      val shaRows = IndexStore.loadDedupSignatures(spark, s"$root/dedupstore")._1.count()
+      println(s"""{"face":"xproc_build","pid":${ProcessHandle.current().pid},""" +
+        s""""leaf_build_sec":${f"$tLeaf%.1f"},"dedup_sign_sec":${f"$tDedup%.1f"},""" +
+        s""""rot_train_sec":${f"$tRot%.1f"},"leaf_rows":$leafRows,""" +
+        s""""sha_rows":$shaRows,"root":"$root"}""")
+    }
+
+    if (explicitly("xproc_serve")) locally {
+      import graft.operators.{EventAnalytics, Similarity, TextOps}
+      val root = s"$work/xproc"
+      val t0 = System.nanoTime()
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      // serve every store question from the mounted artifacts
+      val wauDf = EventAnalytics.rollingActiveUsersStoreAt(spark, s"$root/leafstore")
+      val wau = rows(wauDf)
+      val churnDf = EventAnalytics.userChurnStoreAt(spark, s"$root/leafstore")
+      val churn = rows(churnDf)
+      val leafDf = EventAnalytics.eventDailyLeafStoreAt(spark, s"$root/leafstore")
+      val leaf = rows(leafDf)
+      val dedup = TextOps.crossDedupAgainstStore(spark, sfDir, s"$root/dedupstore", "src2")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val topkDf = Similarity.ivfPqRotatedTopKAt(spark, sfDir, s"$root/ivfpqrot")
+      val topk = rows(topkDf)
+      val serveSec = (System.nanoTime() - t0) / 1e9
+      // plan posture: the leaf-served answers never scan the event
+      // volume; the ANN serve reads all three index relations from the
+      // mounted bundle (no train subtree can feed them)
+      val leafPlans = Seq(wauDf, churnDf, leafDf)
+        .map(_.queryExecution.executedPlan.toString)
+      val noEventScan = leafPlans.forall(!_.contains("events.parquet"))
+      val topkPlan = topkDf.queryExecution.executedPlan.toString
+      val bundleScans = Seq("centroids", "codebook", "codes")
+        .count(rel => topkPlan.contains(s"$root/ivfpqrot/$rel"))
+      // parity: full-scan truths recomputed IN THIS PROCESS (these
+      // legitimately scan events/embeddings — the claim under test is
+      // that the SERVED answers above did not)
+      val parityWau = wau == rows(EventAnalytics.rollingActiveUsers(spark, sfDir))
+      val parityChurn = churn == rows(EventAnalytics.userChurn(spark, sfDir))
+      val parityLeaf = leaf == rows(EventAnalytics.eventDailyLeaf(spark, sfDir))
+      val parityDedup = dedup == TextOps.crossDedup(spark, sfDir, "src2")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val parityTopk = topk == rows(Similarity.ivfPqRotatedTopK(spark, sfDir))
+      println(s"""{"face":"xproc_serve","pid":${ProcessHandle.current().pid},""" +
+        s""""serve_sec":${f"$serveSec%.1f"},"parity_wau":$parityWau,""" +
+        s""""parity_churn":$parityChurn,"parity_leaf":$parityLeaf,""" +
+        s""""parity_dedup":$parityDedup,"parity_topk":$parityTopk,""" +
+        s""""no_event_scan":$noEventScan,"bundle_scans":$bundleScans}""")
+      assert(parityWau && parityChurn && parityLeaf && parityDedup && parityTopk,
+        "cross-process served answers diverged from full-scan truth")
+      assert(noEventScan, "a leaf-store served plan scanned events.parquet")
+      assert(bundleScans == 3, s"ANN serve read $bundleScans/3 relations from the bundle")
     }
 
     spark.stop()
