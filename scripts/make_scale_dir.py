@@ -4,12 +4,19 @@
 
 Usage: python3 scripts/make_scale_dir.py [K] [dst]
        python3 scripts/make_scale_dir.py --events-only K dst
+       python3 scripts/make_scale_dir.py --docs-only K dst
 
 --events-only scales ONLY the events fact table K-fold (every other
 table copied 1x): the measurement point where the event-volume shuffle
 of the cohort/event-analytics family must dominate (VERDICT r10 task 4
 — at uniform K the events table is a small slice of sf0.1, so the
 family's measured exponents were near-flat partly by arithmetic).
+
+--docs-only scales ONLY documents (same near-duplicate recipe as the
+uniform path), every other table 1x: the documents-dominated dir the
+corpus-linear family (contamination prefilter, streaming cross-dedup)
+needs for its 100x decade (VERDICT r13 task 2) without paying 100x
+lineitem/events that those faces never read.
 
 Shapes (deliberately NOT exact duplication, which would be an
 unrealistically degenerate dedup input):
@@ -55,29 +62,52 @@ def events_only(K, dst):
         shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
     print(f'wrote {dst}: events at {K}x sf0.1, all other tables 1x')
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == '--events-only':
-        if len(sys.argv) < 4:
-            print('usage: make_scale_dir.py --events-only K dst')
-            sys.exit(1)
-        return events_only(int(sys.argv[2]), sys.argv[3])
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
-    src = '/root/testdata/sf0.1'
-    os.makedirs(dst, exist_ok=True)
-
+def scale_documents(src, dst, K):
+    """K near-duplicate copies of documents: doc_id offsets, per-copy
+    suffix token on copies >0 (clusters of size K — the realistic
+    crawl shape for the dedup family). Written in chunked row groups
+    so a 100x build stays bounded in memory."""
     t = pq.read_table(f'{src}/documents.parquet').to_pandas()
     maxid = t.doc_id.max() + 1
-    parts = []
+    writer = None
     for i in range(K):
         c = t.copy()
         c['doc_id'] = c.doc_id + i * maxid
         if i > 0:
             c['text'] = c.text + f' copyv{i}'
             c['n_chars'] = c.n_chars + len(f' copyv{i}')
-        parts.append(c)
-    pd.concat(parts, ignore_index=True).to_parquet(
-        f'{dst}/documents.parquet', index=False)
+        tab = pa.Table.from_pandas(c, preserve_index=False)
+        if writer is None:
+            writer = pq.ParquetWriter(f'{dst}/documents.parquet', tab.schema)
+        writer.write_table(tab)
+    writer.close()
+
+def docs_only(K, dst):
+    src = '/root/testdata/sf0.1'
+    os.makedirs(dst, exist_ok=True)
+    scale_documents(src, dst, K)
+    for tb in ['region', 'nation', 'customer', 'supplier', 'part',
+               'orders', 'lineitem', 'events', 'embeddings']:
+        shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
+    print(f'wrote {dst}: documents at {K}x sf0.1, all other tables 1x')
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == '--events-only':
+        if len(sys.argv) < 4:
+            print('usage: make_scale_dir.py --events-only K dst')
+            sys.exit(1)
+        return events_only(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == '--docs-only':
+        if len(sys.argv) < 4:
+            print('usage: make_scale_dir.py --docs-only K dst')
+            sys.exit(1)
+        return docs_only(int(sys.argv[2]), sys.argv[3])
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
+    src = '/root/testdata/sf0.1'
+    os.makedirs(dst, exist_ok=True)
+
+    scale_documents(src, dst, K)
 
     e = pq.read_table(f'{src}/embeddings.parquet').to_pandas()
     rng = np.random.default_rng(42)

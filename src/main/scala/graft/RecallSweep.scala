@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   * train). Prints one JSON line per (nCodes, nprobe) cell; PLANS.md
   * pins the table.
   *
+  * MEASURED CAVEAT (first 10× run): with same-cluster neighbors
+  * eligible, recall saturates ≥ 0.96 in EVERY cell — make_scale_dir's
+  * corpus surrounds each query with K−1 noisy copies that quantize to
+  * the query's own cell, so plain top-5 is trivially recoverable and
+  * the sweep cannot discriminate rotated from plain. Set
+  * SPARK_GRAFT_SWEEP_CLUSTER_MOD=<base vector count> (2000 for a
+  * K×-sf0.1 dir) to score CROSS-CLUSTER recall instead: ground truth
+  * and served shortlists are both restricted to neighbors with
+  * vec_id % MOD != query_id % MOD (a different base vector), the
+  * regime where the quantizer actually has to rank distant cells and
+  * k-NN serving quality lives. The index still serves its registered
+  * top-k over the FULL corpus with k inflated by the cluster size
+  * (K−1 same-cluster hits can precede the cross-cluster ones), so the
+  * measured index is unchanged — only the scoring filter differs.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/sfbig10 sbt "runMain graft.RecallSweep"
   */
 object RecallSweep {
@@ -25,6 +40,9 @@ object RecallSweep {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfbig10")
     val k = sys.env.get("SPARK_GRAFT_SWEEP_K").map(_.toInt).getOrElse(5)
     val nQueries = sys.env.get("SPARK_GRAFT_SWEEP_QUERIES").map(_.toInt).getOrElse(50)
+    // cross-cluster mode: MOD = base vector count of the scale recipe
+    // (copies of base vector v have vec_id ≡ v mod MOD)
+    val clusterMod = sys.env.get("SPARK_GRAFT_SWEEP_CLUSTER_MOD").map(_.toLong)
     val spark = GraftSession("graft-recall-sweep")
     import graft.operators.Similarity
 
@@ -36,10 +54,13 @@ object RecallSweep {
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val dist = graft.plans.GraftFunctions.sqDistF64(col("qe"), col("ce"))
+    val crossCluster = clusterMod.map(m =>
+      col("neighbor_id") % m =!= col("query_id") % m)
     val scored = base.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(crossCluster.getOrElse(lit(true)))
       .select(col("query_id"), col("neighbor_id"), dist.as("dd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dd"), col("neighbor_id"))
@@ -47,11 +68,21 @@ object RecallSweep {
       .filter(col("rn") <= k)
       .collect().groupBy(_.getLong(0))
       .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
-    println(s"""{"sweep":"ground_truth","sf":"$d","k":$k,"n_queries":$nQueries,""" +
-      s""""base_vectors":${base.count()}}""")
+    val nBase = base.count()
+    // cross-cluster mode serves a deeper list: up to clusterSize−1
+    // same-cluster hits may precede the cross-cluster neighbors
+    val clusterSize = clusterMod.map(m => (nBase / m).toInt).getOrElse(1)
+    val kServe = k + clusterSize - 1
+    println(s"""{"sweep":"ground_truth","sf":"$d","k":$k,"k_serve":$kServe,""" +
+      s""""n_queries":$nQueries,"base_vectors":$nBase,""" +
+      s""""cluster_mod":${clusterMod.getOrElse(0L)}}""")
 
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select(col("query_id"), col("neighbor_id"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      val got = df.filter(crossCluster.getOrElse(lit(true)))
+        .withColumn("xrn", row_number().over(wk)).filter(col("xrn") <= k)
+        .select(col("query_id"), col("neighbor_id"))
         .collect().groupBy(_.getLong(0))
         .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
       val hits = truth.map { case (qid, t) =>
@@ -62,11 +93,11 @@ object RecallSweep {
 
     for (nCodes <- Seq(16, 64); nprobe <- Seq(2, 4, 8)) {
       val t0 = System.nanoTime()
-      val plain = recall(Similarity.ivfPqTopK(spark, d, k, nQueries,
+      val plain = recall(Similarity.ivfPqTopK(spark, d, kServe, nQueries,
         nprobe = nprobe, nCodes = nCodes))
       val tp = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val rot = recall(Similarity.ivfPqRotatedTopK(spark, d, k, nQueries,
+      val rot = recall(Similarity.ivfPqRotatedTopK(spark, d, kServe, nQueries,
         nprobe = nprobe, nCodes = nCodes))
       val tr = (System.nanoTime() - t1) / 1e9
       println(s"""{"sweep":"recall","n_codes":$nCodes,"nprobe":$nprobe,""" +
