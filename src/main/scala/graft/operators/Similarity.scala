@@ -276,35 +276,26 @@ object Similarity {
     * and order-free, and cov = E[xy] − E[x]E[y] is evaluated in a
     * fixed operation order both engines share.
     *
-    * Scale: ONE scan, no join — each row emits its d(d+1)/2 index
-    * pairs (2,080 for d=64) through a generator feeding a hash
-    * aggregate with a FIXED group universe, so partial aggregation
-    * collapses the blowup map-side and the single exchange moves
-    * ≤ 2,080 rows per map partition regardless of corpus size. The
-    * marginal sums Σx/Σy ride inside each (di,dj) group (the group
-    * already fixes both dimensions), which is what makes the
-    * join-free shape possible. */
+    * Scale: ONE scan, no join, via the [[graft.plans.CovGram]] kernel —
+    * the whole d(d+1)/2 upper triangle folds inside ONE aggregation
+    * buffer per map partition (count + d + d(d+1)/2 exact decimal
+    * sums), so the single exchange moves one buffer per partition and
+    * NOTHING is exploded. The generator form this replaced (explode
+    * d(d+1)/2 pair structs per row into a 2,080-group hash aggregate
+    * with three interpreted decimal sums each) paid 41.6 M exploded
+    * rows at the 10× embeddings dir and was the measured dominant
+    * cost of the rotated-PQ train chain (PLANS.md round-14 sweep);
+    * the kernel computes the identical exact sums — bit-parity with
+    * the generator form is pinned in SimilaritySpec, and the DuckDB
+    * oracle is unchanged. */
   def embeddingCovariance(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(embedding)-1), i -> " +
-        "transform(sequence(i, size(embedding)-1), j -> " +
-        "struct(CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj, " +
-        "CAST(embedding[i] AS DOUBLE) AS x, " +
-        "CAST(embedding[j] AS DOUBLE) AS y))))")).as("p"))
+      .agg(graft.plans.GraftFunctions.covGram(
+        col("embedding").cast("array<double>")).as("cg"))
+      .select(explode(col("cg")).as("p"))
       .select(col("p.di").as("di"), col("p.dj").as("dj"),
-        col("p.x").as("x"), col("p.y").as("y"))
-      .groupBy("di", "dj")
-      .agg(count(lit(1)).as("n"),
-        (sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1)))
-          .as("mean_i"),
-        (sum(col("y").cast("decimal(38,30)")).cast("double") / count(lit(1)))
-          .as("mean_j"),
-        ((sum((col("x") * col("y")).cast("decimal(38,30)")).cast("double") /
-          count(lit(1))) -
-          (sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))) *
-          (sum(col("y").cast("decimal(38,30)")).cast("double") / count(lit(1))))
-          .as("cov"))
+        col("p.n").as("n"), col("p.mean_i").as("mean_i"),
+        col("p.mean_j").as("mean_j"), col("p.cov").as("cov"))
 
   def embeddingCovarianceSql(): String =
     """WITH pairs AS (

@@ -939,6 +939,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         CanonicalText(children.head)
       }))
+    // cov_gram(embedding) — whole upper-triangle covariance Gram scan
+    // in one aggregation buffer (the exploded-generator replacement)
+    ext.injectFunction((
+      new FunctionIdentifier("cov_gram"),
+      new ExpressionInfo(classOf[CovGram].getName, "cov_gram"),
+      (children: Seq[Expression]) => children match {
+        case Seq(e) => CovGram(e)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`cov_gram`", "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
     // bitmap_distinct(id [, numBits]) — capacity must be a literal so the
     // buffer size is fixed at plan time
     ext.injectFunction((
@@ -1253,6 +1266,11 @@ object GraftFunctions {
     * (vec × matrix, pinned ascending-j double fold per coordinate). */
   def matVecF64(vec: Column, mat: Column): Column =
     org.apache.spark.sql.functions.call_function("matvec_f64", vec, mat)
+
+  /** Column wrapper for [[CovGram]] — the one-buffer covariance Gram
+    * scan (explode the result to recover the (di, dj) relation). */
+  def covGram(embedding: Column): Column =
+    org.apache.spark.sql.functions.call_function("cov_gram", embedding)
 
   /** Column wrapper for [[BitmapDistinct]] — exact fixed-buffer UV. */
   def bitmapDistinct(id: Column): Column =

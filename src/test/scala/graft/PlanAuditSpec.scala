@@ -231,9 +231,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("embedding_covariance is one scan, one agg exchange, no join") {
-    // the d(d+1)/2 generator feeds a FIXED-universe hash aggregate, so
-    // partial aggregation collapses the blowup map-side; any join or
-    // second shuffle means the join-free shape regressed
+    // the CovGram kernel folds the whole upper triangle in ONE
+    // aggregation buffer (ObjectHashAggregate — matches the
+    // "HashAggregate" assertion below): the single exchange moves one
+    // buffer per map partition, nothing is exploded pre-aggregation;
+    // any join or second shuffle means the join-free shape regressed
     val df = SparkEntry.queries("embedding_covariance")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString

@@ -559,6 +559,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows((1L, 1L)) == ((3L, 6.0, 6.0, 164.0 / 3 - 6.0 * 6.0)))
   }
 
+  test("CovGram kernel is bit-identical to the exploded-generator form") {
+    // the legacy pipeline the kernel replaced (PLANS.md round-14): the
+    // d(d+1)/2 generator explode into a per-pair hash aggregate of
+    // interpreted DECIMAL(38,30) sums — kept here as the arithmetic
+    // reference the kernel must reproduce BIT FOR BIT (same casts,
+    // exact order-free sums, same final double operation order)
+    def legacy(dir: String) = graft.sources.Tables.embeddings(spark, dir)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(embedding)-1), i -> " +
+        "transform(sequence(i, size(embedding)-1), j -> " +
+        "struct(CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj, " +
+        "CAST(embedding[i] AS DOUBLE) AS x, " +
+        "CAST(embedding[j] AS DOUBLE) AS y))))")).as("p"))
+      .select(col("p.di").as("di"), col("p.dj").as("dj"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("di", "dj")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1)))
+          .as("mean_i"),
+        (sum(col("y").cast("decimal(38,30)")).cast("double") / count(lit(1)))
+          .as("mean_j"),
+        ((sum((col("x") * col("y")).cast("decimal(38,30)")).cast("double") /
+          count(lit(1))) -
+          (sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))) *
+          (sum(col("y").cast("decimal(38,30)")).cast("double") / count(lit(1))))
+          .as("cov"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("di"), r.getAs[Long]("dj")) ->
+        ((r.getAs[Long]("n"),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("mean_i")),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("mean_j")),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cov"))))
+    }.toMap
+    val kern = asMap(Similarity.embeddingCovariance(spark, sf).collect())
+    val ref = asMap(legacy(sf).collect())
+    assert(kern.keySet == ref.keySet, "pair universe diverged")
+    kern.keys.foreach(k => assert(kern(k) == ref(k),
+      s"covariance at $k diverged (raw double bits compared): kernel=${kern(k)} legacy=${ref(k)}"))
+  }
+
+  test("CovGram fail-fast contracts: ragged rows and null elements") {
+    import spark.implicits._
+    val ragged = Seq((0L, Array(1f, 2f), 1), (1L, Array(3f, 4f, 5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val e1 = intercept[Exception] {
+      ragged.agg(graft.plans.GraftFunctions.covGram(
+        col("embedding").cast("array<double>"))).collect()
+    }
+    assert(e1.getMessage != null || e1.getCause != null)
+    val nullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS embedding")
+    val e2 = intercept[Exception] {
+      nullElem.agg(graft.plans.GraftFunctions.covGram(col("embedding"))).collect()
+    }
+    assert(e2.getMessage != null || e2.getCause != null)
+    // whole-null rows and empty arrays are SKIPPED like the generator
+    // form skipped them: only the two real rows count
+    val mixed = Seq(
+      (0L, Array(1f, 2f)), (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array.empty[Float]), (3L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val n = mixed.agg(graft.plans.GraftFunctions.covGram(
+        col("embedding").cast("array<double>")).as("cg"))
+      .select(explode(col("cg")).as("p")).select(col("p.n"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    assert(n == Seq(2L), s"null/empty rows should be skipped, got n=$n")
+  }
+
   test("embeddingOutliers flags the far vector, keeps the tight cluster") {
     import spark.implicits._
     // 9 vectors in a tight ball around (1,1), one far at (100,100):
