@@ -42,16 +42,18 @@ def scale_events(src, dst, K):
     ev = pq.read_table(f'{src}/events.parquet').to_pandas()
     maxe = ev.event_id.max() + 1
     maxu = ev.user_id.max() + 1
-    vparts = []
+    w = None
     for i in range(K):
         c = ev.copy()
         c['event_id'] = c.event_id + i * maxe
         if i % 2 == 1:
             c['user_id'] = c.user_id + (i // 2 + 1) * maxu
         c['ts'] = c.ts + pd.Timedelta(days=i)
-        vparts.append(c)
-    pd.concat(vparts, ignore_index=True).to_parquet(
-        f'{dst}/events.parquet', index=False)
+        tab = pa.Table.from_pandas(c, preserve_index=False)
+        if w is None:
+            w = pq.ParquetWriter(f'{dst}/events.parquet', tab.schema)
+        w.write_table(tab)
+    w.close()
 
 def events_only(K, dst):
     src = '/root/testdata/sf0.1'
@@ -109,10 +111,16 @@ def main():
 
     scale_documents(src, dst, K)
 
+    # one row group per copy for every scaled table (same reason as
+    # scale_documents: a single-row-group file serializes the Spark
+    # scan on ONE task — the measured layout lesson in PLANS.md)
     e = pq.read_table(f'{src}/embeddings.parquet').to_pandas()
     rng = np.random.default_rng(42)
     maxv = e.vec_id.max() + 1
-    eparts = []
+    sch = pa.schema([('vec_id', pa.int64()),
+                     ('embedding', pa.list_(pa.float32())),
+                     ('label', pa.int32())])
+    ew = pq.ParquetWriter(f'{dst}/embeddings.parquet', sch)
     for i in range(K):
         c = e.copy()
         c['vec_id'] = c.vec_id + i * maxv
@@ -120,13 +128,8 @@ def main():
             c['embedding'] = c.embedding.map(
                 lambda a: (np.asarray(a, dtype=np.float32) +
                            rng.normal(0, 0.05, len(a)).astype(np.float32)).tolist())
-        eparts.append(c)
-    sch = pa.schema([('vec_id', pa.int64()),
-                     ('embedding', pa.list_(pa.float32())),
-                     ('label', pa.int32())])
-    pq.write_table(pa.Table.from_pandas(pd.concat(eparts, ignore_index=True),
-                                        schema=sch, preserve_index=False),
-                   f'{dst}/embeddings.parquet')
+        ew.write_table(pa.Table.from_pandas(c, schema=sch, preserve_index=False))
+    ew.close()
 
     scale_events(src, dst, K)
 
@@ -137,15 +140,18 @@ def main():
     o = pq.read_table(f'{src}/orders.parquet').to_pandas()
     l = pq.read_table(f'{src}/lineitem.parquet').to_pandas()
     maxo = o.o_orderkey.max() + 1
-    oparts, lparts = [], []
+    ow, lw = None, None
     for i in range(K):
         co = o.copy(); co['o_orderkey'] = co.o_orderkey + i * maxo
         cl = l.copy(); cl['l_orderkey'] = cl.l_orderkey + i * maxo
-        oparts.append(co); lparts.append(cl)
-    pd.concat(oparts, ignore_index=True).to_parquet(
-        f'{dst}/orders.parquet', index=False)
-    pd.concat(lparts, ignore_index=True).to_parquet(
-        f'{dst}/lineitem.parquet', index=False)
+        to = pa.Table.from_pandas(co, preserve_index=False)
+        tl = pa.Table.from_pandas(cl, preserve_index=False)
+        if ow is None:
+            ow = pq.ParquetWriter(f'{dst}/orders.parquet', to.schema)
+            lw = pq.ParquetWriter(f'{dst}/lineitem.parquet', tl.schema)
+        ow.write_table(to)
+        lw.write_table(tl)
+    ow.close(); lw.close()
 
     for tb in ['region', 'nation', 'customer', 'supplier', 'part']:
         shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
