@@ -43,6 +43,11 @@ object RecallSweep {
     // cross-cluster mode: MOD = base vector count of the scale recipe
     // (copies of base vector v have vec_id ≡ v mod MOD)
     val clusterMod = sys.env.get("SPARK_GRAFT_SWEEP_CLUSTER_MOD").map(_.toLong)
+    // SPARK_GRAFT_SWEEP_RERANK: ADC shortlist depth (0 = the 4k
+    // default). The knob exists because this sweep measured recall
+    // FALLING as nprobe rose at nCodes=16 — the fixed shortlist
+    // saturates with quantization noise from the extra probed cells.
+    val rerankDepth = sys.env.get("SPARK_GRAFT_SWEEP_RERANK").map(_.toInt).getOrElse(0)
     val spark = GraftSession("graft-recall-sweep")
     import graft.operators.Similarity
 
@@ -94,13 +99,14 @@ object RecallSweep {
     for (nCodes <- Seq(16, 64); nprobe <- Seq(2, 4, 8)) {
       val t0 = System.nanoTime()
       val plain = recall(Similarity.ivfPqTopK(spark, d, kServe, nQueries,
-        nprobe = nprobe, nCodes = nCodes))
+        nprobe = nprobe, nCodes = nCodes, rerankDepth = rerankDepth))
       val tp = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val rot = recall(Similarity.ivfPqRotatedTopK(spark, d, kServe, nQueries,
-        nprobe = nprobe, nCodes = nCodes))
+        nprobe = nprobe, nCodes = nCodes, rerankDepth = rerankDepth))
       val tr = (System.nanoTime() - t1) / 1e9
       println(s"""{"sweep":"recall","n_codes":$nCodes,"nprobe":$nprobe,""" +
+        s""""rerank":$rerankDepth,""" +
         f""""recall_plain":$plain%.4f,"recall_rotated":$rot%.4f,""" +
         f""""delta":${rot - plain}%.4f,"plain_sec":$tp%.1f,"rot_sec":$tr%.1f}""")
     }

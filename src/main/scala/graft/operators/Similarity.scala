@@ -1735,11 +1735,12 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
                 nprobe: Int = 2, nlists: Int = 8, ivfIters: Int = 2,
                 nSub: Int = 8, nCodes: Int = 16,
-                iters: Int = 2, dim: Int = 64): DataFrame =
+                iters: Int = 2, dim: Int = 64,
+                rerankDepth: Int = 0): DataFrame =
     ivfPqTopK(spark, d,
       Tables.embeddings(spark, d).filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
-      k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim)
+      k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim, rerankDepth)
 
   /** Session memo of the IVF-PQ INDEX bundle (cent, residual codebook,
     * cell-tagged codes) — the per-call persists above covered only one
@@ -1822,12 +1823,14 @@ object Similarity {
     * the corpus. */
   def ivfPqTopK(spark: SparkSession, d: String, queries: DataFrame, k: Int,
                 nprobe: Int, nlists: Int, ivfIters: Int,
-                nSub: Int, nCodes: Int, iters: Int, dim: Int): DataFrame = {
+                nSub: Int, nCodes: Int, iters: Int, dim: Int,
+                rerankDepth: Int): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val (cent, cb, codes) =
       ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
-    ivfPqServe(base, queries, cent, cb, codes, k, nprobe, nSub, dim)
+    ivfPqServe(base, queries, cent, cb, codes, k, nprobe, nSub, dim,
+      rerankDepth = rerankDepth)
   }
 
   /** The SERVING half of IVF-PQ — probe → residual LUT → cell-
@@ -1840,7 +1843,8 @@ object Similarity {
                                     codes: DataFrame, k: Int, nprobe: Int,
                                     nSub: Int, dim: Int,
                                     rerankBase: Option[DataFrame] = None,
-                                    rerankQueries: Option[DataFrame] = None): DataFrame = {
+                                    rerankQueries: Option[DataFrame] = None,
+                                    rerankDepth: Int = 0): DataFrame = {
     // probe: top-nprobe cells per query by exact centroid distance
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qe"))
@@ -1875,8 +1879,13 @@ object Similarity {
     // times, so the scan stays codes-only while the final ranking is
     // exact (the quantization error of a 16-code subquantizer is too
     // coarse to order the short-list; re-ranking is how the published
-    // system closes that gap)
-    val rerank = 4 * k
+    // system closes that gap). rerankDepth overrides the 4k default:
+    // the r14 10× sweep measured that at a coarse subquantizer
+    // (nCodes=16) RAISING nprobe can LOWER recall because extra probed
+    // cells flood the fixed-depth ADC shortlist with quantization
+    // noise before the exact re-rank — the knob scales the shortlist
+    // with the probe budget when a deployment turns nprobe up
+    val rerank = if (rerankDepth > 0) rerankDepth else 4 * k
     val wR = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val shortlist = approx.withColumn("arn", row_number().over(wR))
       .filter(col("arn") <= rerank).drop("arn")
@@ -1913,7 +1922,7 @@ object Similarity {
     ivfPqTopK(spark, d,
       Tables.embeddings(spark, d).filter(expr(pred))
         .select(col("vec_id").as("query_id"), col("embedding")),
-      k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim)
+      k, nprobe, nlists, ivfIters, nSub, nCodes, iters, dim, rerankDepth = 0)
 
   /** [[ivfPqTopK]] served from a PERSISTED index bundle — the
     * compressed-index production round-trip: train (session-memoized)
@@ -2047,7 +2056,8 @@ object Similarity {
                        nQueries: Int = 10, nprobe: Int = 2,
                        nlists: Int = 8, ivfIters: Int = 2,
                        nSub: Int = 8, nCodes: Int = 16,
-                       iters: Int = 2, dim: Int = 64): DataFrame = {
+                       iters: Int = 2, dim: Int = 64,
+                       rerankDepth: Int = 0): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val (rb, _) = whitenedBase(spark, d, nSub, dim)
     val (cent, cb, codes) =
@@ -2059,7 +2069,8 @@ object Similarity {
       cent, cb, codes, k, nprobe, nSub, dim,
       rerankBase = Some(orig),
       rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding"))))
+        .select(col("vec_id").as("query_id"), col("embedding"))),
+      rerankDepth = rerankDepth)
   }
 
   /** [[ivfPqRotatedTopK]] served from a PERSISTED bundle that CARRIES

@@ -152,7 +152,8 @@ class SimilaritySpec extends AnyFunSuite {
       (id + 1000000L, v.map(x => x + 0.001f))
     }.toDF("query_id", "embedding")
     val got = Similarity.ivfPqTopK(spark, sf, queries, k = 3, nprobe = 2,
-        nlists = 8, ivfIters = 2, nSub = 8, nCodes = 16, iters = 2, dim = 64)
+        nlists = 8, ivfIters = 2, nSub = 8, nCodes = 16, iters = 2, dim = 64,
+        rerankDepth = 0)
       .filter(col("rank") === 1).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
     // ε-perturbed copies must land in the source's cell, survive the
