@@ -93,27 +93,9 @@ def docs_only(K, dst):
         shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
     print(f'wrote {dst}: documents at {K}x sf0.1, all other tables 1x')
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == '--events-only':
-        if len(sys.argv) < 4:
-            print('usage: make_scale_dir.py --events-only K dst')
-            sys.exit(1)
-        return events_only(int(sys.argv[2]), sys.argv[3])
-    if len(sys.argv) > 1 and sys.argv[1] == '--docs-only':
-        if len(sys.argv) < 4:
-            print('usage: make_scale_dir.py --docs-only K dst')
-            sys.exit(1)
-        return docs_only(int(sys.argv[2]), sys.argv[3])
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
-    src = '/root/testdata/sf0.1'
-    os.makedirs(dst, exist_ok=True)
-
-    scale_documents(src, dst, K)
-
-    # one row group per copy for every scaled table (same reason as
-    # scale_documents: a single-row-group file serializes the Spark
-    # scan on ONE task — the measured layout lesson in PLANS.md)
+def scale_embeddings(src, dst, K):
+    """K near-duplicate copies of embeddings (σ=0.05 seeded noise on
+    copies >0), one row group per copy."""
     e = pq.read_table(f'{src}/embeddings.parquet').to_pandas()
     rng = np.random.default_rng(42)
     maxv = e.vec_id.max() + 1
@@ -130,6 +112,43 @@ def main():
                            rng.normal(0, 0.05, len(a)).astype(np.float32)).tolist())
         ew.write_table(pa.Table.from_pandas(c, schema=sch, preserve_index=False))
     ew.close()
+
+def emb_only(K, dst):
+    src = '/root/testdata/sf0.1'
+    os.makedirs(dst, exist_ok=True)
+    scale_embeddings(src, dst, K)
+    for tb in ['region', 'nation', 'customer', 'supplier', 'part',
+               'orders', 'lineitem', 'events', 'documents']:
+        shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
+    print(f'wrote {dst}: embeddings at {K}x sf0.1, all other tables 1x')
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == '--events-only':
+        if len(sys.argv) < 4:
+            print('usage: make_scale_dir.py --events-only K dst')
+            sys.exit(1)
+        return events_only(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == '--docs-only':
+        if len(sys.argv) < 4:
+            print('usage: make_scale_dir.py --docs-only K dst')
+            sys.exit(1)
+        return docs_only(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == '--emb-only':
+        if len(sys.argv) < 4:
+            print('usage: make_scale_dir.py --emb-only K dst')
+            sys.exit(1)
+        return emb_only(int(sys.argv[2]), sys.argv[3])
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
+    src = '/root/testdata/sf0.1'
+    os.makedirs(dst, exist_ok=True)
+
+    scale_documents(src, dst, K)
+
+    # one row group per copy for every scaled table (same reason as
+    # scale_documents: a single-row-group file serializes the Spark
+    # scan on ONE task — the measured layout lesson in PLANS.md)
+    scale_embeddings(src, dst, K)
 
     scale_events(src, dst, K)
 

@@ -374,7 +374,13 @@ object TextOps {
     * 100 TB re-scanning the pruned parquet beats caching a blown-up
     * intermediate. */
   private[graft] def shingleSets(spark: SparkSession, d: String): DataFrame =
-    docs(spark, d)
+    shingleSetsOf(docs(spark, d))
+
+  /** [[shingleSets]] over an ARBITRARY prepared docs frame (doc_id,
+    * toks) — lets batch-scoped callers shingle ONLY the rows they
+    * hold instead of the whole corpus. */
+  private[graft] def shingleSetsOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh")).distinct()
 
   /** Exact corpus statistics driving the strategy choice — all exact
@@ -754,8 +760,16 @@ object TextOps {
     * g_s = (lo + s·hi) mod p (Kirsch–Mitzenmacher) derives the rest
     * with long/decimal arithmetic — measured ~2× on the whole query
     * (the digest over the shingle string dominated the map side). */
-  private def signatures(spark: SparkSession, d: String): DataFrame = {
-    val sh = docs(spark, d)
+  private def signatures(spark: SparkSession, d: String): DataFrame =
+    signaturesOf(docs(spark, d))
+
+  /** [[signatures]] over an ARBITRARY prepared docs frame (doc_id,
+    * toks) — the batch-scoped entry: per-doc MinHash is independent of
+    * every other document, so signing a filtered frame yields rows
+    * identical to signing the corpus and filtering after, without
+    * paying the corpus. */
+  private def signaturesOf(docsDf: DataFrame): DataFrame = {
+    val sh = docsDf
       .select(col("doc_id"), explode(expr(shinglesExpr(2))).as("sh"))
     val (lo, hi) = graft.functions.ColumnFunctions.hash64Pair(col("sh"), "mh")
     val mins = MinhashSeeds.map { s =>
@@ -1215,14 +1229,20 @@ object TextOps {
     * (content sha → doc, LSH band keys, shingle sets). */
   def dedupSignatureFrames(spark: SparkSession, d: String, pred: Column)
       : (DataFrame, DataFrame, DataFrame) = {
-    val ids = Tables.documents(spark, d).filter(pred).select("doc_id")
-    val sha = Tables.documents(spark, d).filter(pred)
+    // filter FIRST, sign the filtered frame: per-doc sha/MinHash/
+    // shingles are independent of every other document, so this yields
+    // rows identical to the former sign-corpus-then-join shape — but a
+    // slice append signs O(slice), not O(corpus) (the former shape
+    // paid a full-corpus MinHash pass per call, measured as a
+    // superlinear term of the 100× ingest-loop decade)
+    val base = Tables.documents(spark, d).filter(pred)
+    val withToks = base.withColumn("toks", expr(toksExpr))
+    val sha = base
       .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid"))
-    val bands = signatures(spark, d)
+    val bands = signaturesOf(withToks)
       .select(col("doc_id"), explode(array(crossDedupBandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
-      .join(ids, "doc_id")
-    (sha, bands, shingleSets(spark, d).join(ids, "doc_id"))
+    (sha, bands, shingleSetsOf(withToks))
   }
 
   /** Dedup an arriving batch against an EXISTING signature store — the
