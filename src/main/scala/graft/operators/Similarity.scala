@@ -1989,7 +1989,8 @@ object Similarity {
     * on an absent/torn/rotated-basis bundle. */
   def ivfPqTopKAt(spark: SparkSession, d: String, path: String,
                   k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
-                  nSub: Int = 8, dim: Int = 64): DataFrame = {
+                  nSub: Int = 8, dim: Int = 64,
+                  rerankDepth: Int = 0): DataFrame = {
     val (cent, cb, codes, rot) =
       graft.sources.IndexStore.loadIvfPq(spark, path)
     require(rot.isEmpty,
@@ -1999,7 +2000,7 @@ object Similarity {
     ivfPqServe(base,
       base.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
-      cent, cb, codes, k, nprobe, nSub, dim)
+      cent, cb, codes, k, nprobe, nSub, dim, rerankDepth = rerankDepth)
   }
 
   /** LOAD-ONLY rotated IVF-PQ serving: the LOADED rotation matrix (one
@@ -2008,7 +2009,8 @@ object Similarity {
     * there, and the re-rank scores ORIGINAL vectors. Never trains. */
   def ivfPqRotatedTopKAt(spark: SparkSession, d: String, path: String,
                          k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
-                         nSub: Int = 8, dim: Int = 64): DataFrame = {
+                         nSub: Int = 8, dim: Int = 64,
+                         rerankDepth: Int = 0): DataFrame = {
     val (cent, cb, codes, rotRel) =
       graft.sources.IndexStore.loadIvfPq(spark, path)
     require(rotRel.isDefined,
@@ -2028,7 +2030,8 @@ object Similarity {
       cent, cb, codes, k, nprobe, nSub, dim,
       rerankBase = Some(orig),
       rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding"))))
+        .select(col("vec_id").as("query_id"), col("embedding"))),
+      rerankDepth = rerankDepth)
   }
 
   /** ROTATED IVFADC serving (VERDICT r12 #1 — pq_whiten_compare's
