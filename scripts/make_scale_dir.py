@@ -122,23 +122,31 @@ def emb_only(K, dst):
         shutil.copy(f'{src}/{tb}.parquet', f'{dst}/{tb}.parquet')
     print(f'wrote {dst}: embeddings at {K}x sf0.1, all other tables 1x')
 
+def parse_k(s, mode):
+    """ADVICE r14: K=0 leaves every chunked writer as None and w.close()
+    raises AttributeError — reject non-positive K at entry instead."""
+    K = int(s)
+    if K < 1:
+        sys.exit(f'make_scale_dir.py: K must be >= 1 (got {K}) for {mode}')
+    return K
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == '--events-only':
         if len(sys.argv) < 4:
             print('usage: make_scale_dir.py --events-only K dst')
             sys.exit(1)
-        return events_only(int(sys.argv[2]), sys.argv[3])
+        return events_only(parse_k(sys.argv[2], '--events-only'), sys.argv[3])
     if len(sys.argv) > 1 and sys.argv[1] == '--docs-only':
         if len(sys.argv) < 4:
             print('usage: make_scale_dir.py --docs-only K dst')
             sys.exit(1)
-        return docs_only(int(sys.argv[2]), sys.argv[3])
+        return docs_only(parse_k(sys.argv[2], '--docs-only'), sys.argv[3])
     if len(sys.argv) > 1 and sys.argv[1] == '--emb-only':
         if len(sys.argv) < 4:
             print('usage: make_scale_dir.py --emb-only K dst')
             sys.exit(1)
-        return emb_only(int(sys.argv[2]), sys.argv[3])
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        return emb_only(parse_k(sys.argv[2], '--emb-only'), sys.argv[3])
+    K = parse_k(sys.argv[1], 'uniform scaling') if len(sys.argv) > 1 else 10
     dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfbig'
     src = '/root/testdata/sf0.1'
     os.makedirs(dst, exist_ok=True)

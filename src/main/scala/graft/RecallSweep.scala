@@ -75,7 +75,12 @@ object RecallSweep {
       .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
     val nBase = base.count()
     // cross-cluster mode serves a deeper list: up to clusterSize−1
-    // same-cluster hits may precede the cross-cluster neighbors
+    // same-cluster hits may precede the cross-cluster neighbors.
+    // ADVICE r14: a MOD that doesn't divide the corpus means the wrong
+    // MOD for this dir — truncation would silently undersize kServe
+    // and understate recall, so fail loudly instead.
+    clusterMod.foreach(m => require(nBase % m == 0,
+      s"cluster MOD $m must divide corpus size $nBase (wrong MOD for $d?)"))
     val clusterSize = clusterMod.map(m => (nBase / m).toInt).getOrElse(1)
     val kServe = k + clusterSize - 1
     println(s"""{"sweep":"ground_truth","sf":"$d","k":$k,"k_serve":$kServe,""" +

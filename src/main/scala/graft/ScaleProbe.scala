@@ -25,8 +25,13 @@ object ScaleProbe {
     val nGrams = TextOps.benchmarkGramCount(bench, 5)
     val (k, mBits) = graft.plans.GraftBloom.geometryFor(nGrams)
     val out = TextOps.contaminationBloom(spark, d)
-    val agg = out.agg(count(lit(1)), sum("n_flagged"), sum("n_exact"),
-      sum(when(col("n_exact") > 0, 1L).otherwise(0L))).collect()(0)
+    // coalesce: with ZERO candidate rows the sums are null and getLong
+    // would NPE — an empty prefilter result should print zeros (ADVICE r14)
+    val agg = out.agg(count(lit(1)),
+      coalesce(sum("n_flagged"), lit(0L)),
+      coalesce(sum("n_exact"), lit(0L)),
+      coalesce(sum(when(col("n_exact") > 0, 1L).otherwise(0L)), lit(0L)))
+      .collect()(0)
     val arriving = docs.filter(col("doc_id") % 10 =!= 7).count()
     println(s"""{"probe":"bloom_geometry","sf":"$d",""" +
       s""""bench_grams":$nGrams,"k":$k,"m_bits":$mBits,""" +

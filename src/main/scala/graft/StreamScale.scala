@@ -398,6 +398,14 @@ object StreamScale {
       var parity = true
       var dedupVacuumed = 0L
       val wall = scala.collection.mutable.ArrayBuffer[Double]()
+      // per-slice decomposition (VERDICT r14 next #1): product cost =
+      // streaming verdicts + keeper sign/append; harness cost = the
+      // batch-replay parity check (a SECOND full serve of the slice a
+      // production ingest never pays) — reported separately so the
+      // two never blur in a scale claim again
+      val streamSec = scala.collection.mutable.ArrayBuffer[Double]()
+      val paritySec = scala.collection.mutable.ArrayBuffer[Double]()
+      val appendSec = scala.collection.mutable.ArrayBuffer[Double]()
       val shaRows = scala.collection.mutable.ArrayBuffer[Long]()
       val verdictCounts = scala.collection.mutable.ArrayBuffer[String]()
       slices.foreach { src =>
@@ -423,9 +431,13 @@ object StreamScale {
               got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
           }.start()
         try q.processAllAvailable() finally q.stop()
+        val tStream = System.nanoTime()
+        streamSec += (tStream - t0) / 1e9
         val truth = TextOps.crossDedupAgainstStore(spark, sfDir, path, src)
           .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
         parity &&= (got.toMap - (-1L)) == truth
+        val tParity = System.nanoTime()
+        paritySec += (tParity - tStream) / 1e9
         val keepers = truth.collect { case (id, ("keep", _)) => id }.toSeq
         val (s, b, sh) = TextOps.dedupSignatureFrames(
           spark, sfDir, col("source") === src && col("doc_id").isin(keepers: _*))
@@ -435,6 +447,7 @@ object StreamScale {
         // clean run it deletes 0 (every file is manifest-named), which
         // the reported counter makes visible
         dedupVacuumed += IndexStore.vacuumDedupStore(spark, path)
+        appendSec += (System.nanoTime() - tParity) / 1e9
         wall += (System.nanoTime() - t0) / 1e9
         shaRows += IndexStore.loadDedupSignatures(spark, path)._1.count()
         verdictCounts += s"""{"src":"$src","keep":${keepers.length},""" +
@@ -443,6 +456,9 @@ object StreamScale {
       }
       println(s"""{"face":"crossdedup_store","sign_once_sec":${f"$signSec%.1f"},""" +
         s""""slice_wall_sec":${wall.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
+        s""""stream_sec":${streamSec.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
+        s""""parity_replay_sec":${paritySec.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
+        s""""sign_append_sec":${appendSec.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
         s""""store_sha_rows":${shaRows.mkString("[", ",", "]")},""" +
         s""""vacuumed_files":$dedupVacuumed,""" +
         s""""slices":${verdictCounts.mkString("[", ",", "]")},""" +
@@ -659,6 +675,71 @@ object StreamScale {
         "cross-process served answers diverged from full-scan truth")
       assert(noEventScan, "a leaf-store served plan scanned events.parquet")
       assert(bundleScans == 3, s"ANN serve read $bundleScans/3 relations from the bundle")
+    }
+
+    // ---- face 9: steady-state streaming ANN serving (VERDICT r14 #5)
+    // — face 8 proves the bundle mounts across processes ONCE; this is
+    // the steady state: a rotated IVFADC bundle trained and published
+    // once, MOUNTED once (Similarity.mountIvfPq — index relations +
+    // rotated corpus persisted, rotation matrix collected once), then
+    // arriving QUERY batches served top-k per micro-batch in a
+    // foreachBatch loop (maxFilesPerTrigger=1 — one query file per
+    // micro-batch). Claims measured: per-batch wall stays FLAT as
+    // batches accumulate (each serve is query-proportional probe/LUT +
+    // ADC against the persisted codes + O(queries·rerank) re-rank —
+    // nothing grows with batch count), and the UNION of streamed
+    // answers equals the batch load-only serve bit-for-bit. ----
+    if (enabled("ann_serve_stream")) locally {
+      import graft.operators.Similarity
+      import graft.sources.IndexStore
+      val path = s"$work/ann_serve_bundle"
+      IndexStore.resetDir(spark, path)
+      val tB = System.nanoTime()
+      Similarity.buildIvfPqRotated(spark, sfDir, path)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val nBatches = sys.env.get("SPARK_GRAFT_ANN_BATCHES").map(_.toInt).getOrElse(8)
+      val perBatch = sys.env.get("SPARK_GRAFT_ANN_BATCH_QUERIES").map(_.toInt).getOrElse(25)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val qDir = s"$work/ann_query_stream"
+      IndexStore.resetDir(spark, qDir)
+      (0 until nBatches).foreach { i =>
+        emb.filter(col("query_id") >= i.toLong * perBatch &&
+            col("query_id") < (i + 1).toLong * perBatch)
+          .coalesce(1).write.mode("append").parquet(qDir)
+      }
+      val tM = System.nanoTime()
+      val serve = Similarity.mountIvfPq(spark, sfDir, path)
+      // warm the mount's persisted relations with a 1-query serve so
+      // the steady-state walls measure serving, not the one-time cache
+      // materialization a long-lived server pays at startup
+      serve(emb.filter(col("query_id") === 0L)).count()
+      val mountSec = (System.nanoTime() - tM) / 1e9
+      val walls = scala.collection.mutable.ArrayBuffer[Double]()
+      val got = scala.collection.mutable.Set[Seq[Any]]()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(qDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(qDir)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val t0 = System.nanoTime()
+            serve(b).collect().foreach(r => got += r.toSeq)
+            walls += (System.nanoTime() - t0) / 1e9
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val truth = Similarity.ivfPqRotatedTopKAt(spark, sfDir, path,
+        nQueries = nBatches * perBatch)
+        .collect().map(_.toSeq).toSet
+      val parity = got.toSet == truth
+      println(s"""{"face":"ann_serve_stream","build_sec":${f"$buildSec%.1f"},""" +
+        s""""mount_warm_sec":${f"$mountSec%.1f"},"batches":${walls.size},""" +
+        s""""batch_queries":$perBatch,""" +
+        s""""batch_wall_sec":${walls.map(w => f"$w%.2f").mkString("[", ",", "]")},""" +
+        s""""served_rows":${got.size},"serve_parity":$parity}""")
+      assert(parity, "streamed per-batch ANN answers diverged from the batch load-only serve")
     }
 
     spark.stop()

@@ -1829,7 +1829,7 @@ object Similarity {
     val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val (cent, cb, codes) =
       ivfPqIndex(spark, d, nlists, ivfIters, nSub, nCodes, iters, dim)
-    ivfPqServe(base, queries, cent, cb, codes, k, nprobe, nSub, dim,
+    ivfPqServe(base, queries, cent, cb, codes, k, nprobe, nSub, dim, nCodes,
       rerankDepth = rerankDepth)
   }
 
@@ -1838,10 +1838,29 @@ object Similarity {
     * come from the session memo ([[ivfPqTopK]]) OR from a persisted
     * artifact ([[ivfPqTopKPersisted]] via `IndexStore.loadIvfPq`):
     * serving never retrains. */
+  /** Default IVFADC-R shortlist depth (VERDICT r14 wrong #2): the r14
+    * 10× sweep measured that a FIXED 4k shortlist makes recall FALL as
+    * nprobe rises — extra probed cells flood the shortlist with
+    * quantization noise that displaces true neighbors before the exact
+    * re-rank sees them (plain 16-code recall 0.148→0.136 raising
+    * nprobe 4→8), and that doubling depth lifts every swept cell
+    * 1.3–1.7× at invisible serve cost (the re-rank join is
+    * O(queries·rerank) over raw vectors — noise next to the ADC join).
+    * So the default SCALES with the probe budget, with the measured
+    * coarse-subquantizer penalty (nCodes<64 orders the shortlist about
+    * one depth-doubling worse), instead of silently under-serving a
+    * caller who turns nprobe up: max(4k, 2·nprobe·k·coarsePenalty).
+    * At the registered budget (k=5, nprobe=2, nCodes=16) this is 40. */
+  private[operators] def defaultRerankDepth(k: Int, nprobe: Int,
+                                            nCodes: Int): Int = {
+    val coarsePenalty = if (nCodes < 64) 2 else 1
+    math.max(4 * k, 2 * nprobe * k * coarsePenalty)
+  }
+
   private[operators] def ivfPqServe(base: DataFrame, queries: DataFrame,
                                     cent: DataFrame, cb: DataFrame,
                                     codes: DataFrame, k: Int, nprobe: Int,
-                                    nSub: Int, dim: Int,
+                                    nSub: Int, dim: Int, nCodes: Int,
                                     rerankBase: Option[DataFrame] = None,
                                     rerankQueries: Option[DataFrame] = None,
                                     rerankDepth: Int = 0): DataFrame = {
@@ -1879,13 +1898,11 @@ object Similarity {
     // times, so the scan stays codes-only while the final ranking is
     // exact (the quantization error of a 16-code subquantizer is too
     // coarse to order the short-list; re-ranking is how the published
-    // system closes that gap). rerankDepth overrides the 4k default:
-    // the r14 10× sweep measured that at a coarse subquantizer
-    // (nCodes=16) RAISING nprobe can LOWER recall because extra probed
-    // cells flood the fixed-depth ADC shortlist with quantization
-    // noise before the exact re-rank — the knob scales the shortlist
-    // with the probe budget when a deployment turns nprobe up
-    val rerank = if (rerankDepth > 0) rerankDepth else 4 * k
+    // system closes that gap). rerankDepth > 0 overrides
+    // [[defaultRerankDepth]], which scales the shortlist with the
+    // probe budget so raising nprobe can never silently LOWER recall
+    val rerank = if (rerankDepth > 0) rerankDepth
+                 else defaultRerankDepth(k, nprobe, nCodes)
     val wR = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val shortlist = approx.withColumn("arn", row_number().over(wR))
       .filter(col("arn") <= rerank).drop("arn")
@@ -1991,7 +2008,7 @@ object Similarity {
                   k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
                   nSub: Int = 8, dim: Int = 64,
                   rerankDepth: Int = 0): DataFrame = {
-    val (cent, cb, codes, rot) =
+    val (cent, cb, codes, rot, nCodes) =
       graft.sources.IndexStore.loadIvfPq(spark, path)
     require(rot.isEmpty,
       s"ivfpq bundle at $path was trained in a rotated basis — serve it " +
@@ -2000,7 +2017,8 @@ object Similarity {
     ivfPqServe(base,
       base.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
-      cent, cb, codes, k, nprobe, nSub, dim, rerankDepth = rerankDepth)
+      cent, cb, codes, k, nprobe, nSub, dim, nCodes,
+      rerankDepth = rerankDepth)
   }
 
   /** LOAD-ONLY rotated IVF-PQ serving: the LOADED rotation matrix (one
@@ -2011,7 +2029,7 @@ object Similarity {
                          k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
                          nSub: Int = 8, dim: Int = 64,
                          rerankDepth: Int = 0): DataFrame = {
-    val (cent, cb, codes, rotRel) =
+    val (cent, cb, codes, rotRel, nCodes) =
       graft.sources.IndexStore.loadIvfPq(spark, path)
     require(rotRel.isDefined,
       s"ivfpq bundle at $path: rotated serving requires the rotation " +
@@ -2027,11 +2045,64 @@ object Similarity {
     ivfPqServe(rb,
       rb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
-      cent, cb, codes, k, nprobe, nSub, dim,
+      cent, cb, codes, k, nprobe, nSub, dim, nCodes,
       rerankBase = Some(orig),
       rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding"))),
       rerankDepth = rerankDepth)
+  }
+
+  /** Mount an IVF-PQ bundle ONCE for steady-state serving (VERDICT r14
+    * #5): load + validate the artifact a single time, persist the
+    * index relations (and, for a rotated bundle, the rotated corpus
+    * base), and return a serve closure over ARBITRARY
+    * (query_id, embedding) frames — the shape a streaming foreachBatch
+    * loop calls per micro-batch. Per batch the only new work is
+    * query-proportional: the probe/LUT broadcast (nprobe·nSub·nCodes
+    * rows per query), the cell-restricted ADC join against the
+    * persisted codes, and the O(queries·rerank) exact re-rank — no
+    * retraining, no artifact re-read, no corpus re-rotation. The
+    * bundle self-describes its basis: a rotated bundle's loaded matrix
+    * (one dim×dim row — bounded collect by construction) rotates the
+    * corpus once at mount time and each query batch at serve time,
+    * with the re-rank scoring ORIGINAL vectors, exactly the
+    * [[ivfPqRotatedTopKAt]] contract. The persisted relations live for
+    * the session (mount once per process, the face-8 cross-process
+    * posture). */
+  def mountIvfPq(spark: SparkSession, d: String, path: String,
+                 k: Int = 5, nprobe: Int = 2, nSub: Int = 8,
+                 dim: Int = 64, rerankDepth: Int = 0)
+      : DataFrame => DataFrame = {
+    val (cent0, cb0, codes0, rotRel, nCodes) =
+      graft.sources.IndexStore.loadIvfPq(spark, path)
+    val cent = cent0.persist()
+    val cb = cb0.persist()
+    val codes = codes0.persist()
+    val orig = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).persist()
+    rotRel match {
+      case None =>
+        (queries: DataFrame) =>
+          ivfPqServe(orig, queries, cent, cb, codes, k, nprobe, nSub, dim,
+            nCodes, rerankDepth = rerankDepth)
+      case Some(rel) =>
+        val loaded = rel.collect()
+        require(loaded.length == 1 &&
+            loaded.head.getAs[Long]("dim") == dim.toLong,
+          s"ivfpq bundle at $path: rotation relation malformed")
+        val r = loaded.head
+          .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot")
+          .map(_.toArray).toArray
+        val rb = rotateEmbeddings(spark, orig, r).persist()
+        (queries: DataFrame) => {
+          val rq = rotateEmbeddings(spark,
+            queries.select(col("query_id").as("vec_id"), col("embedding")), r)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          ivfPqServe(rb, rq, cent, cb, codes, k, nprobe, nSub, dim, nCodes,
+            rerankBase = Some(orig), rerankQueries = Some(queries),
+            rerankDepth = rerankDepth)
+        }
+    }
   }
 
   /** ROTATED IVFADC serving (VERDICT r12 #1 — pq_whiten_compare's
@@ -2069,7 +2140,7 @@ object Similarity {
     ivfPqServe(rb,
       rb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
-      cent, cb, codes, k, nprobe, nSub, dim,
+      cent, cb, codes, k, nprobe, nSub, dim, nCodes,
       rerankBase = Some(orig),
       rerankQueries = Some(orig.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding"))),
@@ -2190,7 +2261,7 @@ object Similarity {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY adist, neighbor_id) AS arn
        |    FROM adc
-       |  ) WHERE arn <= ${4 * k}
+       |  ) WHERE arn <= ${defaultRerankDepth(k, nprobe, nCodes)}
        |), ex AS (
        |  SELECT r.query_id, r.neighbor_id, r.adist,
        |    CAST(CAST(sum(CAST(CAST((q.v - n.v) * (q.v - n.v) AS VARCHAR)
@@ -2274,7 +2345,7 @@ object Similarity {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY adist, neighbor_id) AS arn
        |    FROM adc
-       |  ) WHERE arn <= ${4 * k}
+       |  ) WHERE arn <= ${defaultRerankDepth(k, nprobe, nCodes)}
        |), ex AS (
        |  SELECT r.query_id, r.neighbor_id, r.adist,
        |    CAST(CAST(sum(CAST(CAST((q.v - n.v) * (q.v - n.v) AS VARCHAR)

@@ -325,9 +325,12 @@ object IndexStore {
     * rotation relation iff the bundle was trained in a rotated basis —
     * a caller expecting a plain bundle must check (ivfPqServe probes
     * raw queries; probing a rotated bundle with raw queries would be
-    * silently wrong, hence fail-fast in the serving wrappers). */
+    * silently wrong, hence fail-fast in the serving wrappers). The
+    * fifth element is the bundle's n_codes — serving sizes its default
+    * ADC shortlist from the TRAINED subquantizer coarseness, so the
+    * meta value, not a caller guess, is the source of truth. */
   def loadIvfPq(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame], Int) = {
     val meta = readLatestMeta(spark, path)
       .map(_.collect()).getOrElse(Array.empty)
     require(meta.length == 1,
@@ -350,7 +353,7 @@ object IndexStore {
         s"ivfpq index at $path: rotation rows disagree with meta")
       Some(r)
     } else None
-    (cent, cb, codes, rot)
+    (cent, cb, codes, rot, m.getAs[Int]("n_codes"))
   }
 
   /** The cross-corpus DEDUP signature store: content hashes (h → min
@@ -595,21 +598,45 @@ object IndexStore {
     n
   }
 
+  /** Delete stale generation-claim files (VERDICT r14 wrong #1): a
+    * writer that crashed between CLAIMING `meta/v<n>.claim` and
+    * finishing its generation leaves the claim behind forever —
+    * allocation skips past it (correct) but a long-lived store run by
+    * a crashy ingest loop accumulates junk files and ever-growing
+    * claim listings. A claim numbered ≤ the newest COMPLETE generation
+    * can never belong to an in-flight writer (a live append's claim is
+    * always allocated PAST every complete generation), so those are
+    * unconditionally dead; claims beyond the newest complete
+    * generation may be an in-flight append and are left alone.
+    * Returns the number of claim files deleted. */
+  private def vacuumStaleClaims(spark: SparkSession, path: String): Int =
+    latestCompleteGen(spark, path) match {
+      case None => 0
+      case Some(latest) =>
+        val (fs, _) = fsOf(spark, path)
+        val stale = metaClaimNumbers(spark, path).filter(_ <= latest)
+        stale.foreach(n => fs.delete(new Path(s"$path/meta/v$n.claim"), false))
+        stale.size
+    }
+
   /** Vacuum a dedup signature store: drop part files orphaned by a
     * torn append (the manifest excluded them permanently — their bytes
-    * are pure waste). */
+    * are pure waste) and stale generation claims of crashed writers. */
   def vacuumDedupStore(spark: SparkSession, path: String): Int = {
     val m = dedupMeta(spark, path)
     val live = Seq("files_sha", "files_bands", "files_shingles")
       .flatMap(c => m.getAs[scala.collection.Seq[String]](c)).toSet
-    deleteOrphans(spark, path, Seq("sha", "bands", "shingles"), live)
+    deleteOrphans(spark, path, Seq("sha", "bands", "shingles"), live) +
+      vacuumStaleClaims(spark, path)
   }
 
   /** Vacuum a leaf store: drop part files of superseded generations
-    * (the manifest keeps ≤2 per day) and of torn upserts. */
+    * (the manifest keeps ≤2 per day), of torn upserts, and stale
+    * generation claims of crashed writers. */
   def vacuumLeafStore(spark: SparkSession, path: String): Int = {
     val live = leafMetaRows(spark, path).flatMap(_._4).toSet
-    deleteOrphans(spark, path, Seq("leaves"), live)
+    deleteOrphans(spark, path, Seq("leaves"), live) +
+      vacuumStaleClaims(spark, path)
   }
 
   /** (day, gen_batch, n_rows, files) rows; empty when the store does

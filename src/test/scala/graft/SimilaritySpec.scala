@@ -604,17 +604,35 @@ class SimilaritySpec extends AnyFunSuite {
     import spark.implicits._
     val ragged = Seq((0L, Array(1f, 2f), 1), (1L, Array(3f, 4f, 5f), 1))
       .toDF("vec_id", "embedding", "label")
+    // ADVICE r14: assert the MESSAGE, not mere non-nullness — a
+    // regression to a different failure mode must not pass silently.
+    // Spark wraps executor-side throws, so search the cause chain.
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    // same partition → the update-path check names the ragged column
     val e1 = intercept[Exception] {
-      ragged.agg(graft.plans.GraftFunctions.covGram(
+      ragged.coalesce(1).agg(graft.plans.GraftFunctions.covGram(
         col("embedding").cast("array<double>"))).collect()
     }
-    assert(e1.getMessage != null || e1.getCause != null)
+    assert(messages(e1).exists(_.contains("ragged embedding column")),
+      s"expected the ragged-column fail-fast, got: ${messages(e1)}")
+    // different partitions → each buffer is internally consistent and
+    // the raggedness surfaces at MERGE time, also named
+    val e1m = intercept[Exception] {
+      ragged.repartition(2).agg(graft.plans.GraftFunctions.covGram(
+        col("embedding").cast("array<double>"))).collect()
+    }
+    assert(messages(e1m).exists(m => m.contains("merging buffers of dimension")
+        || m.contains("ragged embedding column")),
+      s"expected a named ragged/merge fail-fast, got: ${messages(e1m)}")
     val nullElem = spark.sql(
       "SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS embedding")
     val e2 = intercept[Exception] {
       nullElem.agg(graft.plans.GraftFunctions.covGram(col("embedding"))).collect()
     }
-    assert(e2.getMessage != null || e2.getCause != null)
+    assert(messages(e2).exists(_.contains("null element at dimension")),
+      s"expected the null-element fail-fast, got: ${messages(e2)}")
     // whole-null rows and empty arrays are SKIPPED like the generator
     // form skipped them: only the two real rows count
     val mixed = Seq(
@@ -837,7 +855,8 @@ class SimilaritySpec extends AnyFunSuite {
     // serving wrappers fail fast on the mismatch (require in both)
     import graft.sources.IndexStore
     val rotPath = IndexStore.artifactPath("ivfpqrot", s"$sf|8|8|16")
-    val (_, _, _, rotRel) = IndexStore.loadIvfPq(spark, rotPath)
+    val (_, _, _, rotRel, nCodesMeta) = IndexStore.loadIvfPq(spark, rotPath)
+    assert(nCodesMeta == 16, s"bundle meta n_codes: $nCodesMeta")
     assert(rotRel.isDefined, "rotated bundle lost its rotation relation")
     val m = rotRel.get.collect()
     assert(m.length == 1 && m.head.getAs[Long]("dim") == 64L &&
@@ -911,6 +930,37 @@ class SimilaritySpec extends AnyFunSuite {
     val ePlain = intercept[IllegalArgumentException](
       Similarity.ivfPqRotatedTopKAt(s2, sf, pqPath).collect())
     assert(ePlain.getMessage.contains("trained unrotated"))
+  }
+
+  test("mountIvfPq: mounted bundle serves arbitrary query batches ≡ batch load-only serve (VERDICT r14 #5)") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graftmount").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // rotated bundle: mount once, serve two DISJOINT micro-batch-shaped
+    // query frames — their union equals the covering batch serve bit
+    // for bit (the streaming-face parity contract, StreamScale face 9)
+    val rotPath = s"$root/rot"
+    Similarity.buildIvfPqRotated(spark, sf, rotPath)
+    val serveRot = Similarity.mountIvfPq(spark, sf, rotPath)
+    val b1 = rows(serveRot(emb.filter(col("query_id") < 4)))
+    val b2 = rows(serveRot(emb.filter(
+      col("query_id") >= 4 && col("query_id") < 8)))
+    assert(b1.nonEmpty && b2.nonEmpty && (b1 & b2).isEmpty)
+    assert((b1 ++ b2) ==
+      rows(Similarity.ivfPqRotatedTopKAt(spark, sf, rotPath, nQueries = 8)))
+    // plain bundle mounts through the same closure (the bundle
+    // self-describes its basis — no caller flag to get wrong)
+    val pqPath = s"$root/plain"
+    Similarity.buildIvfPq(spark, sf, pqPath)
+    val servePlain = Similarity.mountIvfPq(spark, sf, pqPath)
+    assert(rows(servePlain(emb.filter(col("query_id") < 5))) ==
+      rows(Similarity.ivfPqTopKAt(spark, sf, pqPath, nQueries = 5)))
+    // absent bundle fails fast at MOUNT time, naming the artifact
+    val e = intercept[IllegalArgumentException](
+      Similarity.mountIvfPq(spark, sf, s"$root/absent"))
+    assert(e.getMessage.contains(s"$root/absent"))
   }
 
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {

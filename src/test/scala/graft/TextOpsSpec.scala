@@ -447,6 +447,56 @@ class TextOpsSpec extends AnyFunSuite {
     assert(IndexStore.loadDedupSignatures(spark, path)._1.count() == base + 2)
   }
 
+  test("generation claims stay bounded: commits clean their own, vacuum reclaims crashed writers' (VERDICT r14 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val t = (i: Int) => s"claim doc $i with distinct words cw$i cx$i cy$i"
+    val rows = (1 to 6).map(i => (i.toLong, t(i), "en", s"s$i", t(i).length.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graftclaim").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftclaimsig").toString + "/store"
+    def claims(): Seq[String] = {
+      val m = new java.io.File(s"$path/meta")
+      if (!m.exists()) Seq.empty
+      else m.listFiles().map(_.getName).filter(_.endsWith(".claim")).toSeq.sorted
+    }
+    def latestGen(): Long = new java.io.File(s"$path/meta").listFiles()
+      .filter(_.getName.matches("v\\d+")).map(_.getName.drop(1).toLong).max
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "s1")
+    IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    // N successful appends: every commit deletes its own claim, so the
+    // claim listing stays EMPTY — not one-junk-file-per-append
+    (2 to 4).foreach { i =>
+      val (s, b, g) = TextOps.dedupSignatureFrames(spark, dir, col("source") === s"s$i")
+      IndexStore.appendDedupSignatures(spark, s, b, g, path)
+      assert(claims().isEmpty, s"successful append $i leaked claims: ${claims()}")
+    }
+    // a writer that crashed between claim and generation write leaves
+    // a stale claim; the next append allocates PAST it and commits
+    val crashed = latestGen() + 1
+    new java.io.File(s"$path/meta/v$crashed.claim").createNewFile()
+    val (s5, b5, g5) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "s5")
+    IndexStore.appendDedupSignatures(spark, s5, b5, g5, path)
+    assert(latestGen() > crashed, "allocation failed to skip the crashed claim")
+    assert(claims() == Seq(s"v$crashed.claim"))
+    // vacuum reclaims it (≤ newest complete generation ⇒ provably dead)…
+    assert(IndexStore.vacuumDedupStore(spark, path) >= 1)
+    assert(claims().isEmpty, s"stale claim survived vacuum: ${claims()}")
+    // …but never touches a claim BEYOND the newest complete generation —
+    // that may be an in-flight writer between its claim and its commit
+    val inflight = latestGen() + 3
+    new java.io.File(s"$path/meta/v$inflight.claim").createNewFile()
+    IndexStore.vacuumDedupStore(spark, path)
+    assert(claims() == Seq(s"v$inflight.claim"),
+      "vacuum deleted a possibly-in-flight claim")
+    // the store still appends normally around the live claim
+    val (s6, b6, g6) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "s6")
+    IndexStore.appendDedupSignatures(spark, s6, b6, g6, path)
+    assert(IndexStore.loadDedupSignatures(spark, path)._1.count() == 6)
+  }
+
   test("sampled-stats ngram_jaccard: identical output, scaled estimates, no bitmap pick") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
