@@ -49,15 +49,39 @@ object StageProbe {
       val hashed = grams.select(col("doc_id"), col("gram"),
         lo.as("lo"), hi.as("hi"))
       val hashSec = best(() =>
-        hashed.agg(count(lit(1)), sum(col("lo"))).collect())
+        hashed.agg(count(lit(1)), max(col("lo")), min(col("hi"))).collect())
       val sizeSec = best(() =>
         hashed.filter(col("doc_id") % 10 === 7)
           .select("gram").distinct().count())
+      // bloom build + probe, no exact join / no groupBy: how much of
+      // the tail is the filter itself vs the gram-string exact join
+      val bench = hashed.filter(col("doc_id") % 10 === 7)
+      val (kk, mm) = graft.plans.GraftBloom.geometryFor(
+        bench.select("gram").distinct().count())
+      val bloom = bench.agg(graft.plans.GraftFunctions.bloomState(
+        col("lo"), col("hi"), kk, mm).as("bf"))
+      val probeSec = best(() =>
+        hashed.filter(col("doc_id") % 10 =!= 7)
+          .crossJoin(broadcast(bloom))
+          .withColumn("flagged", graft.plans.GraftFunctions.bloomContains(
+            col("bf"), col("lo"), col("hi")))
+          .agg(count(lit(1)), sum(col("flagged").cast("long"))).collect())
+      val benchGrams = bench.select("gram").distinct()
+        .withColumn("is_exact", lit(1L))
+      val joinSec = best(() =>
+        hashed.filter(col("doc_id") % 10 =!= 7)
+          .crossJoin(broadcast(bloom))
+          .withColumn("flagged", graft.plans.GraftFunctions.bloomContains(
+            col("bf"), col("lo"), col("hi")))
+          .join(broadcast(benchGrams), Seq("gram"), "left")
+          .agg(count(lit(1)), sum(col("flagged").cast("long")),
+            sum(coalesce(col("is_exact"), lit(0L)))).collect())
       val fullSec = best(() =>
         TextOps.contaminationBloom(spark, d).collect())
       println(s"""{"probe":"contamination_bloom","sf":"$d",""" +
         f""""scan_sec":$scanSec%.2f,"tokenize_shingle_sec":$gramSec%.2f,""" +
         f""""hash_sec":$hashSec%.2f,"bench_sizing_sec":$sizeSec%.2f,""" +
+        f""""build_probe_sec":$probeSec%.2f,"probe_exact_join_sec":$joinSec%.2f,""" +
         f""""full_sec":$fullSec%.2f}""")
     }
 

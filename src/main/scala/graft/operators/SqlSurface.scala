@@ -123,11 +123,15 @@ object SqlSurface {
          |bgrams AS (SELECT DISTINCT gram FROM g
          |           WHERE doc_id % $benchMod = $benchRes)
          |SELECT p.doc_id, count(1) AS n_grams,
-         |       sum(CAST(bloom_contains(b.bf, p.lo, p.hi) AS BIGINT))
-         |         AS n_flagged,
+         |       -- scalar subquery, not CROSS JOIN: Spark evaluates it
+         |       -- once and embeds the filter as a plan literal, where
+         |       -- a joined binary column re-copies the filter bytes
+         |       -- from every probed row (StageProbe r15: ~80% of wall)
+         |       sum(CAST(bloom_contains((SELECT bf FROM bloom), p.lo, p.hi)
+         |         AS BIGINT)) AS n_flagged,
          |       sum(CASE WHEN bg.gram IS NOT NULL THEN 1L ELSE 0L END)
          |         AS n_exact
-         |FROM h p CROSS JOIN bloom b
+         |FROM h p
          |LEFT JOIN bgrams bg ON bg.gram = p.gram
          |WHERE p.doc_id % $benchMod <> $benchRes
          |GROUP BY p.doc_id

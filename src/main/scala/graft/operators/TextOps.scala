@@ -1187,7 +1187,19 @@ object TextOps {
         col("a.y") === col("b.y"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val near = jaccardVerify(cands, sets, threshold)
+    // prune the shingle relation to docs that actually appear in a
+    // candidate pair BEFORE any shuffle (measured at the 100× store:
+    // without this, every serve shuffled the WHOLE corpus-sized
+    // exploded-shingle relation three times — jaccardVerify's sizes
+    // groupBy plus both join sides — the dominant O(store) term of the
+    // per-slice ingest wall; the candidate-id list is band-join output,
+    // batch-bounded, so it broadcasts and the semi-join pushes below
+    // the store union/distinct to the scan). Results are identical:
+    // pruning drops whole non-candidate docs, never a kept doc's rows.
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val prunedSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val near = jaccardVerify(cands, prunedSets, threshold)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_id"))
     newDocs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
@@ -1645,15 +1657,20 @@ object TextOps {
       if (k > 0 && mBits > 0) (k, mBits)
       else bloomGeometry(spark, d, n, benchMod, benchRes, targetFpr)(
         bench.select("gram").distinct().count())
-    val bloom = bench.agg(
+    // the built filter COLLECTS once (bounded: k·mBits/8 bytes — the
+    // exact payload the previous broadcast shipped to every executor)
+    // and probes as a BINARY LITERAL: codegen reads a literal from the
+    // constant pool, where a crossJoin'd binary COLUMN is re-COPIED
+    // from the joined row on every probe (UnsafeRow.getBinary) —
+    // measured at sf0.1 as ~80% of this query's wall (StageProbe r15)
+    val bfBytes = bench.agg(
       graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), kk, mm)
-        .as("bf"))
+        .as("bf")).collect()(0).getAs[Array[Byte]]("bf")
     val benchGrams = bench.select("gram").distinct()
       .withColumn("is_exact", lit(1L))
     hashed.filter(col("doc_id") % benchMod =!= benchRes)
-      .crossJoin(broadcast(bloom))
       .withColumn("flagged",
-        graft.plans.GraftFunctions.bloomContains(col("bf"), col("lo"), col("hi")))
+        graft.plans.GraftFunctions.bloomContains(lit(bfBytes), col("lo"), col("hi")))
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -1744,18 +1761,22 @@ object TextOps {
     val benchGrams = grams.filter(col("doc_id") % benchMod === benchRes)
       .select("gram").distinct()
     val (blo, bhi) = graft.functions.ColumnFunctions.hash64Pair(col("gram"), BloomTag)
-    val bloom = benchGrams.select(blo.as("lo"), bhi.as("hi"))
+    // collected-literal probe, same move as contaminationBloom: the
+    // filter and its fill gauge are ONE bounded row
+    val bloomRow = benchGrams.select(blo.as("lo"), bhi.as("hi"))
       .agg(graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), k, mBits)
         .as("bf"))
       .withColumn("bits_set", graft.plans.GraftFunctions.bloomBitsSet(col("bf")))
+      .collect()(0)
+    val bfBytes = bloomRow.getAs[Array[Byte]]("bf")
+    val bitsSet = bloomRow.getAs[Long]("bits_set")
     val probes = grams.filter(col("doc_id") % benchMod =!= benchRes)
       .select("gram").distinct()
       .select(col("gram"), blo.as("lo"), bhi.as("hi"))
       .join(broadcast(benchGrams.withColumn("is_member", lit(1L))),
         Seq("gram"), "left")
-      .crossJoin(broadcast(bloom))
       .withColumn("flagged",
-        graft.plans.GraftFunctions.bloomContains(col("bf"), col("lo"), col("hi"))
+        graft.plans.GraftFunctions.bloomContains(lit(bfBytes), col("lo"), col("hi"))
           .cast("long"))
       .withColumn("member", coalesce(col("is_member"), lit(0L)))
     val agg = probes.agg(
@@ -1764,7 +1785,7 @@ object TextOps {
       sum(col("member") * col("flagged")).as("members_flagged"),
       sum(lit(1L) - col("member")).as("n_nonmembers"),
       sum((lit(1L) - col("member")) * col("flagged")).as("nonmembers_flagged"),
-      max(col("bits_set")).as("bits_set"))
+      max(lit(bitsSet)).as("bits_set"))
     val fill = col("bits_set").cast("double") / lit(k.toLong * mBits)
     agg.select(col("n_probes"), col("n_members"), col("members_flagged"),
       col("n_nonmembers"), col("nonmembers_flagged"), col("bits_set"),

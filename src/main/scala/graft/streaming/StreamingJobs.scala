@@ -190,12 +190,23 @@ object StreamingJobs {
                                       win: String = "1 minute"): DataFrame = {
     val (sha, bands, shingles) =
       graft.sources.IndexStore.loadDedupSignatures(spark, path)
+    // persist the store-derived static relations: a stream-static join
+    // re-executes its static subtree EVERY micro-batch, and the two
+    // aggregates below are O(store) shuffles (the shingle regroup
+    // moves the corpus's whole shingle payload) — measured at the 100×
+    // store as the dominant term of the per-slice streaming wall
+    // (~2-3 regroups per slice). Persisted, the store is regrouped
+    // once per mounted query; MEMORY_AND_DISK so a store larger than
+    // the executor cache spills instead of failing, and LRU eviction
+    // bounds repeated short-lived mounts.
     val corpusSha = sha.groupBy("h").agg(min(col("cid")).as("exact_cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cShd = shingles.groupBy(col("doc_id").as("cid"))
+      .agg(collect_set(col("sh")).as("cshd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     streamingCrossDedupFrom(docs, corpusSha,
       bands.select(col("doc_id").as("cid"), col("band"), col("x"), col("y")),
-      shingles.groupBy(col("doc_id").as("cid"))
-        .agg(collect_set(col("sh")).as("cshd")),
-      threshold, wmDelay, win)
+      cShd, threshold, wmDelay, win)
   }
 
   /** Shared core of the two cross-dedup faces — the corpus side
@@ -366,11 +377,12 @@ object StreamingJobs {
     * BEFORE they enter the training corpus.
     *
     * Shapes: the filter is batch-built once at plan time from the
-    * static benchmark frame and stays a 1-row DataFrame joined on a
-    * constant key — the broadcast ships m/8 BYTES per executor and the
-    * per-gram probe is O(k) word reads in codegen, so the stream side
-    * never joins against benchmark gram strings at all (the thing the
-    * prefilter exists to avoid). Geometry sizes from the counted
+    * static benchmark frame and rides the plan as a BINARY LITERAL
+    * (k·mBits/8 bytes — the same payload a broadcast would ship, read
+    * from the codegen constant pool instead of re-copied per probed
+    * row) and the per-gram probe is O(k) word reads in codegen, so the
+    * stream side never joins against benchmark gram strings at all
+    * (the thing the prefilter exists to avoid). Geometry sizes from the counted
     * benchmark grams by default — the same `GraftBloom.geometryFor`
     * the batch prefilter uses (one O(benchmark) count at plan build,
     * against the STATIC side only), so stream and batch build the
@@ -390,8 +402,13 @@ object StreamingJobs {
       if (k > 0 && mBits > 0) (k, mBits)
       else graft.plans.GraftBloom.geometryFor(
         TextOps.benchmarkGramCount(benchmark, n), targetFpr)
-    val bloom = TextOps.benchmarkBloom(benchmark, n, kk, mm)
-      .withColumn("one", lit(1))
+    // collected once at plan build from the STATIC benchmark side
+    // (bounded: k·mBits/8 bytes) and probed as a literal — a
+    // stream-static join would both re-run the filter build every
+    // micro-batch and re-copy the filter bytes from every joined row
+    // (the measured per-row getBinary copy, StageProbe r15)
+    val bfBytes = TextOps.benchmarkBloom(benchmark, n, kk, mm)
+      .collect()(0).getAs[Array[Byte]]("bf")
     val (lo, hi) = graft.functions.ColumnFunctions
       .hash64Pair(col("gram"), TextOps.BloomTag)
     // NO size(toks) >= n pre-filter here, deliberately: Catalyst's
@@ -405,10 +422,8 @@ object StreamingJobs {
       .withColumn("toks", expr(TextOps.toksExpr))
       .select(col("ts"), col("doc_id"),
         explode(array_distinct(expr(TextOps.shinglesExpr(n)))).as("gram"))
-      .withColumn("one", lit(1))
-      .join(broadcast(bloom), Seq("one"))
       .withColumn("flagged",
-        graft.plans.GraftFunctions.bloomContains(col("bf"), lo, hi)
+        graft.plans.GraftFunctions.bloomContains(lit(bfBytes), lo, hi)
           .cast("long"))
       .groupBy(window(col("ts"), win), col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("flagged")).as("n_flagged"))

@@ -57,21 +57,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("contamination_bloom probes from a broadcast filter — the corpus " +
-    "gram volume is never shuffle-joined against benchmark grams") {
+  test("contamination_bloom probes a plan-literal filter — no per-row " +
+    "filter join, and the gram volume is never shuffle-joined") {
     val df = SparkEntry.queries("contamination_bloom")(spark, sf)
     df.collect() // finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString
-    // the filter bytes and the exact-overlap calibration relation are
-    // both broadcast; a SortMergeJoin here would mean the prefilter
-    // shuffles the very gram relation it exists to avoid shuffling
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      s"contamination_bloom lost its broadcast probe:\n$plan")
-    Seq("SortMergeJoin", "CartesianProduct").foreach { op =>
-      assert(!plan.contains(op),
-        s"contamination_bloom plans a $op over the gram volume:\n$plan")
-    }
+    // r15: the filter bytes ride the plan as a collected literal
+    // (k·mBits/8 bytes, the exact former broadcast payload) — a
+    // BroadcastNestedLoopJoin here would mean the probe regressed to a
+    // joined binary COLUMN, whose per-row UnsafeRow.getBinary copy was
+    // measured as ~80% of this query's sf0.1 wall (StageProbe r15);
+    // the only join left is the broadcast exact-overlap calibration
+    assert(plan.contains("BroadcastHashJoin"),
+      s"contamination_bloom lost its broadcast exact-overlap join:\n$plan")
+    Seq("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
+      .foreach { op =>
+        assert(!plan.contains(op),
+          s"contamination_bloom plans a $op over the gram volume:\n$plan")
+      }
   }
 
   test("rolling_active_users_store serves from the leaf artifact — the " +
