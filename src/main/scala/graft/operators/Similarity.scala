@@ -1851,7 +1851,7 @@ object Similarity {
     * one depth-doubling worse), instead of silently under-serving a
     * caller who turns nprobe up: max(4k, 2·nprobe·k·coarsePenalty).
     * At the registered budget (k=5, nprobe=2, nCodes=16) this is 40. */
-  private[operators] def defaultRerankDepth(k: Int, nprobe: Int,
+  private[graft] def defaultRerankDepth(k: Int, nprobe: Int,
                                             nCodes: Int): Int = {
     val coarsePenalty = if (nCodes < 64) 2 else 1
     math.max(4 * k, 2 * nprobe * k * coarsePenalty)

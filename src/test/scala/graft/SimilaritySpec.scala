@@ -161,6 +161,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Map(1000100L -> 100L, 1000200L -> 200L, 1000300L -> 300L))
   }
 
+  test("defaultRerankDepth: monotone in nprobe, floored at 4k, coarse penalty doubles (VERDICT r14 wrong #2)") {
+    // the contract the 10×/100× sweeps verified empirically: raising
+    // nprobe can never shrink the ADC shortlist, so recall at default
+    // knobs is monotone in the probe budget by construction
+    for (nCodes <- Seq(16, 64); k <- Seq(5, 14)) {
+      val depths = Seq(1, 2, 4, 8, 16)
+        .map(np => Similarity.defaultRerankDepth(k, np, nCodes))
+      assert(depths == depths.sorted,
+        s"depth not monotone in nprobe at k=$k nCodes=$nCodes: $depths")
+      assert(depths.forall(_ >= 4 * k),
+        s"depth fell below the 4k floor at k=$k nCodes=$nCodes: $depths")
+    }
+    // registered budget (k=5, nprobe=2): 40 coarse / 20 fine — the
+    // values the re-pinned oracle hashes encode
+    assert(Similarity.defaultRerankDepth(5, 2, 16) == 40)
+    assert(Similarity.defaultRerankDepth(5, 2, 64) == 20)
+    // the measured coarse-subquantizer penalty is exactly one doubling
+    assert(Similarity.defaultRerankDepth(14, 8, 16) ==
+      2 * Similarity.defaultRerankDepth(14, 8, 64))
+  }
+
   test("PQ encode: total deterministic code assignment per subspace") {
     val codes = Similarity.pqEncode(spark, sf, nSub = 8, nCodes = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
