@@ -122,6 +122,65 @@ object StageProbe {
         f""""load_serve_sec":$serveSec%.2f,"full_sec":$fullSec%.2f}""")
     }
 
+    // ---- doc_similar_topk (r16: new bench top-3): the warm wall is
+    //      the NON-memoized portion (term vectors + topic assignment
+    //      are session-memoized like the bench's own warm runs) —
+    //      decompose dense-vector build → cell pair join + dot →
+    //      top-k window ----
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val dim = 64
+      val tv = TextOps.docTermVectors(spark, d, dim)
+      val tvSec = best(() => tv.agg(count(lit(1))).collect())
+      val nl = math.max(2, math.ceil(math.sqrt(
+        tv.select("doc_id").distinct().count().toDouble)).toInt)
+      val assign = TextOps.docTopics(spark, d, nl, dim, 2)
+      val assignSec = best(() => assign.agg(count(lit(1))).collect())
+      val dense = tv.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(
+          struct(col("dim").cast("int").as("k"),
+            col("tf").cast("double").as("v")))).as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => coalesce(element_at(col("m"), i), lit(0.0))).as("arr"))
+        .withColumn("n2", graft.plans.GraftFunctions.dotF64(col("arr"), col("arr")))
+        .join(assign, "doc_id")
+      val denseSec = best(() => dense.agg(count(lit(1))).collect())
+      val dot = graft.plans.GraftFunctions.dotF64(col("aa"), col("ab"))
+      val a = dense.select(col("doc_id").as("da"), col("topic"),
+        col("arr").as("aa"), col("n2").as("na2"))
+      val b = dense.select(col("doc_id").as("db"), col("topic"),
+        col("arr").as("ab"), col("n2").as("nb2"))
+      val scored = a.join(b, Seq("topic")).filter(col("da") =!= col("db"))
+        .select(col("da").as("doc_id"), col("db").as("similar_id"),
+          (dot.cast("double") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("score"))
+      val pairSec = best(() => scored.agg(count(lit(1))).collect())
+      val fullSec = best(() => TextOps.docSimilarTopK(spark, d).collect())
+      println(s"""{"probe":"doc_similar_topk","sf":"$d",""" +
+        f""""term_vectors_sec":$tvSec%.2f,"assign_sec":$assignSec%.2f,""" +
+        f""""dense_build_sec":$denseSec%.2f,"pair_dot_sec":$pairSec%.2f,""" +
+        f""""full_sec":$fullSec%.2f}""")
+    }
+
+    // ---- embedding_covariance (r16: new bench top-3): scan+cast →
+    //      the one-buffer CovGram exact-decimal fold → the exploded
+    //      d(d+1)/2 projection ----
+    locally {
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      val scanSec = best(() => emb
+        .select(col("embedding").cast("array<double>").as("e"))
+        .agg(count(lit(1))).collect())
+      val kernelSec = best(() => emb
+        .agg(graft.plans.GraftFunctions.covGram(
+          col("embedding").cast("array<double>")).as("cg"))
+        .select(size(col("cg"))).collect())
+      val fullSec = best(() =>
+        graft.operators.Similarity.embeddingCovariance(spark, d).collect())
+      println(s"""{"probe":"embedding_covariance","sf":"$d",""" +
+        f""""scan_cast_sec":$scanSec%.2f,"covgram_kernel_sec":$kernelSec%.2f,""" +
+        f""""full_sec":$fullSec%.2f}""")
+    }
+
     spark.stop()
   }
 }

@@ -544,13 +544,20 @@ object StreamScale {
           checkpointLocation = Some(ckpt), reseed = reseed)(upsert, onEvict)
       }
       val stopAfter = days.length / 2
+      // product/harness decomposition (the face-6 r15 convention):
+      // ingest_sec + resume_sec are PRODUCT cost (the streaming upsert
+      // loop a deployment actually pays, split at the induced restart);
+      // the batch-twin recompute + map compare below is HARNESS cost —
+      // a parity proof a production ingest never pays
       val t0 = System.nanoTime()
       val q1 = face(None)
       while (Option(q1.lastProgress).forall(_.batchId < stopAfter))
         Thread.sleep(200)
       q1.stop()
+      val ingestSec = (System.nanoTime() - t0) / 1e9
       @volatile var reseedRows = 0L
       @volatile var resumedAt = -1L
+      val tResume = System.nanoTime()
       val q2 = face(Some { id =>
         resumedAt = id
         val seed = IndexStore.loadLeafStore(spark, store, beforeBatch = Some(id))
@@ -558,6 +565,8 @@ object StreamScale {
         seed
       })
       try q2.processAllAvailable() finally q2.stop()
+      val resumeSec = (System.nanoTime() - tResume) / 1e9
+      val tParity = System.nanoTime()
       val retained = days.takeRight(retain).toSet
       val batch = EventAnalytics.eventDailyLeafFrom(
           ev.filter(col("day").isin(retained.toSeq: _*)))
@@ -567,6 +576,7 @@ object StreamScale {
         .toMap
       import scala.jdk.CollectionConverters._
       val parity = served.asScala.toMap == batch
+      val paritySec = (System.nanoTime() - tParity) / 1e9
       val storeLeaves = IndexStore.loadLeafStore(spark, store).count()
       // the in-loop vacuums must have actually reclaimed superseded
       // generations — snapshot BEFORE the end-of-run vacuum joins the
@@ -580,6 +590,8 @@ object StreamScale {
       val maxFiles = if (fileCensus.isEmpty) 0L else fileCensus.max
       println(metricsLine("snapshot_leafstore", leafRows,
         (System.nanoTime() - t0) / 1e9, q2,
+        f""","ingest_sec":$ingestSec%.1f,"resume_sec":$resumeSec%.1f""" +
+        f""","parity_harness_sec":$paritySec%.1f""" +
         s""","restart_batch":$resumedAt,"reseed_rows":$reseedRows""" +
           s""","store_leaf_rows":$storeLeaves,"restart_parity":$parity""" +
           s""","vacuumed_files":$leafVacuumed,"in_loop_vacuumed":$inLoopVacuumed""" +

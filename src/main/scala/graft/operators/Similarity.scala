@@ -926,18 +926,7 @@ object Similarity {
       .select(col("list_id"), col("embedding").cast("array<double>").as("cemb"))
     var assign: DataFrame = null
     for (it <- 1 to iters) {
-      // two-phase argmin (see pqAssign): double-distance prune within
-      // 1e-6 of the per-vector minimum, exact decimal fold on survivors
-      val wKey = Window.partitionBy(col("vec_id"))
-      val scored = e.join(broadcast(cent))
-        .withColumn("dd", doubleSqDist(col("embedding"), col("cemb")))
-        .withColumn("mind", min(col("dd")).over(wKey))
-        .filter(col("dd") <= col("mind") + 1e-6)
-        .select(col("vec_id"), col("list_id"),
-          exactSqDist("embedding", "cemb").as("dist"))
-      val wa = wKey.orderBy(col("dist"), col("list_id"))
-      assign = scored.withColumn("rn", row_number().over(wa))
-        .filter(col("rn") === 1).select(col("vec_id"), col("list_id"))
+      assign = coarseAssign(e, cent)
       if (it < iters)
         cent = e.join(assign, "vec_id")
           .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
@@ -948,6 +937,27 @@ object Similarity {
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cemb"))
     }
     (assign, cent)
+  }
+
+  /** Exact nearest-centroid assignment of a (vec_id, embedding) frame
+    * against a FIXED centroid table — the Lloyd loop's scoring step
+    * ([[ivfTrainFullFrom]]) and the encoder [[appendIvfPq]] reuses for
+    * ARRIVING vectors: two-phase argmin (codegen'd double-distance
+    * prune within 1e-6 of the per-vector minimum, exact decimal fold
+    * on survivors), (dist, list_id) tie-break. One shared body keeps
+    * the assignment arithmetic identical whether a vector arrives at
+    * train time or after publication. */
+  private[operators] def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wKey = Window.partitionBy(col("vec_id"))
+    val scored = e.join(broadcast(cent))
+      .withColumn("dd", doubleSqDist(col("embedding"), col("cemb")))
+      .withColumn("mind", min(col("dd")).over(wKey))
+      .filter(col("dd") <= col("mind") + 1e-6)
+      .select(col("vec_id"), col("list_id"),
+        exactSqDist("embedding", "cemb").as("dist"))
+    val wa = wKey.orderBy(col("dist"), col("list_id"))
+    scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1).select(col("vec_id"), col("list_id"))
   }
 
   /** IVF top-k over a SELF-TRAINED index: [[ivfTrain]] assignments
@@ -1850,7 +1860,12 @@ object Similarity {
     * coarse-subquantizer penalty (nCodes<64 orders the shortlist about
     * one depth-doubling worse), instead of silently under-serving a
     * caller who turns nprobe up: max(4k, 2·nprobe·k·coarsePenalty).
-    * At the registered budget (k=5, nprobe=2, nCodes=16) this is 40. */
+    * At the registered budget (k=5, nprobe=2, nCodes=16) this is 40.
+    *
+    * Visibility is `private[graft]` (not `private[operators]`) ONLY so
+    * the contract spec in package graft can pin the monotone/floor/
+    * penalty shape (SimilaritySpec); nothing outside tests should call
+    * it — serving paths resolve the depth internally (ADVICE r15). */
   private[graft] def defaultRerankDepth(k: Int, nprobe: Int,
                                             nCodes: Int): Int = {
     val coarsePenalty = if (nCodes < 64) 2 else 1
@@ -2102,6 +2117,92 @@ object Similarity {
             rerankBase = Some(orig), rerankQueries = Some(queries),
             rerankDepth = rerankDepth)
         }
+    }
+  }
+
+  /** INCREMENTAL APPEND to a published IVF-PQ bundle (VERDICT r15 next
+    * #6) — the ANN store's daily-ingest move, completing the
+    * train-once/mount-once/serve-many posture with the dedup store's
+    * append step: arriving vectors are encoded with the bundle's OWN
+    * trained artifacts — rotated by the stored matrix iff the bundle
+    * trained rotated, coarse-assigned to the TRAINED centroids by the
+    * exact training argmin ([[coarseAssign]] — the shared body, so an
+    * appended vector lands in the same cell a retrain's final scoring
+    * pass would put it), residual-encoded against the TRAINED
+    * codebooks ([[pqAssign]]) — and the code rows join the store as a
+    * CAS generation (`IndexStore.appendIvfPqCodes`: torn appends stay
+    * invisible, concurrent writers abort). NOTHING retrains, so serve
+    * answers over the grown bundle equal a batch re-encode with the
+    * same frozen artifacts bit-for-bit (spec-pinned), and recall
+    * drifts only as far as the frozen quantizer misfits the new data —
+    * measured vs full retrain at 10× in PLANS.md (round 16).
+    *
+    * `vecs` is (vec_id, embedding); vec_ids must be new to the store
+    * (the caller's contract, same as dedup-keeper appends — re-served
+    * batches dedup upstream). */
+  def appendIvfPq(spark: SparkSession, path: String, vecs: DataFrame,
+                  nSub: Int = 8, dim: Int = 64): Unit = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val (cent, cb, _, rotRel, _) =
+      graft.sources.IndexStore.loadIvfPq(spark, path)
+    val base = rotRel match {
+      case None => vecs.select(col("vec_id"), col("embedding"))
+      case Some(rel) =>
+        val loaded = rel.collect()
+        require(loaded.length == 1 &&
+            loaded.head.getAs[Long]("dim") == dim.toLong,
+          s"ivfpq bundle at $path: rotation relation malformed")
+        val r = loaded.head
+          .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot")
+          .map(_.toArray).toArray
+        rotateEmbeddings(spark,
+          vecs.select(col("vec_id"), col("embedding")), r)
+    }
+    val assign = coarseAssign(base, cent.select(col("list_id"), col("cemb")))
+    val resid = base.join(assign, "vec_id")
+      .join(broadcast(cent.select(col("list_id"), col("cemb"))), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cemb"),
+          (x, y) => x - y).as("embedding"))
+    val newCodes = pqAssign(
+        subvectors(resid.select(col("vec_id"), col("embedding")), nSub, dim), cb)
+      .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+    graft.sources.IndexStore.appendIvfPqCodes(spark, newCodes, path)
+  }
+
+  /** LOAD-ONLY serving over a CALLER-SUPPLIED raw-vector corpus — the
+    * grown-bundle face [[appendIvfPq]] implies: once vectors append
+    * past the original table, the raw corpus for the exact re-rank is
+    * the caller's own relation (table ∪ arrivals), not a parquet dir
+    * this library can name. Self-describing basis, the
+    * [[mountIvfPq]] contract: a rotated bundle rotates base and
+    * queries by its STORED matrix and re-ranks ORIGINALS. */
+  def ivfPqTopKFrom(spark: SparkSession, path: String, base: DataFrame,
+                    queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                    nSub: Int = 8, dim: Int = 64,
+                    rerankDepth: Int = 0): DataFrame = {
+    val (cent, cb, codes, rotRel, nCodes) =
+      graft.sources.IndexStore.loadIvfPq(spark, path)
+    val orig = base.select(col("vec_id"), col("embedding"))
+    rotRel match {
+      case None =>
+        ivfPqServe(orig, queries, cent, cb, codes, k, nprobe, nSub, dim,
+          nCodes, rerankDepth = rerankDepth)
+      case Some(rel) =>
+        val loaded = rel.collect()
+        require(loaded.length == 1 &&
+            loaded.head.getAs[Long]("dim") == dim.toLong,
+          s"ivfpq bundle at $path: rotation relation malformed")
+        val r = loaded.head
+          .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rot")
+          .map(_.toArray).toArray
+        val rq = rotateEmbeddings(spark,
+          queries.select(col("query_id").as("vec_id"), col("embedding")), r)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        ivfPqServe(rotateEmbeddings(spark, orig, r), rq, cent, cb, codes,
+          k, nprobe, nSub, dim, nCodes,
+          rerankBase = Some(orig), rerankQueries = Some(queries),
+          rerankDepth = rerankDepth)
     }
   }
 

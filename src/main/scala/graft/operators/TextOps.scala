@@ -196,13 +196,60 @@ object TextOps {
 
   // ---- n-gram Jaccard near-dup pairs (exact form) --------------------
 
-  /** Exact-Jaccard verification of a candidate pair set: intersection
-    * counts come from joining the candidates against the doc-shingle
-    * relation (runs over |cands| × shingles-per-doc rows only), then the
-    * size join and the threshold filter. Shared by [[ngramJaccard]] and
-    * [[minhashLsh]]. */
-  private def jaccardVerify(cands: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame = {
+  /** Exact-Jaccard verification of a candidate pair set — the per-PAIR
+    * array kernel (VERDICT r15 next #1). Each doc's distinct shingles
+    * fold ONCE to an array (a groupBy over the docs the candidate set
+    * touches), each pair joins its two arrays by doc id, and the
+    * intersection is `size(array_intersect)` per row. The counts are
+    * the same integers the explode form aggregated, so the jaccard
+    * double divides identically and the output is bit-identical —
+    * spec-pinned against [[jaccardVerifyNaive]] on real documents.
+    *
+    * Why this shape: the former explode form materialized
+    * O(pairs × shingles-per-doc) rows — cands joined against the
+    * exploded shingle relation per side, then a per-pair groupBy. At
+    * the 100× dedup store that is ~625M intermediate rows shuffled for
+    * 2.5M candidate pairs (the face-6 parity replay's dominant term).
+    * The kernel form ships each doc's array once per pair through two
+    * doc-id hash joins and intersects in the map stage — the shape the
+    * STREAMING face already used (`streamingCrossDedupFrom`).
+    *
+    * Before any intersection, pairs are pruned by the EXACT size bound
+    * J(a,b) ≤ min(na,nb)/max(na,nb) (the all-pairs length filter —
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search"):
+    * min/max < threshold proves J < threshold with no estimator in the
+    * loop. The calibrated MinHash-estimate gate the r15 verdict
+    * proposed is VACUOUS at the registered 8-hash geometry — a
+    * measured sf0.001 qualifying pair sits at est 0.625 with exact
+    * J 0.909 (downward error 0.284 > the 0.25 that would prune
+    * anything a band join admits) — see PLANS.md round-16 note. The
+    * 1e-9 slack covers the ratio division's rounding; a true ratio
+    * ≥ threshold can never fall below it. Shared by [[ngramJaccard]],
+    * [[minhashLsh]], [[minhashCalibration]] and [[crossDedupServe]]. */
+  private[graft] def jaccardVerify(cands: DataFrame, sets: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val arrs = sets.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("na", size(col("sa")))
+      .withColumn("nb", size(col("sb")))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        (lit(threshold) - lit(1e-9)) * greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The explode-join twin of [[jaccardVerify]] — O(pairs × shingles)
+    * intermediate rows. Retained ONLY as the in-repo oracle for the
+    * kernel spec (TextOpsSpec pins bit-identical output on real docs);
+    * no production path calls it. */
+  private[graft] def jaccardVerifyNaive(cands: DataFrame, sets: DataFrame,
+                                        threshold: Double): DataFrame = {
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -1190,12 +1237,12 @@ object TextOps {
     // prune the shingle relation to docs that actually appear in a
     // candidate pair BEFORE any shuffle (measured at the 100× store:
     // without this, every serve shuffled the WHOLE corpus-sized
-    // exploded-shingle relation three times — jaccardVerify's sizes
-    // groupBy plus both join sides — the dominant O(store) term of the
-    // per-slice ingest wall; the candidate-id list is band-join output,
-    // batch-bounded, so it broadcasts and the semi-join pushes below
-    // the store union/distinct to the scan). Results are identical:
-    // pruning drops whole non-candidate docs, never a kept doc's rows.
+    // exploded-shingle relation through jaccardVerify's per-doc
+    // groupBy — the dominant O(store) term of the per-slice ingest
+    // wall; the candidate-id list is band-join output, batch-bounded,
+    // so it broadcasts and the semi-join pushes below the store
+    // union/distinct to the scan). Results are identical: pruning
+    // drops whole non-candidate docs, never a kept doc's rows.
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val prunedSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
@@ -1611,6 +1658,41 @@ object TextOps {
       .select(explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
       .distinct().count()
 
+  /** Attach a built filter's probe verdict to a frame of hashed grams,
+    * gated on the PLAN-TIME serialized size (VERDICT r15 wrong #1 —
+    * `GraftBloom.serializedBytes(k, mBits)`, geometry only, no data
+    * inspection):
+    *
+    *  - at or below `maxLiteralBytes` the filter frame collects ONCE
+    *    (bounded: the exact payload a broadcast would ship) and probes
+    *    as a binary LITERAL — codegen reads the constant pool instead
+    *    of re-copying a joined binary per probed row, the r15 move
+    *    that made the contamination decade flat;
+    *  - above it, collecting a multi-hundred-MB array to the driver
+    *    and re-serializing it into EVERY stage's task binary is
+    *    strictly worse than a torrent broadcast (ships once, shared
+    *    across stages) and fails late — so the filter STAYS a one-row
+    *    frame riding a broadcast crossJoin, paying the per-row
+    *    getBinary copy to stay alive.
+    *
+    * Identical bits either way (`TextOpsSpec` forces a tiny threshold
+    * through both paths, batch and streaming). `flagCol` is BOOLEAN. */
+  private[graft] def withBloomFlag(probes: DataFrame, filterDf: DataFrame,
+                                   k: Int, mBits: Int,
+                                   lo: Column, hi: Column, flagCol: String,
+                                   maxLiteralBytes: Long =
+                                     graft.plans.GraftBloom.LiteralMaxBytes): DataFrame =
+    if (graft.plans.GraftBloom.serializedBytes(k, mBits) <= maxLiteralBytes) {
+      val bfBytes = filterDf.collect()(0).getAs[Array[Byte]]("bf")
+      probes.withColumn(flagCol,
+        graft.plans.GraftFunctions.bloomContains(lit(bfBytes), lo, hi))
+    } else {
+      probes.crossJoin(broadcast(filterDf.select(col("bf").as("__graft_bf"))))
+        .withColumn(flagCol,
+          graft.plans.GraftFunctions.bloomContains(col("__graft_bf"), lo, hi))
+        .drop("__graft_bf")
+    }
+
   /** The decontamination PREFILTER: the benchmark n-gram set folded to
     * a Bloom filter (graft.plans.GraftBloom — m bits that broadcast),
     * probed per corpus gram with `bloom_contains`. Output per candidate
@@ -1645,7 +1727,9 @@ object TextOps {
   def contaminationBloom(spark: SparkSession, d: String, n: Int = 5,
                          benchMod: Int = 10, benchRes: Int = 7,
                          k: Int = 0, mBits: Int = 0,
-                         targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr): DataFrame = {
+                         targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr,
+                         maxLiteralBytes: Long =
+                           graft.plans.GraftBloom.LiteralMaxBytes): DataFrame = {
     val grams = docs(spark, d).filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(expr(shinglesExpr(n)))).as("gram"))
@@ -1657,20 +1741,22 @@ object TextOps {
       if (k > 0 && mBits > 0) (k, mBits)
       else bloomGeometry(spark, d, n, benchMod, benchRes, targetFpr)(
         bench.select("gram").distinct().count())
-    // the built filter COLLECTS once (bounded: k·mBits/8 bytes — the
-    // exact payload the previous broadcast shipped to every executor)
-    // and probes as a BINARY LITERAL: codegen reads a literal from the
-    // constant pool, where a crossJoin'd binary COLUMN is re-COPIED
-    // from the joined row on every probe (UnsafeRow.getBinary) —
-    // measured at sf0.1 as ~80% of this query's wall (StageProbe r15)
-    val bfBytes = bench.agg(
+    // the built filter probes via the size-gated [[withBloomFlag]]:
+    // below the ceiling it COLLECTS once (bounded: k·mBits/8 bytes —
+    // the exact payload the previous broadcast shipped) and rides the
+    // plan as a BINARY LITERAL read from the codegen constant pool,
+    // where a crossJoin'd binary COLUMN is re-COPIED from the joined
+    // row on every probe (UnsafeRow.getBinary) — measured at sf0.1 as
+    // ~80% of this query's wall (StageProbe r15); above the ceiling it
+    // falls back to that broadcast-column form rather than serializing
+    // a giant literal into every task binary (VERDICT r15 wrong #1)
+    val filterDf = bench.agg(
       graft.plans.GraftFunctions.bloomState(col("lo"), col("hi"), kk, mm)
-        .as("bf")).collect()(0).getAs[Array[Byte]]("bf")
+        .as("bf"))
     val benchGrams = bench.select("gram").distinct()
       .withColumn("is_exact", lit(1L))
-    hashed.filter(col("doc_id") % benchMod =!= benchRes)
-      .withColumn("flagged",
-        graft.plans.GraftFunctions.bloomContains(lit(bfBytes), col("lo"), col("hi")))
+    withBloomFlag(hashed.filter(col("doc_id") % benchMod =!= benchRes),
+        filterDf, kk, mm, col("lo"), col("hi"), "flagged", maxLiteralBytes)
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

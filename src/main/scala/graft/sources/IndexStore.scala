@@ -75,8 +75,12 @@ object IndexStore {
 
   /** Bumped on any layout/semantics change; load fails fast on skew.
     * v2 (round 13): generation-dir meta (`meta/v<n>`) replaces the
-    * in-place overwrite; IVF-PQ bundles may carry a rotation relation. */
-  val FormatVersion = 2
+    * in-place overwrite; IVF-PQ bundles may carry a rotation relation.
+    * v3 (round 16): IVF-PQ code files are MANIFEST-listed in meta
+    * (`files_codes`), so arriving vectors append as new part files +
+    * a CAS meta generation ([[appendIvfPqCodes]]) and a torn append's
+    * orphans stay invisible to [[loadIvfPq]] — the dedup-store move. */
+  val FormatVersion = 3
 
   /** Collision-free scratch path for a persisted-artifact round-trip
     * (ADVICE r11): keyed by an md5 digest of the logical key (not
@@ -310,15 +314,82 @@ object IndexStore {
     import spark.implicits._
     val nRot = rotation.map(_ => spark.read.parquet(s"$path/rotation").count())
       .getOrElse(0L)
+    // codes are the bundle's APPENDABLE relation (arriving vectors
+    // encode against the trained artifacts and join the store,
+    // [[appendIvfPqCodes]]) — manifest-listed like the dedup store's
+    // relations so a torn append's orphan part files stay invisible
+    val fCodes = partFiles(spark, path, "codes")
     writeMeta(spark, path, expected)(gen =>
       Seq((FormatVersion, nlists, nSub, nCodes,
           spark.read.parquet(s"$path/centroids").count(),
           spark.read.parquet(s"$path/codebook").count(),
-          spark.read.parquet(s"$path/codes").count(),
-          nRot))
+          readManifest(spark, path, fCodes).count(),
+          nRot, fCodes))
         .toDF("format_version", "nlists", "n_sub", "n_codes",
-          "n_centroids", "n_codebook", "n_code_rows", "n_rotation")
+          "n_centroids", "n_codebook", "n_code_rows", "n_rotation",
+          "files_codes")
         .coalesce(1).write.mode("overwrite").parquet(gen))
+  }
+
+  /** APPEND encoded code rows (vec_id, sub_id, code, list_id) of an
+    * ARRIVING vector batch to a published IVF-PQ bundle — the ANN
+    * store's daily-ingest move (VERDICT r15 next #6), the exact
+    * [[appendDedupSignatures]] shape: no retrain, no re-encode of the
+    * corpus; new part files land under `codes/`, then meta commits
+    * LAST as a fresh CAS generation whose manifest = prior manifest +
+    * this append's dir diff. A crash before the meta commit leaves
+    * orphans the manifest never names ([[loadIvfPq]] keeps serving the
+    * prior generation; [[vacuumIvfPqStore]] reclaims the bytes); a
+    * concurrent writer trips [[writeMeta]]'s claim/re-check and this
+    * append aborts with its rows NOT in the store. Training-shape meta
+    * (nlists/n_sub/n_codes/centroid/codebook/rotation counts) carries
+    * over unchanged — the ENCODER is frozen; only code rows grow.
+    * Callers encode with the bundle's own trained artifacts
+    * (`Similarity.appendIvfPq`), which is what keeps append+serve
+    * answers identical to a retrain-free batch rebuild. */
+  def appendIvfPqCodes(spark: SparkSession, newCodes: DataFrame,
+                       path: String): Unit = {
+    val m = ivfPqMeta(spark, path)
+    val expected = latestCompleteGen(spark, path)
+    val before = partFiles(spark, path, "codes").toSet
+    newCodes.select(col("vec_id"), col("sub_id"), col("code"), col("list_id"))
+      .write.mode("append").parquet(s"$path/codes")
+    val grown = m.getAs[scala.collection.Seq[String]]("files_codes").toSeq ++
+      partFiles(spark, path, "codes").filterNot(before)
+    import spark.implicits._
+    writeMeta(spark, path, expected)(gen =>
+      Seq((FormatVersion, m.getAs[Int]("nlists"), m.getAs[Int]("n_sub"),
+          m.getAs[Int]("n_codes"), m.getAs[Long]("n_centroids"),
+          m.getAs[Long]("n_codebook"),
+          readManifest(spark, path, grown).count(),
+          m.getAs[Long]("n_rotation"), grown))
+        .toDF("format_version", "nlists", "n_sub", "n_codes",
+          "n_centroids", "n_codebook", "n_code_rows", "n_rotation",
+          "files_codes")
+        .coalesce(1).write.mode("overwrite").parquet(gen))
+  }
+
+  private def ivfPqMeta(spark: SparkSession,
+                        path: String): org.apache.spark.sql.Row = {
+    val meta = readLatestMeta(spark, path)
+      .map(_.collect()).getOrElse(Array.empty)
+    require(meta.length == 1,
+      s"ivfpq index at $path: no complete meta generation (absent or torn store)")
+    val m = meta.head
+    require(m.getAs[Int]("format_version") == FormatVersion,
+      s"ivfpq index at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (retrain and re-save)")
+    m
+  }
+
+  /** Vacuum an IVF-PQ bundle: drop code part files orphaned by a torn
+    * append and stale generation claims of crashed writers (the
+    * [[vacuumDedupStore]] twin; centroids/codebook/rotation are
+    * overwrite-managed and never orphan). */
+  def vacuumIvfPqStore(spark: SparkSession, path: String): Int = {
+    val live = ivfPqMeta(spark, path)
+      .getAs[scala.collection.Seq[String]]("files_codes").toSet
+    deleteOrphans(spark, path, Seq("codes"), live) +
+      vacuumStaleClaims(spark, path)
   }
 
   /** Loads and validates the bundle; the fourth element is the
@@ -331,16 +402,17 @@ object IndexStore {
     * meta value, not a caller guess, is the source of truth. */
   def loadIvfPq(spark: SparkSession, path: String)
       : (DataFrame, DataFrame, DataFrame, Option[DataFrame], Int) = {
-    val meta = readLatestMeta(spark, path)
-      .map(_.collect()).getOrElse(Array.empty)
-    require(meta.length == 1,
-      s"ivfpq index at $path: no complete meta generation (absent or torn store)")
-    val m = meta.head
-    require(m.getAs[Int]("format_version") == FormatVersion,
-      s"ivfpq index at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (retrain and re-save)")
+    val m = ivfPqMeta(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
-    val codes = spark.read.parquet(s"$path/codes")
+    // codes read MANIFEST files only (v3): orphans from a torn append
+    // are invisible; a manifest file missing on disk is corruption
+    val files = m.getAs[scala.collection.Seq[String]]("files_codes").toSeq
+    val (fs, _) = fsOf(spark, path)
+    val missing = files.filterNot(f => fs.isFile(new Path(s"$path/$f")))
+    require(missing.isEmpty,
+      s"ivfpq index at $path: manifest code files missing on disk: ${missing.mkString(", ")}")
+    val codes = readManifest(spark, path, files)
     require(cent.count() == m.getAs[Long]("n_centroids") && m.getAs[Long]("n_centroids") > 0,
       s"ivfpq index at $path: centroid rows disagree with meta")
     require(cb.count() == m.getAs[Long]("n_codebook") && m.getAs[Long]("n_codebook") > 0,
@@ -604,10 +676,13 @@ object IndexStore {
     * allocation skips past it (correct) but a long-lived store run by
     * a crashy ingest loop accumulates junk files and ever-growing
     * claim listings. A claim numbered ≤ the newest COMPLETE generation
-    * can never belong to an in-flight writer (a live append's claim is
-    * always allocated PAST every complete generation), so those are
-    * unconditionally dead; claims beyond the newest complete
-    * generation may be an in-flight append and are left alone.
+    * can only belong to a writer the pre-commit base re-check is
+    * guaranteed to abort: such a writer claimed its number BEFORE that
+    * generation committed, so its re-check (which compares the base it
+    * claimed against the now-newer store head) must fail, and deleting
+    * a missing claim in its abort cleanup is a no-op. Claims beyond
+    * the newest complete generation may be a live append whose commit
+    * can still succeed and are left alone.
     * Returns the number of claim files deleted. */
   private def vacuumStaleClaims(spark: SparkSession, path: String): Int =
     latestCompleteGen(spark, path) match {

@@ -256,12 +256,18 @@ object StreamingJobs {
     val inter = size(array_intersect(col("shd"), col("cshd")))
     val jacc = inter.cast("double") /
       (size(col("shd")) + size(col("cshd")) - inter).cast("double")
+    // exact size prune ahead of the intersection (the jaccardVerify
+    // length filter): J ≤ min/max, so a failing ratio proves the pair
+    // fails the threshold and codegen's short-circuit And skips the
+    // O(na+nb) array_intersect for it — algebraic, never a verdict flip
+    val sizeOk = least(size(col("shd")), size(col("cshd"))).cast("double") >=
+      (lit(threshold) - lit(1e-9)) * greatest(size(col("shd")), size(col("cshd")))
     perDoc
       .select(col("wts"), col("doc_id"), col("exact_id"), col("shd"),
         explode_outer(col("cands")).as("cid"))
       .join(cShd, Seq("cid"), "left")
       .withColumn("near_cid",
-        when(col("cid").isNotNull && jacc >= threshold, col("cid")))
+        when(col("cid").isNotNull && sizeOk && jacc >= threshold, col("cid")))
       // stateful agg #2: fold per-candidate verdicts back to one row
       .groupBy(window(col("wts"), win), col("doc_id"))
       .agg(min(col("exact_id")).as("exact_id"), min(col("near_cid")).as("near_id"))
@@ -396,19 +402,27 @@ object StreamingJobs {
                              n: Int = 5, k: Int = 0, mBits: Int = 0,
                              wmDelay: String = "30 seconds",
                              win: String = "1 minute",
-                             targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr): DataFrame = {
+                             targetFpr: Double = graft.plans.GraftBloom.DefaultTargetFpr,
+                             maxLiteralBytes: Long =
+                               graft.plans.GraftBloom.LiteralMaxBytes): DataFrame = {
     import graft.operators.TextOps
     val (kk, mm) =
       if (k > 0 && mBits > 0) (k, mBits)
       else graft.plans.GraftBloom.geometryFor(
         TextOps.benchmarkGramCount(benchmark, n), targetFpr)
-    // collected once at plan build from the STATIC benchmark side
-    // (bounded: k·mBits/8 bytes) and probed as a literal — a
-    // stream-static join would both re-run the filter build every
-    // micro-batch and re-copy the filter bytes from every joined row
-    // (the measured per-row getBinary copy, StageProbe r15)
-    val bfBytes = TextOps.benchmarkBloom(benchmark, n, kk, mm)
-      .collect()(0).getAs[Array[Byte]]("bf")
+    // size-gated probe (TextOps.withBloomFlag, VERDICT r15 wrong #1):
+    // below the ceiling the filter collects once at plan build from
+    // the STATIC benchmark side (bounded: k·mBits/8 bytes) and probes
+    // as a literal — avoiding both the per-micro-batch filter rebuild
+    // of a stream-static join and the per-joined-row getBinary copy
+    // (StageProbe r15); above it the one-row filter frame is PERSISTED
+    // (built once per mount, not per micro-batch) and rides a
+    // broadcast crossJoin instead of a giant task-binary literal
+    val bloomDf = TextOps.benchmarkBloom(benchmark, n, kk, mm)
+    val filterDf =
+      if (graft.plans.GraftBloom.serializedBytes(kk, mm) <= maxLiteralBytes)
+        bloomDf // literal path collects once at plan build — no cache needed
+      else bloomDf.persist()
     val (lo, hi) = graft.functions.ColumnFunctions
       .hash64Pair(col("gram"), TextOps.BloomTag)
     // NO size(toks) >= n pre-filter here, deliberately: Catalyst's
@@ -418,13 +432,13 @@ object StreamingJobs {
     // stall the watermark. shinglesExpr already yields an EMPTY array
     // below n tokens and explode (not explode_outer) emits no rows —
     // same output, and every arrival advances event time.
-    docs.withWatermark("ts", wmDelay)
+    val probes = docs.withWatermark("ts", wmDelay)
       .withColumn("toks", expr(TextOps.toksExpr))
       .select(col("ts"), col("doc_id"),
         explode(array_distinct(expr(TextOps.shinglesExpr(n)))).as("gram"))
-      .withColumn("flagged",
-        graft.plans.GraftFunctions.bloomContains(lit(bfBytes), lo, hi)
-          .cast("long"))
+    TextOps.withBloomFlag(probes, filterDf, kk, mm, lo, hi, "flagged",
+        maxLiteralBytes)
+      .withColumn("flagged", col("flagged").cast("long"))
       .groupBy(window(col("ts"), win), col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("flagged")).as("n_flagged"))
       .select(col("doc_id"), col("n_grams"), col("n_flagged"),

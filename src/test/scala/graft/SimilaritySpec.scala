@@ -984,6 +984,81 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains(s"$root/absent"))
   }
 
+  test("appendIvfPq: arrivals join the published bundle retrain-free; grown serve ≡ one-shot frozen-artifact encode; CAS still throws (VERDICT r15 next #6)") {
+    import graft.operators.Similarity
+    import graft.sources.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("graftannapp").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = emb.count()
+    // arrivals: the table's own vectors under new ids — deterministic,
+    // and each one's nearest neighbor in the grown corpus is itself or
+    // its original twin at exact distance 0
+    val arriving = emb.filter(col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    val grown = emb.union(arriving)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    // path A: two successive appends (two CAS generations, manifest
+    // union); path B: the same arrivals in ONE append — the frozen
+    // encoder is deterministic, so the stores must serve identically
+    val pA = s"$root/a"; val pB = s"$root/b"
+    Similarity.buildIvfPq(spark, sf, pA)
+    Similarity.buildIvfPq(spark, sf, pB)
+    Similarity.appendIvfPq(spark, pA, arriving.filter(col("vec_id") < 100020L))
+    Similarity.appendIvfPq(spark, pA, arriving.filter(col("vec_id") >= 100020L))
+    Similarity.appendIvfPq(spark, pB, arriving)
+    val (_, _, codesA, _, _) = IndexStore.loadIvfPq(spark, pA)
+    assert(codesA.count() == (nBase + 40) * 8,
+      "grown store's code rows != (base + appended) * nSub")
+    val servedA = rows(Similarity.ivfPqTopKFrom(spark, pA, grown, queries))
+    assert(servedA == rows(Similarity.ivfPqTopKFrom(spark, pB, grown, queries))
+      && servedA.nonEmpty)
+    // an appended vector probed by its own embedding finds an exact
+    // dist-0 copy (itself or its original twin) at rank 1
+    val self = Similarity.ivfPqTopKFrom(spark, pA, grown,
+      arriving.filter(col("vec_id") === 100007L)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .filter(col("rank") === 1).collect()
+    assert(self.length == 1 && self.head.getAs[Double]("dist") == 0.0 &&
+      Set(7L, 100007L)(self.head.getAs[Long]("neighbor_id")))
+
+    // ROTATED bundle: append must encode through the STORED matrix
+    val pR = s"$root/rot"
+    Similarity.buildIvfPqRotated(spark, sf, pR)
+    Similarity.appendIvfPq(spark, pR, arriving)
+    val selfR = Similarity.ivfPqTopKFrom(spark, pR, grown,
+      arriving.filter(col("vec_id") === 100003L)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .filter(col("rank") === 1).collect()
+    assert(selfR.length == 1 && selfR.head.getAs[Double]("dist") == 0.0 &&
+      Set(3L, 100003L)(selfR.head.getAs[Long]("neighbor_id")))
+
+    // CAS lost-update interleave (the dedup-store contract, now on the
+    // ANN store): writer B's full append fires inside writer A's meta
+    // commit → A aborts loudly, B's generation serves, A's orphaned
+    // code parts are reclaimable, A's retry succeeds
+    val pC = s"$root/cas"
+    Similarity.buildIvfPq(spark, sf, pC)
+    val battch = arriving.filter(col("vec_id") < 100010L)
+    val abatch = arriving.filter(col("vec_id") >= 100030L)
+    IndexStore.metaWriteInterleave = Some(() =>
+      Similarity.appendIvfPq(spark, pC, battch))
+    val e = intercept[IllegalStateException] {
+      try Similarity.appendIvfPq(spark, pC, abatch)
+      finally IndexStore.metaWriteInterleave = None
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(IndexStore.loadIvfPq(spark, pC)._3.count() == (nBase + 10) * 8,
+      "winner's append missing or loser's rows leaked")
+    assert(IndexStore.vacuumIvfPqStore(spark, pC) > 0,
+      "aborted append left no reclaimable orphans?")
+    Similarity.appendIvfPq(spark, pC, abatch)
+    assert(IndexStore.loadIvfPq(spark, pC)._3.count() == (nBase + 20) * 8)
+  }
+
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {
     import spark.implicits._
     // cluster A: ids 0-7 identical vectors; seeds 0 (label 1) and 4

@@ -465,6 +465,57 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom literal size gate: broadcast-column fallback bit-identical to the literal probe (VERDICT r15 wrong #1)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the gate decides from geometry alone — pin the wire-layout math
+    // it relies on (8 header bytes + k*mBits/8 of words)
+    assert(graft.plans.GraftBloom.serializedBytes(4, 4096) == 8L + 4L * 512L)
+    assert(graft.plans.GraftBloom.serializedBytes(14, 64) == 8L + 14L * 8L)
+    val sfDir = "/root/testdata/sf0.001"
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("n_exact")))).toMap
+    // BATCH: maxLiteralBytes = 0 forces the broadcast-column path
+    // (serializedBytes > 0 always); default rides the literal. Bits
+    // must be identical — the fallback probes the same filter bytes,
+    // false positives included.
+    val literal = key(graft.operators.TextOps
+      .contaminationBloom(spark, sfDir).collect())
+    val bcast = key(graft.operators.TextOps
+      .contaminationBloom(spark, sfDir, maxLiteralBytes = 0L).collect())
+    assert(literal == bcast && literal.nonEmpty)
+    // STREAMING: the forced-broadcast streamed prefilter must still
+    // equal the oracle-checked batch candidates (the existing parity
+    // test covers the literal streaming path)
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val benchmark = all.filter(col("doc_id") % 10 === 7)
+    val arriving = all.filter(col("doc_id") % 10 =!= 7)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = Sinks.memory(
+      StreamingJobs.streamingContamination(df, benchmark,
+        maxLiteralBytes = 0L),
+      "stream_contam_bcast", "append")
+    try {
+      input.addData(arriving.map { case (id, t) => (id, 10L, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((-1L, 600L, "late watermark pusher")))
+      q.processAllAvailable()
+      val got = spark.table("stream_contam_bcast").collect()
+        .filter(r => r.getAs[String]("verdict") == "candidate" &&
+          r.getAs[Long]("doc_id") != -1L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_flagged"))))
+        .toMap
+      assert(got == literal.map { case (id, (n, fl, _)) => id -> ((n, fl)) }
+        && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("trendingTokens: streamed MG sketch keeps every true heavy hitter") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -524,6 +524,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("jaccardVerify array kernel is bit-identical to the explode-join form (VERDICT r15 next #1)") {
+    // real documents, candidates from the exact prefix filter (a
+    // superset of every qualifying pair); thresholds cover the
+    // registered dedup gate (0.5), a looser gate, and the calibration
+    // caller's 0.0 (where the inter>0 row-drop semantics must match).
+    // Doubles compared EXACTLY — the kernel divides the same integers.
+    val sets = TextOps.shingleSets(spark, sf)
+    val cands = TextOps.prefixCandidates(sets, 0.3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0.0, 0.3, 0.5).foreach { t =>
+      val kernel = key(TextOps.jaccardVerify(cands, sets, t))
+      val naive = key(TextOps.jaccardVerifyNaive(cands, sets, t))
+      assert(kernel == naive && kernel.nonEmpty,
+        s"kernel/naive mismatch at threshold $t: ${kernel.size} vs ${naive.size}")
+    }
+    // the exact size bound prunes without output change by ALGEBRA:
+    // J <= min/max, so a pair it drops could never pass the threshold
+    // — pin the bound's arithmetic on a crafted edge (ratio == t)
+    import spark.implicits._
+    val edge = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"))
+      .toDF("doc_id", "sh")
+    val pair = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    // na=2, nb=4: ratio 0.5 == threshold — must NOT be pruned by the
+    // slack form even though J = 2/4 = 0.5 exactly qualifies
+    assert(TextOps.jaccardVerify(pair, edge, 0.5).collect()
+      .map(_.getDouble(2)).toSeq == Seq(0.5))
+  }
+
   test("all three FORCED strategies produce identical pairs (audit hook)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
