@@ -2170,6 +2170,173 @@ object Similarity {
     graft.sources.IndexStore.appendIvfPqCodes(spark, newCodes, path)
   }
 
+  /** The APPEND posture as a REGISTERED, hash-gated query (round 16 —
+    * appendIvfPq's oracle surface): train the coarse quantizer and
+    * residual PQ on the BASE subset only (`vec_id % baseMod ≠
+    * baseRes`), publish, encode the ARRIVING remainder against the
+    * frozen artifacts via [[appendIvfPq]], and serve the standard
+    * top-k over the grown bundle from the full corpus relation. The
+    * DuckDB twin ([[ivfPqAppendedTopKSql]]) replays the whole posture
+    * — base-only training, frozen-artifact assignment/encode of the
+    * arrivals, union of the code relations, probe → LUT → ADC →
+    * re-rank — so the append path's answers are bit-gated by the
+    * oracle at both SFs, not just spec-pinned. */
+  def ivfPqTopKAppendedPersisted(spark: SparkSession, d: String, k: Int = 5,
+                                 nQueries: Int = 10, nprobe: Int = 2,
+                                 nlists: Int = 8, ivfIters: Int = 2,
+                                 nSub: Int = 8, nCodes: Int = 16,
+                                 iters: Int = 2, dim: Int = 64,
+                                 baseMod: Int = 4, baseRes: Int = 3): DataFrame = {
+    val path = graft.sources.IndexStore.artifactPath(
+      "ivfpqapp", s"$d|$nlists|$nSub|$nCodes|$baseMod|$baseRes")
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % baseMod =!= baseRes)
+    val (cent, cb, codes) = ivfPqIndexFromBase(spark, d,
+      s"appendbase:$baseMod:$baseRes", base,
+      () => ivfTrainFullFrom(base, nlists, ivfIters),
+      nlists, ivfIters, nSub, nCodes, iters, dim)
+    // save OVERWRITES the code relation wholesale (fresh manifest), so
+    // a re-run of this query re-publishes base-only codes and the
+    // append below re-adds the arrivals exactly once — idempotent
+    graft.sources.IndexStore.saveIvfPq(spark, cent, cb, codes, path,
+      nlists, nSub, nCodes)
+    appendIvfPq(spark, path,
+      emb.filter(col("vec_id") % baseMod === baseRes), nSub, dim)
+    ivfPqTopKFrom(spark, path, emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe, nSub, dim)
+  }
+
+  /** DuckDB twin of [[ivfPqTopKAppendedPersisted]]: the training CTEs
+    * ([[ivfChainSqlFrom]] + [[pqSqlChain]]) see ONLY the base subset —
+    * seeds, Lloyd iterations, and codebooks all derive from it, exactly
+    * as the published bundle does — then `apa`/`apcode` assign and
+    * encode the arriving vectors against the FROZEN final centroids
+    * (ivc) and codebooks (c): the same exact-decimal argmins with the
+    * same (dist, list_id)/(dist, code) tie-breaks `coarseAssign` and
+    * `pqAssign` use, so the frozen-encoder contract replays bit for
+    * bit. The serve half is [[ivfPqTopKSqlWhere]]'s chain over the
+    * UNIONED assignment/code relations and the full positions. */
+  def ivfPqAppendedTopKSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                           nlists: Int = 8, ivfIters: Int = 2,
+                           nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                           dim: Int = 64, baseMod: Int = 4,
+                           baseRes: Int = 3): String = {
+    val subDim = dim / nSub
+    val iN = ivfIters
+    val basePred = s"vec_id % $baseMod <> $baseRes"
+    val eBody =
+      s"""SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+         |        FROM embeddings WHERE $basePred)""".stripMargin
+    val residPrelude =
+      s"""${ivfChainSqlFrom(nlists, ivfIters, "iv", eBody)}, e AS (
+         |  SELECT b.vec_id, CAST(b.pos // $subDim AS BIGINT) AS sub_id,
+         |         b.pos % $subDim AS spos, b.v - c.cv AS v
+         |  FROM ive b
+         |  JOIN iva$iN a USING (vec_id)
+         |  JOIN ivc${iN - 1} c ON c.list_id = a.list_id AND c.pos = b.pos
+         |)""".stripMargin
+    s"""${pqSqlChain(nSub, nCodes, iters, dim, Some(residPrelude))}, alle AS (
+       |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+       |        FROM embeddings)
+       |), apd AS (
+       |  SELECT e.vec_id, c.list_id,
+       |    CAST(CAST(sum(CAST(CAST((e.v - c.cv) * (e.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+       |  FROM alle e JOIN ivc${iN - 1} c ON e.pos = c.pos
+       |  WHERE NOT ($basePred)
+       |  GROUP BY 1, 2
+       |), apa AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, list_id) AS rn FROM apd
+       |  ) WHERE rn = 1
+       |), fulla AS (
+       |  SELECT vec_id, list_id FROM iva$iN
+       |  UNION ALL SELECT vec_id, list_id FROM apa
+       |), appe AS (
+       |  SELECT b.vec_id, CAST(b.pos // $subDim AS BIGINT) AS sub_id,
+       |         b.pos % $subDim AS spos, b.v - c.cv AS v
+       |  FROM alle b
+       |  JOIN apa a USING (vec_id)
+       |  JOIN ivc${iN - 1} c ON c.list_id = a.list_id AND c.pos = b.pos
+       |), apld AS (
+       |  SELECT r.vec_id, r.sub_id, c.code,
+       |    CAST(CAST(sum(CAST(CAST((r.v - c.cv) * (r.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+       |  FROM appe r JOIN c${iters - 1} c ON r.sub_id = c.sub_id AND r.spos = c.spos
+       |  GROUP BY 1, 2, 3
+       |), apcode AS (
+       |  SELECT vec_id, sub_id, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |                                 ORDER BY dist, code) AS rn FROM apld
+       |  ) WHERE rn = 1
+       |), fullcodes AS (
+       |  SELECT vec_id, sub_id, code FROM a$iters
+       |  UNION ALL SELECT vec_id, sub_id, code FROM apcode
+       |), qd AS (
+       |  SELECT q.vec_id AS query_id, c.list_id,
+       |    CAST(CAST(sum(CAST(CAST((q.v - c.cv) * (q.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS cdist
+       |  FROM alle q JOIN ivc${iN - 1} c ON q.pos = c.pos
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2
+       |), probe AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cdist, list_id) AS pr FROM qd
+       |  ) WHERE pr <= $nprobe
+       |), rq AS (
+       |  SELECT q.vec_id AS query_id, pb.list_id, q.pos, q.v - c.cv AS v
+       |  FROM alle q
+       |  JOIN probe pb ON pb.query_id = q.vec_id
+       |  JOIN ivc${iN - 1} c ON c.list_id = pb.list_id AND c.pos = q.pos
+       |  WHERE q.vec_id < $nQueries
+       |), rqe AS (
+       |  SELECT query_id, list_id, CAST(pos // $subDim AS BIGINT) AS sub_id,
+       |         pos % $subDim AS spos, v
+       |  FROM rq
+       |), lut AS (
+       |  SELECT r.query_id, r.list_id, r.sub_id, c.code,
+       |    CAST(CAST(sum(CAST(CAST((r.v - c.cv) * (r.v - c.cv) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS ld
+       |  FROM rqe r JOIN c${iters - 1} c ON r.sub_id = c.sub_id AND r.spos = c.spos
+       |  GROUP BY 1, 2, 3, 4
+       |), adc AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    CAST(CAST(sum(CAST(CAST(l.ld AS VARCHAR) AS DECIMAL(38,30)))
+       |      AS VARCHAR) AS DOUBLE) AS adist
+       |  FROM fullcodes a
+       |  JOIN fulla la ON la.vec_id = a.vec_id
+       |  JOIN lut l ON l.list_id = la.list_id AND l.sub_id = a.sub_id
+       |             AND l.code = a.code
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), rr AS (
+       |  SELECT query_id, neighbor_id, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adist, neighbor_id) AS arn
+       |    FROM adc
+       |  ) WHERE arn <= ${defaultRerankDepth(k, nprobe, nCodes)}
+       |), ex AS (
+       |  SELECT r.query_id, r.neighbor_id, r.adist,
+       |    CAST(CAST(sum(CAST(CAST((q.v - n.v) * (q.v - n.v) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+       |  FROM rr r
+       |  JOIN alle q ON q.vec_id = r.query_id
+       |  JOIN alle n ON n.vec_id = r.neighbor_id AND n.pos = q.pos
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT query_id, neighbor_id, adist, dist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY dist, neighbor_id) AS rank
+       |  FROM ex
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** LOAD-ONLY serving over a CALLER-SUPPLIED raw-vector corpus — the
     * grown-bundle face [[appendIvfPq]] implies: once vectors append
     * past the original table, the raw corpus for the exact re-rank is
@@ -2482,12 +2649,20 @@ object Similarity {
          |         (i - 1) % $subDim AS spos, CAST(embedding[i] AS DOUBLE) AS v
          |  FROM p
          |)""".stripMargin)
+    // seeds derive from e's OWN distinct vec_ids — the Spark twin
+    // (pqCodebook) seeds from the frame it trains on, and an ePrelude
+    // that restricts training (the append oracle's base-only chain)
+    // must restrict seeding identically: seeding from the full table
+    // would pick ids with no rows in e, which silently drop at the c0
+    // join and shrink the codebook (measured: 80 of 128 rows). For the
+    // full-table chains this is the identical seed set.
     val header =
       s"""WITH $eDef, seeds AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
          |  FROM (SELECT vec_id,
          |          (md5_number_lower('0:' || vec_id) % ${P}::UBIGINT)::BIGINT AS h
-         |        FROM embeddings ORDER BY h, vec_id LIMIT $nCodes)
+         |        FROM (SELECT DISTINCT vec_id FROM e)
+         |        ORDER BY h, vec_id LIMIT $nCodes)
          |), c0 AS (
          |  SELECT e.sub_id, s.code, e.spos, e.v AS cv
          |  FROM seeds s JOIN e USING (vec_id)
