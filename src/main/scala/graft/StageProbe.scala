@@ -24,6 +24,11 @@ object StageProbe {
     val d = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_PROBE_ONLY=dedup_serve (comma-sep): run a subset —
+    // at a 100× docs dir the full battery would pay for probes whose
+    // scale question was already answered at sf0.1
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(',').toSet)
+    def enabled(p: String): Boolean = only.forall(_.contains(p))
     val spark = GraftSession("graft-stage-probe")
     import graft.operators.TextOps
 
@@ -32,9 +37,67 @@ object StageProbe {
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
       }.min
 
+    // ---- cross_dedup_against_store SERVE decomposition (r16): the
+    //      face-6 batch replay and the streaming serve share this shape —
+    //      name the dominant stage of the per-slice wall: batch sign →
+    //      exact sha tier → band join/candidates → candidate-pruned
+    //      shingle relation → per-doc array fold → per-pair verify →
+    //      full serve ----
+    if (enabled("dedup_serve")) locally {
+      val path = graft.sources.IndexStore.artifactPath("dedupprobe16", s"$d|src5")
+      val (sha, bands, sets) = TextOps.dedupSignatureFrames(
+        spark, d, col("source") =!= "src5")
+      graft.sources.IndexStore.saveDedupSignatures(spark, sha, bands, sets, path)
+      val (cSha, cBands, cSets) =
+        graft.sources.IndexStore.loadDedupSignatures(spark, path)
+      val signSec = best(() => {
+        val (s2, b2, g2) = TextOps.dedupSignatureFrames(
+          spark, d, col("source") === "src5")
+        s2.agg(count(lit(1))).collect(); b2.agg(count(lit(1))).collect()
+        g2.agg(count(lit(1))).collect()
+      })
+      val (_, newBands, newSets) = TextOps.dedupSignatureFrames(
+        spark, d, col("source") === "src5")
+      val newDocs = graft.sources.Tables.documents(spark, d)
+        .filter(col("source") === "src5").select(col("doc_id"), col("text"))
+      val exactSec = best(() => newDocs
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(cSha, "h").groupBy("doc_id").agg(min(col("cid")))
+        .agg(count(lit(1))).collect())
+      val cands = newBands.as("a").join(cBands.as("b"),
+          col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val candSec = best(() => { println("pairs=" +
+        cands.count()) })
+      val allSets = cSets.union(newSets).distinct()
+      val candIds = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val pruned = allSets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val pruneSec = best(() => pruned.agg(count(lit(1))).collect())
+      val arrs = pruned.groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("shs"))
+      val foldSec = best(() => arrs.agg(count(lit(1))).collect())
+      val verifySec = best(() =>
+        TextOps.jaccardVerify(cands, pruned, 0.5)
+          .agg(count(lit(1))).collect())
+      val verifyAsymSec = best(() =>
+        TextOps.jaccardVerifyAsym(cands, allSets, 0.5)
+          .agg(count(lit(1))).collect())
+      val fullSec = best(() =>
+        TextOps.crossDedupAgainstStore(spark, d, path, "src5").collect())
+      println(s"""{"probe":"dedup_serve","sf":"$d",""" +
+        f""""batch_sign_sec":$signSec%.2f,"exact_tier_sec":$exactSec%.2f,""" +
+        f""""band_cands_sec":$candSec%.2f,"prune_sets_sec":$pruneSec%.2f,""" +
+        f""""array_fold_sec":$foldSec%.2f,"pair_verify_sec":$verifySec%.2f,""" +
+        f""""pair_verify_asym_sec":$verifyAsymSec%.2f,""" +
+        f""""full_serve_sec":$fullSec%.2f}""")
+    }
+
     // ---- contamination_bloom: scan → tokenize+shingle → hash →
     //      bench sizing → bloom build+probe → per-doc agg ----
-    locally {
+    if (enabled("contamination_bloom")) locally {
       val docs = graft.sources.Tables.documents(spark, d)
       val scanSec = best(() => docs.select(col("doc_id"), col("text"))
         .agg(count(lit(1)), sum(length(col("text")))).collect())
@@ -88,7 +151,7 @@ object StageProbe {
     // ---- contamination_bloom_sql: the spark.sql text twin — same
     //      logical plan modulo parsing; the delta vs the DSL form is
     //      the SQL-surface overhead ----
-    locally {
+    if (enabled("contamination_bloom_sql")) locally {
       val sqlSec = best(() =>
         graft.operators.SqlSurface.contaminationBloomSqlText(spark, d).collect())
       println(s"""{"probe":"contamination_bloom_sql","sf":"$d",""" +
@@ -97,7 +160,7 @@ object StageProbe {
 
     // ---- cross_dedup_persisted: corpus sign (sha+minhash+shingles) →
     //      store save → load+serve (batch sign + band join + verify) ----
-    locally {
+    if (enabled("cross_dedup_persisted")) locally {
       val path = graft.sources.IndexStore.artifactPath(
         "dedupprobe", s"$d|src5")
       val signSec = best(() => {
@@ -127,7 +190,7 @@ object StageProbe {
     //      are session-memoized like the bench's own warm runs) —
     //      decompose dense-vector build → cell pair join + dot →
     //      top-k window ----
-    locally {
+    if (enabled("doc_similar_topk")) locally {
       import org.apache.spark.sql.expressions.Window
       val dim = 64
       val tv = TextOps.docTermVectors(spark, d, dim)
@@ -165,7 +228,7 @@ object StageProbe {
     // ---- embedding_covariance (r16: new bench top-3): scan+cast →
     //      the one-buffer CovGram exact-decimal fold → the exploded
     //      d(d+1)/2 projection ----
-    locally {
+    if (enabled("embedding_covariance")) locally {
       val emb = graft.sources.Tables.embeddings(spark, d)
       val scanSec = best(() => emb
         .select(col("embedding").cast("array<double>").as("e"))

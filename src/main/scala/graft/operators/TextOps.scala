@@ -244,6 +244,45 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC form of [[jaccardVerify]] for batch×corpus candidate
+    * sets (doc_a from a bounded arriving batch, doc_b from the corpus
+    * side) — the crossDedup serve kernel. The symmetric kernel ships
+    * BOTH shingle arrays through a shuffle once per pair; at the 100×
+    * dedup store that is 47.4M pairs × ~KB arrays ≈ a 100 GB exchange
+    * that StageProbe r16 measured as ~90% of the serve wall (the
+    * intersects themselves are ~2 s of 32-way CPU). This form ships
+    * each CORPUS array once per doc (pairs pre-grouped per doc_b, one
+    * doc_b join), and the BATCH side rides a broadcast — bounded by
+    * the arriving batch, the exact contract the band-join candidate-id
+    * semi-join already assumes — so per-pair shuffle is two longs.
+    * Output is bit-identical to [[jaccardVerify]] (same arrays, same
+    * integer intersection, same division; spec-pinned). */
+  private[graft] def jaccardVerifyAsym(cands: DataFrame, sets: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val aIds = cands.select(col("doc_a").as("doc_id")).distinct()
+    val bIds = cands.select(col("doc_b").as("doc_id")).distinct()
+    val arrsA = sets.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("sh")).as("sa"))
+      .select(col("doc_id").as("doc_a"), col("sa"))
+    val arrsB = sets.join(broadcast(bIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("sh")).as("sb"))
+      .select(col("doc_id").as("doc_b"), col("sb"))
+    cands.groupBy(col("doc_b")).agg(collect_list(col("doc_a")).as("das"))
+      .join(arrsB, "doc_b")
+      .select(col("doc_b"), col("sb"), explode(col("das")).as("doc_a"))
+      .join(broadcast(arrsA), "doc_a")
+      .withColumn("na", size(col("sa")))
+      .withColumn("nb", size(col("sb")))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        (lit(threshold) - lit(1e-9)) * greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The explode-join twin of [[jaccardVerify]] — O(pairs × shingles)
     * intermediate rows. Retained ONLY as the in-repo oracle for the
     * kernel spec (TextOpsSpec pins bit-identical output on real docs);
@@ -1234,19 +1273,15 @@ object TextOps {
         col("a.y") === col("b.y"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // prune the shingle relation to docs that actually appear in a
-    // candidate pair BEFORE any shuffle (measured at the 100× store:
-    // without this, every serve shuffled the WHOLE corpus-sized
-    // exploded-shingle relation through jaccardVerify's per-doc
-    // groupBy — the dominant O(store) term of the per-slice ingest
-    // wall; the candidate-id list is band-join output, batch-bounded,
-    // so it broadcasts and the semi-join pushes below the store
-    // union/distinct to the scan). Results are identical: pruning
-    // drops whole non-candidate docs, never a kept doc's rows.
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val prunedSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val near = jaccardVerify(cands, prunedSets, threshold)
+    // the ASYMMETRIC verify kernel (r16): per-side candidate-id
+    // semi-joins prune the shingle relation to candidate docs before
+    // any shuffle (the r15 move, now split per side), each corpus
+    // array ships ONCE per candidate doc, and the batch side's arrays
+    // broadcast — per-pair shuffle is two longs where the symmetric
+    // kernel shipped ~KB arrays per pair (47.4M pairs at the 100×
+    // store — StageProbe r16 measured that exchange as ~90% of the
+    // serve wall). Identical verdicts: same arrays, same integers.
+    val near = jaccardVerifyAsym(cands, sets, threshold)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_id"))
     newDocs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")

@@ -539,6 +539,12 @@ class TextOpsSpec extends AnyFunSuite {
       val naive = key(TextOps.jaccardVerifyNaive(cands, sets, t))
       assert(kernel == naive && kernel.nonEmpty,
         s"kernel/naive mismatch at threshold $t: ${kernel.size} vs ${naive.size}")
+      // the asymmetric (batch-broadcast) form must produce the same
+      // rows bit for bit — same arrays, same integers, different
+      // physical shape (the crossDedup serve kernel)
+      val asym = key(TextOps.jaccardVerifyAsym(cands, sets, t))
+      assert(asym == naive,
+        s"asym/naive mismatch at threshold $t: ${asym.size} vs ${naive.size}")
     }
     // the exact size bound prunes without output change by ALGEBRA:
     // J <= min/max, so a pair it drops could never pass the threshold
