@@ -188,6 +188,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cross_dedup new-batch filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("cross_dedup verify: batch-side shingle arrays arrive by broadcast, never per-pair shuffle (r16 asym kernel)") {
+    // the asym kernel's contract: the pair stream joins the BATCH
+    // side's per-doc arrays (sa) via a broadcast hash join — a
+    // sort-merge or shuffled-hash join keyed on doc_a shipping sa
+    // would mean the 47M-pair × KB-array exchange is back
+    val df = SparkEntry.queries("cross_dedup")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val badJoin = plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("doc_a") && plan.contains("sa#"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cross_dedup verify lost its broadcast join:\n$plan")
+    assert(!badJoin,
+      s"cross_dedup verify ships batch arrays through a shuffle join:\n$plan")
+  }
+
   test("knn_graph probes cells from the trained-centroid broadcast, " +
     "members join by shuffle") {
     // the coarse quantizer must be the TRAINED nlists-sized centroid
