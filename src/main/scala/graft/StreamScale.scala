@@ -424,12 +424,22 @@ object StreamScale {
         val stream = spark.readStream
           .schema(spark.read.parquet(sDir).schema).parquet(sDir)
         val got = scala.collection.mutable.Map[Long, (String, Long)]()
-        val q = StreamingJobs.streamingCrossDedupAgainstStore(spark, stream, path)
-          .writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.collect().foreach(r =>
-              got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
-          }.start()
+        // SPARK_GRAFT_DEDUP_FACE=loop serves each micro-batch through
+        // the foreachBatch ingest loop (the batch ASYM kernel) instead
+        // of the continuous stream-static face — same verdicts, the
+        // r16 serve shape whose per-pair wire cost is two longs
+        val q =
+          if (sys.env.get("SPARK_GRAFT_DEDUP_FACE").contains("loop"))
+            StreamingJobs.crossDedupIngestLoop(spark, stream, path) {
+              (b, _) => b.collect().foreach(r =>
+                got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+            }
+          else StreamingJobs.streamingCrossDedupAgainstStore(spark, stream, path)
+            .writeStream.outputMode("append")
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.collect().foreach(r =>
+                got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+            }.start()
         try q.processAllAvailable() finally q.stop()
         val tStream = System.nanoTime()
         streamSec += (tStream - t0) / 1e9

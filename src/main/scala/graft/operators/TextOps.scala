@@ -1322,14 +1322,20 @@ object TextOps {
     * joining the corpus via `IndexStore.appendDedupSignatures`):
     * (content sha → doc, LSH band keys, shingle sets). */
   def dedupSignatureFrames(spark: SparkSession, d: String, pred: Column)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
     // filter FIRST, sign the filtered frame: per-doc sha/MinHash/
     // shingles are independent of every other document, so this yields
     // rows identical to the former sign-corpus-then-join shape — but a
     // slice append signs O(slice), not O(corpus) (the former shape
     // paid a full-corpus MinHash pass per call, measured as a
     // superlinear term of the 100× ingest-loop decade)
-    val base = Tables.documents(spark, d).filter(pred)
+    dedupSignatureFramesOf(Tables.documents(spark, d).filter(pred))
+
+  /** [[dedupSignatureFrames]] over an ARBITRARY (doc_id, text) frame —
+    * the unit a foreachBatch ingest loop signs per arriving batch
+    * ([[graft.streaming.StreamingJobs]].crossDedupIngestLoop). */
+  private[graft] def dedupSignatureFramesOf(base: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val withToks = base.withColumn("toks", expr(toksExpr))
     val sha = base
       .select(sha2(col("text"), 256).as("h"), col("doc_id").as("cid"))
@@ -1339,25 +1345,38 @@ object TextOps {
     (sha, bands, shingleSetsOf(withToks))
   }
 
+  /** Serve one arriving (doc_id, text) batch against pre-loaded corpus
+    * signature relations — the foreachBatch ingest loop's per-batch
+    * body: sign the batch, run [[crossDedupServe]] (the asym verify
+    * kernel) against the mounted relations. Verdicts are identical to
+    * [[crossDedupAgainstStore]] over the same rows: each doc's verdict
+    * depends only on itself vs the store, so batch boundaries cannot
+    * change answers. */
+  private[graft] def crossDedupServeAgainst(
+      corpus: (DataFrame, DataFrame, DataFrame),
+      newDocs: DataFrame, threshold: Double): DataFrame = {
+    val (cSha, cBands, cSets) = corpus
+    val (_, newBands, newSets) =
+      dedupSignatureFramesOf(newDocs.select(col("doc_id"), col("text")))
+    crossDedupServe(newDocs.select(col("doc_id"), col("text")),
+      cSha, cBands, newBands, cSets.union(newSets).distinct(), threshold)
+  }
+
   /** Dedup an arriving batch against an EXISTING signature store — the
     * steady-state ingest entry: only the batch is signed; the corpus
     * side arrives from `IndexStore.loadDedupSignatures`. */
   def crossDedupAgainstStore(spark: SparkSession, d: String, path: String,
                              newSource: String,
-                             threshold: Double = 0.5): DataFrame = {
-    val (sha, cBands, cSets) =
-      graft.sources.IndexStore.loadDedupSignatures(spark, path)
-    val (_, newBands, newSets) =
-      dedupSignatureFrames(spark, d, col("source") === newSource)
-    crossDedupServe(
+                             threshold: Double = 0.5): DataFrame =
+    // (the union inside crossDedupServeAgainst is DISTINCT: a doc
+    // present on BOTH sides — an already-appended batch re-served
+    // against the store, the ingest-retry shape — would otherwise
+    // double its shingle rows and zero the Jaccard denominator
+    // (na + nb − inter) on its self-pair)
+    crossDedupServeAgainst(
+      graft.sources.IndexStore.loadDedupSignatures(spark, path),
       Tables.documents(spark, d).filter(col("source") === newSource)
-        .select(col("doc_id"), col("text")),
-      // distinct: a doc present on BOTH sides (an already-appended
-      // batch re-served against the store — the ingest-retry shape)
-      // would otherwise double its shingle rows and zero the Jaccard
-      // denominator (na + nb − inter) on its self-pair
-      sha, cBands, newBands, cSets.union(newSets).distinct(), threshold)
-  }
+        .select(col("doc_id"), col("text")), threshold)
 
   def crossDedupSql(newSource: String = "src5", threshold: Double = 0.5): String = {
     val lo = s"(md5_number_lower('mh:' || sh) % ${HashPrime}::UBIGINT)::BIGINT"

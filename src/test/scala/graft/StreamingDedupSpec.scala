@@ -266,6 +266,42 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crossDedupIngestLoop (foreachBatch asym serve): verdicts equal the batch serve across micro-batch splits (r16)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    import graft.sources.IndexStore
+    val sfDir = "/root/testdata/sf0.001"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_loop_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val (sha0, bands0, sets0) = TextOps.dedupSignatureFrames(
+      spark, sfDir, col("source") =!= "src5")
+    IndexStore.saveDedupSignatures(spark, sha0, bands0, sets0, path)
+    val truth = TextOps.crossDedupAgainstStore(spark, sfDir, path, "src5")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val arriving = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("source") === "src5").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (String, Long)]()
+    val bids = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingJobs.crossDedupIngestLoop(
+      spark, input.toDF().toDF("doc_id", "text"), path) { (b, bid) =>
+        bids += bid
+        b.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+      }
+    try {
+      // TWO waves: per-doc verdicts depend only on doc-vs-store, so
+      // the micro-batch split must not change any answer
+      val (w1, w2) = arriving.splitAt(arriving.length / 2)
+      input.addData(w1.toSeq); q.processAllAvailable()
+      input.addData(w2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(bids.size >= 2, s"expected two micro-batches, saw $bids")
+    assert(got.toMap == truth && truth.nonEmpty)
+  }
+
   test("store-backed streaming cross-dedup: slice→verdict→append cycle across 3 batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
