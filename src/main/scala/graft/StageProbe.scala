@@ -244,6 +244,55 @@ object StageProbe {
         f""""full_sec":$fullSec%.2f}""")
     }
 
+    // ---- persisted-ANN round-trip decomposition (VERDICT r16 wrong
+    //      #1/#2): ivf_pq_persisted / ivf_pq_rotated_persisted were the
+    //      only >1.3× bench deltas after the v3 manifest load landed —
+    //      name the stage: train (session-memoized), publish (save +
+    //      meta counts), LOAD (meta read + manifest existence check +
+    //      three validated relation reads), serve-over-loaded. ----
+    if (enabled("ann_persisted")) locally {
+      import graft.operators.Similarity
+      import graft.sources.IndexStore
+      Seq(false, true).foreach { rotated =>
+        val tag = if (rotated) "ivfpqprobe_rot" else "ivfpqprobe"
+        val path = IndexStore.artifactPath(tag, s"$d|8|8|16")
+        val t0 = System.nanoTime()
+        if (rotated) Similarity.buildIvfPqRotated(spark, d, path)
+        else Similarity.buildIvfPq(spark, d, path)
+        val buildColdSec = (System.nanoTime() - t0) / 1e9
+        val buildWarmSec = best(() =>
+          if (rotated) Similarity.buildIvfPqRotated(spark, d, path)
+          else Similarity.buildIvfPq(spark, d, path))
+        val loadSec = best(() => {
+          val (cent, cb, codes, _, _) = IndexStore.loadIvfPq(spark, path)
+          // loadIvfPq already ran its validation counts; touch nothing more
+          (cent, cb, codes)
+        })
+        val atSec = best(() => {
+          val r = if (rotated) Similarity.ivfPqRotatedTopKAt(spark, d, path)
+                  else Similarity.ivfPqTopKAt(spark, d, path)
+          r.collect()
+        })
+        val fullSec = best(() => {
+          val r = if (rotated) Similarity.ivfPqRotatedTopKPersisted(spark, d)
+                  else Similarity.ivfPqTopKPersisted(spark, d)
+          r.collect()
+        })
+        val nManifest = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/codes")
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val it = fs.listFiles(p, true)
+          var n = 0
+          while (it.hasNext) { if (it.next().isFile) n += 1 }
+          n
+        }
+        println(s"""{"probe":"ann_persisted","rotated":$rotated,"sf":"$d",""" +
+          f""""build_cold_sec":$buildColdSec%.2f,"build_warm_sec":$buildWarmSec%.2f,""" +
+          f""""load_validate_sec":$loadSec%.2f,"load_plus_serve_sec":$atSec%.2f,""" +
+          f""""full_query_sec":$fullSec%.2f,"codes_files":$nManifest}""")
+      }
+    }
+
     spark.stop()
   }
 }

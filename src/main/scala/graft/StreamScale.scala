@@ -424,23 +424,39 @@ object StreamScale {
         val stream = spark.readStream
           .schema(spark.read.parquet(sDir).schema).parquet(sDir)
         val got = scala.collection.mutable.Map[Long, (String, Long)]()
-        // SPARK_GRAFT_DEDUP_FACE=loop serves each micro-batch through
-        // the foreachBatch ingest loop (the batch ASYM kernel) instead
-        // of the continuous stream-static face — same verdicts, the
-        // r16 serve shape whose per-pair wire cost is two longs
-        val q =
-          if (sys.env.get("SPARK_GRAFT_DEDUP_FACE").contains("loop"))
-            StreamingJobs.crossDedupIngestLoop(spark, stream, path) {
+        // The MEASURED stream path is the foreachBatch ingest loop —
+        // the production face (VERDICT r16 next #1): each micro-batch
+        // serves through the batch ASYM kernel (corpus arrays once per
+        // doc, batch arrays broadcast, two longs per pair on the
+        // wire). SPARK_GRAFT_DEDUP_FACE=continuous measures the
+        // legacy stream-static face instead (which must ship a corpus
+        // array per candidate pair — Structured Streaming can't
+        // broadcast the stream side); its parity vs batch stays
+        // covered at base SFs by StreamingDedupSpec either way.
+        val continuous =
+          sys.env.get("SPARK_GRAFT_DEDUP_FACE").contains("continuous")
+        val stopQ: () => Unit =
+          if (!continuous) {
+            val h = StreamingJobs.crossDedupIngestLoop(spark, stream, path) {
               (b, _) => b.collect().foreach(r =>
                 got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
             }
-          else StreamingJobs.streamingCrossDedupAgainstStore(spark, stream, path)
-            .writeStream.outputMode("append")
-            .foreachBatch { (b: DataFrame, _: Long) =>
-              b.collect().foreach(r =>
-                got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
-            }.start()
-        try q.processAllAvailable() finally q.stop()
+            try h.query.processAllAvailable() catch { case e: Throwable =>
+              h.stop(); throw e }
+            () => h.stop()
+          } else {
+            val q = StreamingJobs
+              .streamingCrossDedupAgainstStore(spark, stream, path)
+              .writeStream.outputMode("append")
+              .foreachBatch { (b: DataFrame, _: Long) =>
+                b.collect().foreach(r =>
+                  got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+              }.start()
+            try q.processAllAvailable() catch { case e: Throwable =>
+              q.stop(); throw e }
+            () => q.stop()
+          }
+        stopQ()
         val tStream = System.nanoTime()
         streamSec += (tStream - t0) / 1e9
         val truth = TextOps.crossDedupAgainstStore(spark, sfDir, path, src)

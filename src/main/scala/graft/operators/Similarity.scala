@@ -2143,8 +2143,18 @@ object Similarity {
   def appendIvfPq(spark: SparkSession, path: String, vecs: DataFrame,
                   nSub: Int = 8, dim: Int = 64): Unit = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    // fail-fast shape validation (ADVICE r16): the caller's nSub/dim
+    // must match the TRAINED bundle — a mismatched nSub would split
+    // residuals at the wrong subDim against the stored codebook and
+    // silently append corrupt code rows
+    val trainedNSub = graft.sources.IndexStore.ivfPqTrainedNSub(spark, path)
+    require(nSub == trainedNSub,
+      s"ivfpq bundle at $path: trained with n_sub=$trainedNSub, append called with nSub=$nSub")
     val (cent, cb, _, rotRel, _) =
       graft.sources.IndexStore.loadIvfPq(spark, path)
+    val trainedDim = cent.select(size(col("cemb"))).head.getInt(0)
+    require(dim == trainedDim,
+      s"ivfpq bundle at $path: trained at dim=$trainedDim, append called with dim=$dim")
     val base = rotRel match {
       case None => vecs.select(col("vec_id"), col("embedding"))
       case Some(rel) =>
@@ -2222,7 +2232,24 @@ object Similarity {
                            nlists: Int = 8, ivfIters: Int = 2,
                            nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
                            dim: Int = 64, baseMod: Int = 4,
-                           baseRes: Int = 3): String = {
+                           baseRes: Int = 3): String =
+    s"""${ivfPqAppendedChainSql(k, nQueries, nprobe, nlists, ivfIters, nSub,
+           nCodes, iters, dim, baseMod, baseRes)}
+       |SELECT query_id, neighbor_id, adist, dist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY dist, neighbor_id) AS rank
+       |  FROM ex
+       |) WHERE rank <= $k""".stripMargin
+
+  /** The WITH-clause of the appended-posture replay, through `ex` (the
+    * exact distances of the re-rank shortlist) — shared by the topk
+    * twin above and the drift monitor's twin
+    * ([[ivfPqAppendDriftSql]]). */
+  private def ivfPqAppendedChainSql(k: Int, nQueries: Int, nprobe: Int,
+                                    nlists: Int, ivfIters: Int,
+                                    nSub: Int, nCodes: Int, iters: Int,
+                                    dim: Int, baseMod: Int,
+                                    baseRes: Int): String = {
     val subDim = dim / nSub
     val iN = ivfIters
     val basePred = s"vec_id % $baseMod <> $baseRes"
@@ -2329,12 +2356,7 @@ object Similarity {
        |  JOIN alle q ON q.vec_id = r.query_id
        |  JOIN alle n ON n.vec_id = r.neighbor_id AND n.pos = q.pos
        |  GROUP BY 1, 2, 3
-       |)
-       |SELECT query_id, neighbor_id, adist, dist, rank FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |                               ORDER BY dist, neighbor_id) AS rank
-       |  FROM ex
-       |) WHERE rank <= $k""".stripMargin
+       |)""".stripMargin
   }
 
   /** LOAD-ONLY serving over a CALLER-SUPPLIED raw-vector corpus — the
@@ -2372,6 +2394,121 @@ object Similarity {
           rerankDepth = rerankDepth)
     }
   }
+
+  /** APPEND-DRIFT MONITOR over a grown IVF-PQ bundle (VERDICT r16 next
+    * #5): serve a deterministic probe set through the bundle
+    * ([[ivfPqTopKFrom]] — frozen artifacts, appended codes included)
+    * and report, per probe, how many served top-k neighbors survive in
+    * the EXACT brute-force top-k over the same corpus — recall@k of
+    * the frozen-encoder index. The 100× drift table's production rule
+    * ("monitor rotated recall, retrain on budget breach") is now a
+    * QUERY a deployment schedules, not a judgment call: run this after
+    * appends, alert when recall crosses the budget. Deterministic by
+    * construction — exact-decimal distances and (dist, neighbor_id)
+    * tie-breaks on BOTH sides — so the monitor itself is hash-gated by
+    * its DuckDB twin. Output: (query_id, hits, recall). */
+  def ivfPqAppendDriftAt(spark: SparkSession, path: String, base: DataFrame,
+                         k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                         nSub: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = base.select(col("vec_id"), col("embedding"))
+    val probes = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = ivfPqTopKFrom(spark, path, corpus, probes, k, nprobe,
+        nSub, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact side: brute-force top-k in the SERVE metric (squared L2),
+    // queries broadcast (bounded probe set), same tie-break
+    val exact = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ce"))
+      .crossJoin(broadcast(probes.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qe"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        exactSqDist("qe", "ce").as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    val exTop = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("query_id"), col("neighbor_id"))
+    val hits = served.join(exTop, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    probes.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
+  /** The drift monitor as a REGISTERED, hash-gated query: rebuild the
+    * deterministic appended posture ([[ivfPqTopKAppendedPersisted]]'s
+    * — base-only training via the SHARED session memo, publish, append
+    * the arrivals with frozen artifacts) at its own store path, then
+    * run [[ivfPqAppendDriftAt]] over the grown bundle. The posture IS
+    * the product: what ships is the monitor face; the rebuild exists so
+    * the DuckDB twin can replay the exact store this report serves. */
+  def ivfPqAppendDrift(spark: SparkSession, d: String, k: Int = 5,
+                       nQueries: Int = 10, nprobe: Int = 2,
+                       nlists: Int = 8, ivfIters: Int = 2, nSub: Int = 8,
+                       nCodes: Int = 16, iters: Int = 2, dim: Int = 64,
+                       baseMod: Int = 4, baseRes: Int = 3): DataFrame = {
+    val path = graft.sources.IndexStore.artifactPath(
+      "ivfpqdrift", s"$d|$nlists|$nSub|$nCodes|$baseMod|$baseRes")
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % baseMod =!= baseRes)
+    val (cent, cb, codes) = ivfPqIndexFromBase(spark, d,
+      s"appendbase:$baseMod:$baseRes", base,
+      () => ivfTrainFullFrom(base, nlists, ivfIters),
+      nlists, ivfIters, nSub, nCodes, iters, dim)
+    graft.sources.IndexStore.saveIvfPq(spark, cent, cb, codes, path,
+      nlists, nSub, nCodes)
+    appendIvfPq(spark, path, emb.filter(col("vec_id") % baseMod === baseRes),
+      nSub, dim)
+    ivfPqAppendDriftAt(spark, path, emb, k, nQueries, nprobe, nSub, dim)
+  }
+
+  /** DuckDB twin of [[ivfPqAppendDrift]]: the appended-posture chain
+    * ([[ivfPqAppendedChainSql]] — base-only training, frozen-artifact
+    * encode of arrivals, union serve) reduced to the served id set,
+    * joined against the brute-force exact top-k (same exact-decimal
+    * distance, same (dist, neighbor_id) tie-break) — per-probe hit
+    * counts and recall@k. */
+  def ivfPqAppendDriftSql(k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+                          nlists: Int = 8, ivfIters: Int = 2, nSub: Int = 8,
+                          nCodes: Int = 16, iters: Int = 2, dim: Int = 64,
+                          baseMod: Int = 4, baseRes: Int = 3): String =
+    s"""${ivfPqAppendedChainSql(k, nQueries, nprobe, nlists, ivfIters, nSub,
+           nCodes, iters, dim, baseMod, baseRes)}, served AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY dist, neighbor_id) AS rank
+       |    FROM ex
+       |  ) WHERE rank <= $k
+       |), exd AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(CAST(sum(CAST(CAST((q.v - n.v) * (q.v - n.v) AS VARCHAR)
+       |      AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS dist
+       |  FROM alle q
+       |  JOIN alle n ON n.pos = q.pos AND n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2
+       |), extop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY dist, neighbor_id) AS rk
+       |    FROM exd
+       |  ) WHERE rk <= $k
+       |), agree AS (
+       |  SELECT s.query_id, count(*) AS h
+       |  FROM served s JOIN extop e
+       |    ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id, COALESCE(a.h, 0) AS hits,
+       |       CAST(COALESCE(a.h, 0) AS DOUBLE) / $k AS recall
+       |FROM (SELECT vec_id AS query_id FROM embeddings
+       |      WHERE vec_id < $nQueries) q
+       |LEFT JOIN agree a USING (query_id)""".stripMargin
 
   /** ROTATED IVFADC serving (VERDICT r12 #1 — pq_whiten_compare's
     * measured rotation finally SERVES): coarse quantizer and residual

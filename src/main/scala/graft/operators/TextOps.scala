@@ -244,6 +244,21 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ceiling on the estimated bytes of [[jaccardVerifyAsym]]'s
+    * batch-side broadcast (VERDICT r16 wrong #3 — the bloom-literal
+    * gate pattern applied to the serve kernel): the asym form
+    * broadcasts the arriving batch's full per-doc shingle ARRAYS, not
+    * just candidate ids, so an unusually large "batch" would build a
+    * multi-GB broadcast that fails late in the driver where the
+    * symmetric kernel merely shuffles. Above the ceiling the serve
+    * falls back to [[jaccardVerify]] — bit-identical output (same
+    * arrays, same integers, same division; spec-forced through both
+    * paths), just a pairwise array shuffle instead of a broadcast.
+    * 256 MB: comfortably under executor/driver broadcast budgets at
+    * default cluster sizing while letting any sanely-sliced ingest
+    * batch (≤ ~100k docs × ~KB arrays) take the fast path. */
+  private[graft] val AsymBatchMaxBytes: Long = 256L << 20
+
   /** ASYMMETRIC form of [[jaccardVerify]] for batch×corpus candidate
     * sets (doc_a from a bounded arriving batch, doc_b from the corpus
     * side) — the crossDedup serve kernel. The symmetric kernel ships
@@ -256,12 +271,28 @@ object TextOps {
     * the arriving batch, the exact contract the band-join candidate-id
     * semi-join already assumes — so per-pair shuffle is two longs.
     * Output is bit-identical to [[jaccardVerify]] (same arrays, same
-    * integer intersection, same division; spec-pinned). */
+    * integer intersection, same division; spec-pinned).
+    *
+    * The batch side's broadcast bytes are ESTIMATED first (shingle
+    * chars + per-row/per-doc unsafe-row overhead over the
+    * candidate-pruned batch relation — one cheap agg job); above
+    * `maxBatchBytes` the symmetric kernel serves instead
+    * ([[AsymBatchMaxBytes]]). */
   private[graft] def jaccardVerifyAsym(cands: DataFrame, sets: DataFrame,
-                                       threshold: Double): DataFrame = {
+                                       threshold: Double,
+                                       maxBatchBytes: Long = AsymBatchMaxBytes)
+      : DataFrame = {
     val aIds = cands.select(col("doc_a").as("doc_id")).distinct()
     val bIds = cands.select(col("doc_b").as("doc_id")).distinct()
-    val arrsA = sets.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+    val aSets = sets.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+    val est = aSets
+      .agg(coalesce(sum(length(col("sh").cast("string")) + lit(20L)), lit(0L))
+             .as("bytes"),
+           (countDistinct(col("doc_id")) * lit(24L)).as("docBytes"))
+      .head
+    if (est.getLong(0) + est.getLong(1) > maxBatchBytes)
+      return jaccardVerify(cands, sets, threshold)
+    val arrsA = aSets
       .groupBy("doc_id").agg(collect_list(col("sh")).as("sa"))
       .select(col("doc_id").as("doc_a"), col("sa"))
     val arrsB = sets.join(broadcast(bIds), Seq("doc_id"), "left_semi")
@@ -1364,7 +1395,14 @@ object TextOps {
 
   /** Dedup an arriving batch against an EXISTING signature store — the
     * steady-state ingest entry: only the batch is signed; the corpus
-    * side arrives from `IndexStore.loadDedupSignatures`. */
+    * side arrives from `IndexStore.loadDedupSignatures`.
+    *
+    * Batch-size contract: the serve kernel broadcasts the BATCH side's
+    * shingle arrays ([[jaccardVerifyAsym]]), sized for sanely-sliced
+    * ingest batches; a batch whose estimated arrays exceed
+    * [[AsymBatchMaxBytes]] (256 MB ≈ ~100k KB-sized docs) is served by
+    * the symmetric shuffle kernel automatically — identical verdicts,
+    * no driver-side failure mode. */
   def crossDedupAgainstStore(spark: SparkSession, d: String, path: String,
                              newSource: String,
                              threshold: Double = 0.5): DataFrame =

@@ -231,12 +231,32 @@ object StreamingJobs {
     * semantics keyed by `batchId` (the shape a production ingest loop
     * wants for its append step); event-time windows/watermark lateness
     * handling stay with the continuous face. `onBatch` receives the
-    * verdict frame (doc_id, verdict, match_id) and the batch id. */
+    * verdict frame (doc_id, verdict, match_id) and the batch id.
+    *
+    * Returns a MOUNT HANDLE, not a bare query (VERDICT r16 wrong #4):
+    * the corpus relations persist ONCE at mount, and `stop()` both
+    * stops the query and UNPERSISTS them — without it, every mount in
+    * a long-lived session left another MEMORY_AND_DISK copy of the
+    * growing corpus in the block manager for the session lifetime.
+    * Mount-once contract: one handle per store generation; re-mount
+    * (new handle) after appends if the loop should see the keepers.
+    *
+    * Batch-size contract: each micro-batch rides the asym kernel's
+    * batch-side broadcast, auto-falling back to the symmetric shuffle
+    * kernel above `TextOps.AsymBatchMaxBytes` (identical verdicts). */
+  final class CrossDedupMount(
+      val query: org.apache.spark.sql.streaming.StreamingQuery,
+      mounted: Seq[DataFrame]) {
+    /** Stop the stream AND release the mounted corpus cache. */
+    def stop(): Unit =
+      try query.stop() finally mounted.foreach(_.unpersist())
+  }
+
   def crossDedupIngestLoop(spark: org.apache.spark.sql.SparkSession,
                            docs: DataFrame, path: String,
                            threshold: Double = 0.5)
                           (onBatch: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : CrossDedupMount = {
     import graft.operators.TextOps
     val (sha, bands, sets) =
       graft.sources.IndexStore.loadDedupSignatures(spark, path)
@@ -244,12 +264,13 @@ object StreamingJobs {
       sha.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    docs.writeStream
+    val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         onBatch(TextOps.crossDedupServeAgainst(
           corpus, batch.select(col("doc_id"), col("text")), threshold), bid)
       }
       .start()
+    new CrossDedupMount(q, Seq(corpus._1, corpus._2, corpus._3))
   }
 
   /** Shared core of the two cross-dedup faces — the corpus side

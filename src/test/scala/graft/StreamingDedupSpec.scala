@@ -285,7 +285,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Map[Long, (String, Long)]()
     val bids = scala.collection.mutable.ArrayBuffer[Long]()
-    val q = StreamingJobs.crossDedupIngestLoop(
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val h = StreamingJobs.crossDedupIngestLoop(
       spark, input.toDF().toDF("doc_id", "text"), path) { (b, bid) =>
         bids += bid
         b.collect().foreach(r =>
@@ -295,11 +296,16 @@ class StreamingDedupSpec extends AnyFunSuite {
       // TWO waves: per-doc verdicts depend only on doc-vs-store, so
       // the micro-batch split must not change any answer
       val (w1, w2) = arriving.splitAt(arriving.length / 2)
-      input.addData(w1.toSeq); q.processAllAvailable()
-      input.addData(w2.toSeq); q.processAllAvailable()
-    } finally q.stop()
+      input.addData(w1.toSeq); h.query.processAllAvailable()
+      input.addData(w2.toSeq); h.query.processAllAvailable()
+    } finally h.stop()
     assert(bids.size >= 2, s"expected two micro-batches, saw $bids")
     assert(got.toMap == truth && truth.nonEmpty)
+    // the mount handle's stop() releases the corpus cache (VERDICT r16
+    // wrong #4): no mounted relation may outlive the loop
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      s"ingest-loop mount leaked cached relations: " +
+        s"${spark.sparkContext.getPersistentRDDs.size} != $cachedBefore")
   }
 
   test("store-backed streaming cross-dedup: slice→verdict→append cycle across 3 batches") {

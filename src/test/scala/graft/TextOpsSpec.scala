@@ -545,6 +545,13 @@ class TextOpsSpec extends AnyFunSuite {
       val asym = key(TextOps.jaccardVerifyAsym(cands, sets, t))
       assert(asym == naive,
         s"asym/naive mismatch at threshold $t: ${asym.size} vs ${naive.size}")
+      // size-gate fallback (VERDICT r16 wrong #3, the withBloomFlag
+      // pattern): a zero byte ceiling FORCES the symmetric-kernel
+      // path — rows must stay identical through both shapes
+      val gated = key(TextOps.jaccardVerifyAsym(cands, sets, t,
+        maxBatchBytes = 0L))
+      assert(gated == naive,
+        s"gated-fallback mismatch at threshold $t: ${gated.size} vs ${naive.size}")
     }
     // the exact size bound prunes without output change by ALGEBRA:
     // J <= min/max, so a pair it drops could never pass the threshold
