@@ -1057,6 +1057,21 @@ class SimilaritySpec extends AnyFunSuite {
       "aborted append left no reclaimable orphans?")
     Similarity.appendIvfPq(spark, pC, abatch)
     assert(IndexStore.loadIvfPq(spark, pC)._3.count() == (nBase + 20) * 8)
+
+    // alien in-flight part files (a racing writer's not-yet-committed
+    // append subdir) never leak into THIS append's manifest (ADVICE
+    // r16: the old dir-diff could capture them; per-append subdirs
+    // name exactly our own files)
+    import spark.implicits._
+    Seq((999999L, 0L, 0L, 0L)).toDF("vec_id", "sub_id", "code", "list_id")
+      .write.parquet(s"$pC/codes/append-alien0000")
+    val more = arriving.filter(col("vec_id") >= 100010L && col("vec_id") < 100020L)
+    Similarity.appendIvfPq(spark, pC, more)
+    val codesNow = IndexStore.loadIvfPq(spark, pC)._3
+    assert(codesNow.count() == (nBase + 30) * 8,
+      "alien in-flight code file leaked into the append's manifest")
+    assert(codesNow.filter(col("vec_id") === 999999L).isEmpty)
+    assert(IndexStore.vacuumIvfPqStore(spark, pC) > 0)
   }
 
   test("labelSpread: seeds clamp, labels reach non-seeds, seedless cluster stays NULL") {

@@ -403,6 +403,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sha2.count() == before._1 + 1)
   }
 
+  test("append manifests name ONLY this append's files: alien in-flight part files never leak in (ADVICE r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IndexStore
+    val t = (i: Int) => s"doc number $i with its own distinct words w$i x$i y$i"
+    val rows = Seq((1L, t(1), "c"), (2L, t(2), "c"), (11L, t(11), "b1"))
+    val dir = java.nio.file.Files.createTempDirectory("graftalien").toString
+    rows.map { case (i, x, s) => (i, x, "en", s, x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftaliensig")
+      .toString + "/store"
+    val (s0, b0, g0) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "c")
+    IndexStore.saveDedupSignatures(spark, s0, b0, g0, path)
+    val base = IndexStore.loadDedupSignatures(spark, path)._1.count()
+    // an ALIEN not-yet-committed append's part files land in the
+    // relation dirs (the racing-writer window the old dir-diff
+    // manifest could capture: snapshot → alien write → diff); the
+    // per-append subdir scheme must keep them out of OUR manifest
+    Seq(("deadbeefcafe0000111122223333", 999L)).toDF("h", "cid")
+      .write.parquet(s"$path/sha/append-alien0000")
+    val (sA, bA, gA) = TextOps.dedupSignatureFrames(spark, dir, col("source") === "b1")
+    IndexStore.appendDedupSignatures(spark, sA, bA, gA, path)
+    val (sha1, _, _) = IndexStore.loadDedupSignatures(spark, path)
+    assert(sha1.count() == base + 1,
+      "alien in-flight part file leaked into the append's manifest")
+    assert(!sha1.collect().map(_.getLong(1)).contains(999L))
+    // the alien file is an orphan the vacuum reclaims
+    assert(IndexStore.vacuumDedupStore(spark, path) > 0)
+    assert(IndexStore.loadDedupSignatures(spark, path)._1.count() == base + 1)
+  }
+
   test("single-writer CAS: an appender whose base advanced underneath it fails loudly (VERDICT r13 #4)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
