@@ -24,7 +24,12 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-explain")
     val full = args.contains("-full")
-    val rest = args.filterNot(_ == "-full") // flag position-independent
+    // -formatted: the `.explain("formatted")` rendering (numbered
+    // operator list + per-operator details incl. PushedFilters/
+    // ReadSchema), captured AFTER execution so AQE's final plan is the
+    // one described — the shape the plans/r17 before/after files pin
+    val formatted = args.contains("-formatted")
+    val rest = args.filterNot(a => a == "-full" || a == "-formatted")
     val d = rest.headOption.getOrElse("/root/testdata/sf0.1")
     // "-full with no names" must mean ALL queries, not an empty list
     val names = if (rest.length > 1) rest.drop(1).toSeq
@@ -35,13 +40,18 @@ object Explain {
         println(s"-- chooser pick at $d: ${operators.TextOps.chosenStrategy(spark, d)}")
       q.collect() // materialize so AQE finalizes the plan
       println(s"===== $n")
-      val plan = q.queryExecution.executedPlan.toString
-      if (full) println(plan)
-      else println(plan.linesIterator
-        .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("FileScan") || l.contains("WindowGroupLimit") ||
-          l.contains("Reused") || l.contains("== "))
-        .mkString("\n"))
+      if (formatted)
+        println(q.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      else {
+        val plan = q.queryExecution.executedPlan.toString
+        if (full) println(plan)
+        else println(plan.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange") ||
+            l.contains("FileScan") || l.contains("WindowGroupLimit") ||
+            l.contains("Reused") || l.contains("== "))
+          .mkString("\n"))
+      }
     }
     spark.stop()
   }

@@ -35,38 +35,25 @@ object ColumnFunctions {
     conv(rev, 16, 10).cast("decimal(20,0)")
   }
 
-  /** md5 lower-64 reinterpreted as a SIGNED long (wrapping) — two
-    * 32-bit conv chunks combined with an overflowing shift; pure long
-    * arithmetic, no DECIMAL. */
-  private def md5Lower64Signed(c: Column): Column = {
-    val hex = md5(c.cast("string"))
-    def chunk(pairs: Seq[Int]): Column =
-      conv(concat(pairs.map(i => substring(hex, i, 2)): _*), 16, 10).cast("long")
-    shiftleft(chunk(Seq(31, 29, 27, 25)), 32)
-      .bitwiseOR(chunk(Seq(23, 21, 19, 17)))
-  }
-
   /** Seeded portable 64-bit hash: md5Lower64("<seed>:" + c) mod HashPrime,
     * as a non-negative BIGINT. DuckDB equivalent:
     * (md5_number_lower(seed || ':' || c) % 9223372036854775783::UBIGINT)::BIGINT
     *
-    * Hot-path form: all-long arithmetic (the decimal/string route cost
-    * ~2× on the minhash/fingerprint queries). For the signed
-    * reinterpretation x of the unsigned value u: u = x + 2^64 when
-    * x < 0, and 2^64 mod p = 50 (p = 2^63 − 25), so
-    * u mod p = (pmod(x, p) + 50) mod p; for x ≥ 0 it's plain pmod.
-    * The +50 is applied as `- (p - 50)` so the intermediate stays in
-    * [-(p-50), 49] — `pmod(x,p) + 50` itself can overflow Long for the
-    * 25 residues ≥ p - 25. */
+    * Delegates to the NATIVE `graft_hash_lo` kernel (graft.plans
+    * .GraftHash) exactly as [[hash64Pair]] has since r12 — r17 closes
+    * the migration for the single-seed form too (guide §1.2 step 2 /
+    * §4.1: the interpreted md5/conv/substring column chain was still
+    * the per-row cost of the winnowing, CDC-chunking, feature-hash and
+    * deterministic-sampling operators; the kernel is one JVM md5 per
+    * row and bit-identical — SurfaceSpec pins the equality against the
+    * original chain on real text). Like hash64Pair, the kernel form is
+    * null-STRICT, matching the DuckDB twin `seed || ':' || c` (the old
+    * concat_ws chain silently hashed just the seed on NULL input — no
+    * registered caller feeds nulls, and every hash-gated query
+    * re-proves parity against DuckDB at two SFs). */
   def hash64(c: Column, seed: Int): Column =
-    signedToModPrime(md5Lower64Signed(concat_ws(":", lit(seed), c)))
-
-  /** u mod p for the signed-long reinterpretation x of unsigned u (see
-    * [[hash64]] for the +50 = 2^64 mod p correction). */
-  private def signedToModPrime(x: Column): Column = {
-    val p = lit(HashPrime)
-    when(x >= 0, pmod(x, p)).otherwise(pmod(pmod(x, p) - lit(HashPrime - 50L), p))
-  }
+    org.apache.spark.sql.functions.call_function(
+      "graft_hash_lo", lit(seed.toString), c.cast("string"))
 
   /** TWO independent portable hashes from ONE md5: the (lower, upper)
     * 64-bit little-endian halves of md5("<tag>:" + c), each mod

@@ -2146,12 +2146,14 @@ object Similarity {
     // fail-fast shape validation (ADVICE r16): the caller's nSub/dim
     // must match the TRAINED bundle — a mismatched nSub would split
     // residuals at the wrong subDim against the stored codebook and
-    // silently append corrupt code rows
-    val trainedNSub = graft.sources.IndexStore.ivfPqTrainedNSub(spark, path)
+    // silently append corrupt code rows. n_sub comes from the SAME
+    // validated-load meta read the bundle load needs anyway (r17: was
+    // a second meta-generation read job per append).
+    val (cent, cb, _, rotRel, meta) =
+      graft.sources.IndexStore.loadIvfPqWithMeta(spark, path)
+    val trainedNSub = meta.getAs[Int]("n_sub")
     require(nSub == trainedNSub,
       s"ivfpq bundle at $path: trained with n_sub=$trainedNSub, append called with nSub=$nSub")
-    val (cent, cb, _, rotRel, _) =
-      graft.sources.IndexStore.loadIvfPq(spark, path)
     val trainedDim = cent.select(size(col("cemb"))).head.getInt(0)
     require(dim == trainedDim,
       s"ivfpq bundle at $path: trained at dim=$trainedDim, append called with dim=$dim")

@@ -273,24 +273,46 @@ object TextOps {
     * Output is bit-identical to [[jaccardVerify]] (same arrays, same
     * integer intersection, same division; spec-pinned).
     *
-    * The batch side's broadcast bytes are ESTIMATED first (shingle
-    * chars + per-row/per-doc unsafe-row overhead over the
-    * candidate-pruned batch relation — one cheap agg job); above
+    * The batch side's broadcast bytes are ESTIMATED first; above
     * `maxBatchBytes` the symmetric kernel serves instead
-    * ([[AsymBatchMaxBytes]]). */
+    * ([[AsymBatchMaxBytes]]). When the caller supplies the arriving
+    * batch's raw `(doc_id, text)` frame (`batchDocs` — every dedup
+    * serve has it in hand), the estimate is ONE narrow scan of the
+    * batch: per-doc word-2-gram shingle bytes are bounded by
+    * 18·length(text)+48 (bigram chars ≤ 2·chars + one space per
+    * bigram, ≤ (len+1)/2 bigrams, ×3 UTF-8 worst case, +20 B/shingle
+    * and +24 B/doc of unsafe-row overhead). Without `batchDocs` the
+    * estimate aggregates the candidate-pruned shingle relation itself
+    * — exact, but it forces the band-join candidate subtree to
+    * compute EAGERLY a second time (once for the estimate, once in
+    * the served plan), which the r17 baseline measured as ~2 s of the
+    * cross_dedup wall at sf0.1 (guide §1.2/§2.4: don't compute things
+    * twice). The bound is deliberately conservative: it only moves
+    * WHERE the fallback engages (≈14 MB of batch text at the 256 MB
+    * ceiling vs ≈50 MB under the exact estimate); both kernels return
+    * bit-identical rows, so the gate quantity can never change
+    * results — only which plan shape serves them. */
   private[graft] def jaccardVerifyAsym(cands: DataFrame, sets: DataFrame,
                                        threshold: Double,
-                                       maxBatchBytes: Long = AsymBatchMaxBytes)
+                                       maxBatchBytes: Long = AsymBatchMaxBytes,
+                                       batchDocs: Option[DataFrame] = None)
       : DataFrame = {
     val aIds = cands.select(col("doc_a").as("doc_id")).distinct()
     val bIds = cands.select(col("doc_b").as("doc_id")).distinct()
     val aSets = sets.join(broadcast(aIds), Seq("doc_id"), "left_semi")
-    val est = aSets
-      .agg(coalesce(sum(length(col("sh").cast("string")) + lit(20L)), lit(0L))
-             .as("bytes"),
-           (countDistinct(col("doc_id")) * lit(24L)).as("docBytes"))
-      .head
-    if (est.getLong(0) + est.getLong(1) > maxBatchBytes)
+    val estBytes = batchDocs match {
+      case Some(docs) =>
+        docs.agg(coalesce(sum(length(col("text")).cast("long") * lit(18L)
+          + lit(48L)), lit(0L))).head.getLong(0)
+      case None =>
+        val est = aSets
+          .agg(coalesce(sum(length(col("sh").cast("string")) + lit(20L)), lit(0L))
+                 .as("bytes"),
+               (countDistinct(col("doc_id")) * lit(24L)).as("docBytes"))
+          .head
+        est.getLong(0) + est.getLong(1)
+    }
+    if (estBytes > maxBatchBytes)
       return jaccardVerify(cands, sets, threshold)
     val arrsA = aSets
       .groupBy("doc_id").agg(collect_list(col("sh")).as("sa"))
@@ -1312,7 +1334,8 @@ object TextOps {
     // kernel shipped ~KB arrays per pair (47.4M pairs at the 100×
     // store — StageProbe r16 measured that exchange as ~90% of the
     // serve wall). Identical verdicts: same arrays, same integers.
-    val near = jaccardVerifyAsym(cands, sets, threshold)
+    val near = jaccardVerifyAsym(cands, sets, threshold,
+        batchDocs = Some(newDocs))
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_id"))
     newDocs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")

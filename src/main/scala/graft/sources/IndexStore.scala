@@ -131,6 +131,21 @@ object IndexStore {
                            files: Seq[String]): DataFrame =
     spark.read.parquet(files.map(f => s"$path/$f"): _*)
 
+  /** Row counts of several named relations in ONE Spark action (r17,
+    * guide §1.2: every `.count()` is its own job, and the validated
+    * load/publish paths paid 2–4 of them back to back — the fixed
+    * per-job scheduling cost was the bulk of the persisted-store
+    * constant the r17 StageProbe attribution named). The per-relation
+    * global aggregates union into one frame and collect once; the
+    * counts, and the failure surface of the callers' requires, are
+    * unchanged. */
+  private def countTogether(rels: Seq[(String, DataFrame)]): Map[String, Long] =
+    rels.map { case (n, df) =>
+      df.groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(n).as("rel"), col("n"))
+    }.reduce(_.union(_)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** A fresh store-relative dir for ONE append's part files (ADVICE
     * r16): each append writes under its own `rel/append-<token>/`, so
     * the manifest addition is exactly the files THAT append wrote —
@@ -314,8 +329,11 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/assign")
     centroids.select(col("list_id"), col("cemb"), col("cnorm"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val nVecs = spark.read.parquet(s"$path/assign").count()
-    val nCents = spark.read.parquet(s"$path/centroids").count()
+    val n = countTogether(Seq(
+      "assign" -> spark.read.parquet(s"$path/assign"),
+      "centroids" -> spark.read.parquet(s"$path/centroids")))
+    val nVecs = n("assign")
+    val nCents = n("centroids")
     import spark.implicits._
     writeMeta(spark, path, expected)(gen =>
       Seq((FormatVersion, nlists, iters, nVecs, nCents))
@@ -346,18 +364,20 @@ object IndexStore {
     rotation.foreach(_.select(col("dim"), col("rot"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation"))
     import spark.implicits._
-    val nRot = rotation.map(_ => spark.read.parquet(s"$path/rotation").count())
-      .getOrElse(0L)
     // codes are the bundle's APPENDABLE relation (arriving vectors
     // encode against the trained artifacts and join the store,
     // [[appendIvfPqCodes]]) — manifest-listed like the dedup store's
     // relations so a torn append's orphan part files stay invisible
     val fCodes = partFiles(spark, path, "codes")
+    val n = countTogether(Seq(
+      "centroids" -> spark.read.parquet(s"$path/centroids"),
+      "codebook" -> spark.read.parquet(s"$path/codebook"),
+      "codes" -> readManifest(spark, path, fCodes)) ++
+      rotation.map(_ => "rotation" -> spark.read.parquet(s"$path/rotation")))
+    val nRot = n.getOrElse("rotation", 0L)
     writeMeta(spark, path, expected)(gen =>
       Seq((FormatVersion, nlists, nSub, nCodes,
-          spark.read.parquet(s"$path/centroids").count(),
-          spark.read.parquet(s"$path/codebook").count(),
-          readManifest(spark, path, fCodes).count(),
+          n("centroids"), n("codebook"), n("codes"),
           nRot, fCodes))
         .toDF("format_version", "nlists", "n_sub", "n_codes",
           "n_centroids", "n_codebook", "n_code_rows", "n_rotation",
@@ -410,14 +430,6 @@ object IndexStore {
         .coalesce(1).write.mode("overwrite").parquet(gen))
   }
 
-  /** The TRAINED subquantizer count of a published bundle — the append
-    * path validates its caller-supplied nSub against this (ADVICE r16:
-    * a mismatched nSub would encode subvectors with the wrong subDim
-    * split against the stored codebook and silently append corrupt
-    * code rows). */
-  private[graft] def ivfPqTrainedNSub(spark: SparkSession, path: String): Int =
-    ivfPqMeta(spark, path).getAs[Int]("n_sub")
-
   private def ivfPqMeta(spark: SparkSession,
                         path: String): org.apache.spark.sql.Row = {
     val meta = readLatestMeta(spark, path)
@@ -451,6 +463,16 @@ object IndexStore {
     * meta value, not a caller guess, is the source of truth. */
   def loadIvfPq(spark: SparkSession, path: String)
       : (DataFrame, DataFrame, DataFrame, Option[DataFrame], Int) = {
+    val (cent, cb, codes, rot, m) = loadIvfPqWithMeta(spark, path)
+    (cent, cb, codes, rot, m.getAs[Int]("n_codes"))
+  }
+
+  /** [[loadIvfPq]] + the validated meta row — for callers that need
+    * training-shape fields beyond n_codes (the append path's nSub
+    * fail-fast), without a SECOND meta-generation read job (r17). */
+  private[graft] def loadIvfPqWithMeta(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame],
+         org.apache.spark.sql.Row) = {
     val m = ivfPqMeta(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
@@ -461,19 +483,24 @@ object IndexStore {
     require(missing.isEmpty,
       s"ivfpq index at $path: manifest code files missing on disk: ${missing.mkString(", ")}")
     val codes = readManifest(spark, path, files)
-    require(cent.count() == m.getAs[Long]("n_centroids") && m.getAs[Long]("n_centroids") > 0,
+    val rot = if (m.getAs[Long]("n_rotation") > 0)
+      Some(spark.read.parquet(s"$path/rotation")) else None
+    // all validation counts in ONE action (r17: was 3-4 back-to-back
+    // count jobs per load — the persisted-ANN constant)
+    val n = countTogether(Seq(
+      "centroids" -> cent, "codebook" -> cb, "codes" -> codes) ++
+      rot.map("rotation" -> _))
+    require(n("centroids") == m.getAs[Long]("n_centroids") && m.getAs[Long]("n_centroids") > 0,
       s"ivfpq index at $path: centroid rows disagree with meta")
-    require(cb.count() == m.getAs[Long]("n_codebook") && m.getAs[Long]("n_codebook") > 0,
+    require(n("codebook") == m.getAs[Long]("n_codebook") && m.getAs[Long]("n_codebook") > 0,
       s"ivfpq index at $path: codebook rows disagree with meta")
-    require(codes.count() == m.getAs[Long]("n_code_rows") && m.getAs[Long]("n_code_rows") > 0,
+    require(n("codes") == m.getAs[Long]("n_code_rows") && m.getAs[Long]("n_code_rows") > 0,
       s"ivfpq index at $path: code rows disagree with meta")
-    val rot = if (m.getAs[Long]("n_rotation") > 0) {
-      val r = spark.read.parquet(s"$path/rotation")
-      require(r.count() == m.getAs[Long]("n_rotation"),
+    rot.foreach { _ =>
+      require(n("rotation") == m.getAs[Long]("n_rotation"),
         s"ivfpq index at $path: rotation rows disagree with meta")
-      Some(r)
-    } else None
-    (cent, cb, codes, rot, m.getAs[Int]("n_codes"))
+    }
+    (cent, cb, codes, rot, m)
   }
 
   /** The cross-corpus DEDUP signature store: content hashes (h → min
@@ -487,10 +514,11 @@ object IndexStore {
                              fSha: Seq[String], fBands: Seq[String],
                              fShingles: Seq[String]): Unit = {
     import spark.implicits._
-    val row = (FormatVersion,
-      readManifest(spark, path, fSha).count(),
-      readManifest(spark, path, fBands).count(),
-      readManifest(spark, path, fShingles).count(),
+    val n = countTogether(Seq(
+      "sha" -> readManifest(spark, path, fSha),
+      "bands" -> readManifest(spark, path, fBands),
+      "shingles" -> readManifest(spark, path, fShingles)))
+    val row = (FormatVersion, n("sha"), n("bands"), n("shingles"),
       fSha, fBands, fShingles)
     writeMeta(spark, path, expected)(gen =>
       Seq(row)
@@ -575,18 +603,25 @@ object IndexStore {
   def loadDedupSignatures(spark: SparkSession,
                           path: String): (DataFrame, DataFrame, DataFrame) = {
     val m = dedupMeta(spark, path)
-    def rel(filesCol: String, countCol: String): DataFrame = {
+    def rel(filesCol: String): DataFrame = {
       val files = m.getAs[scala.collection.Seq[String]](filesCol).toSeq
       val missing = missingFromDisk(spark, path, files)
       require(missing.isEmpty,
         s"dedup store at $path: manifest files missing on disk: ${missing.mkString(", ")}")
-      val df = readManifest(spark, path, files)
-      require(df.count() == m.getAs[Long](countCol) && m.getAs[Long](countCol) > 0,
-        s"dedup store at $path: $filesCol rows disagree with meta")
-      df
+      readManifest(spark, path, files)
     }
-    (rel("files_sha", "n_sha"), rel("files_bands", "n_band_rows"),
-      rel("files_shingles", "n_shingle_rows"))
+    val (sha, bands, shingles) =
+      (rel("files_sha"), rel("files_bands"), rel("files_shingles"))
+    // all three validation counts in ONE action (r17; same checks)
+    val n = countTogether(Seq(
+      "sha" -> sha, "bands" -> bands, "shingles" -> shingles))
+    Seq(("files_sha", "n_sha", "sha"), ("files_bands", "n_band_rows", "bands"),
+        ("files_shingles", "n_shingle_rows", "shingles")).foreach {
+      case (filesCol, countCol, tag) =>
+        require(n(tag) == m.getAs[Long](countCol) && m.getAs[Long](countCol) > 0,
+          s"dedup store at $path: $filesCol rows disagree with meta")
+    }
+    (sha, bands, shingles)
   }
 
   // ---- daily serving-leaf store ---------------------------------------
@@ -799,15 +834,14 @@ object IndexStore {
       s"ivf index at $path: format ${m.getAs[Int]("format_version")} != expected $FormatVersion (retrain and re-save)")
     val assign = spark.read.parquet(s"$path/assign")
     val cents = spark.read.parquet(s"$path/centroids")
-    val nCents = cents.count()
-    require(nCents == m.getAs[Long]("n_centroids") && nCents > 0,
-      s"ivf index at $path: ${nCents} centroid rows vs meta ${m.getAs[Long]("n_centroids")}")
-    // a crash between the relation overwrites and the meta overwrite
-    // leaves NEW assign rows under OLD meta — the assignment count is
-    // the check that catches that torn state
-    val nAssign = assign.count()
-    require(nAssign == m.getAs[Long]("n_vectors") && nAssign > 0,
-      s"ivf index at $path: ${nAssign} assign rows vs meta ${m.getAs[Long]("n_vectors")}")
+    // both validation counts in ONE action (r17). The assignment count
+    // is the check that catches a crash between the relation
+    // overwrites and the meta overwrite (NEW assign rows, OLD meta).
+    val n = countTogether(Seq("assign" -> assign, "centroids" -> cents))
+    require(n("centroids") == m.getAs[Long]("n_centroids") && n("centroids") > 0,
+      s"ivf index at $path: ${n("centroids")} centroid rows vs meta ${m.getAs[Long]("n_centroids")}")
+    require(n("assign") == m.getAs[Long]("n_vectors") && n("assign") > 0,
+      s"ivf index at $path: ${n("assign")} assign rows vs meta ${m.getAs[Long]("n_vectors")}")
     (assign, cents)
   }
 }

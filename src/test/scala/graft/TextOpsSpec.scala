@@ -584,6 +584,19 @@ class TextOpsSpec extends AnyFunSuite {
         maxBatchBytes = 0L))
       assert(gated == naive,
         s"gated-fallback mismatch at threshold $t: ${gated.size} vs ${naive.size}")
+      // r17: the batch-scan estimate path (one narrow scan of the
+      // arriving docs instead of re-deriving the candidate subtree)
+      // must route BOTH sides of the gate to identical rows — tiny
+      // ceiling forces the symmetric kernel, huge ceiling the asym one
+      val batch = graft.sources.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val cheapGated = key(TextOps.jaccardVerifyAsym(cands, sets, t,
+        maxBatchBytes = 0L, batchDocs = Some(batch)))
+      val cheapAsym = key(TextOps.jaccardVerifyAsym(cands, sets, t,
+        batchDocs = Some(batch)))
+      assert(cheapGated == naive && cheapAsym == naive,
+        s"batch-scan estimate path mismatch at threshold $t")
     }
     // the exact size bound prunes without output change by ALGEBRA:
     // J <= min/max, so a pair it drops could never pass the threshold
