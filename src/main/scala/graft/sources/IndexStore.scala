@@ -146,6 +146,22 @@ object IndexStore {
     }.reduce(_.union(_)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Publish a bundle relation with its FILE COUNT sized from the row
+    * count (~`rowBytes`/row, 128 MB target files — guide §6) instead
+    * of inheriting upstream partitioning: the trained relations carry
+    * the training shuffle's 32 cached partitions, so an 8-row centroid
+    * table published as 8 single-KB files and a 292 KB code relation
+    * as 32 — and every validated load re-paid the per-file opens. At
+    * sf0.1 every relation lands in one file; a 1B-vector code relation
+    * (~40 B/row) still fans out to ~300 × 128 MB files. Callers pass
+    * the MEMOIZED (persisted) training relations, so the sizing count
+    * is a cache read, not a recompute; `coalesce` never shuffles and
+    * never increases the partition count. */
+  private def writeSized(df: DataFrame, dest: String, rowBytes: Long): Unit = {
+    val files = (df.count() * rowBytes / (128L << 20) + 1).toInt
+    df.coalesce(files).write.mode("overwrite").parquet(dest)
+  }
+
   /** A fresh store-relative dir for ONE append's part files (ADVICE
     * r16): each append writes under its own `rel/append-<token>/`, so
     * the manifest addition is exactly the files THAT append wrote —
@@ -325,10 +341,10 @@ object IndexStore {
   def saveIvf(spark: SparkSession, assign: DataFrame, centroids: DataFrame,
               path: String, nlists: Int, iters: Int): Unit = {
     val expected = latestCompleteGen(spark, path)
-    assign.select(col("vec_id"), col("list_id"))
-      .write.mode("overwrite").parquet(s"$path/assign")
-    centroids.select(col("list_id"), col("cemb"), col("cnorm"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeSized(assign.select(col("vec_id"), col("list_id")),
+      s"$path/assign", 24)
+    writeSized(centroids.select(col("list_id"), col("cemb"), col("cnorm")),
+      s"$path/centroids", 600)
     val n = countTogether(Seq(
       "assign" -> spark.read.parquet(s"$path/assign"),
       "centroids" -> spark.read.parquet(s"$path/centroids")))
@@ -355,12 +371,12 @@ object IndexStore {
                 nlists: Int, nSub: Int, nCodes: Int,
                 rotation: Option[DataFrame] = None): Unit = {
     val expected = latestCompleteGen(spark, path)
-    cent.select(col("list_id"), col("cemb"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    codebook.select(col("sub_id"), col("code"), col("cemb"))
-      .write.mode("overwrite").parquet(s"$path/codebook")
-    codes.select(col("vec_id"), col("sub_id"), col("code"), col("list_id"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    writeSized(cent.select(col("list_id"), col("cemb")),
+      s"$path/centroids", 600)
+    writeSized(codebook.select(col("sub_id"), col("code"), col("cemb")),
+      s"$path/codebook", 100)
+    writeSized(codes.select(col("vec_id"), col("sub_id"), col("code"),
+      col("list_id")), s"$path/codes", 40)
     rotation.foreach(_.select(col("dim"), col("rot"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation"))
     import spark.implicits._
