@@ -579,6 +579,35 @@ object TextOps {
     math.round(raw / (2.0 * f * f))
   }
 
+  /** Session memos of the chooser statistics (r17): both stats passes
+    * are eager scalar jobs that ran at QUERY CONSTRUCTION on every
+    * invocation — ngram_jaccard paid the sampled pair (stats +
+    * prefix-join rows) and containment_pairs the full-scan stats per
+    * call, all deterministic per (session, dir, params). The cached
+    * values are plain numbers (no persisted relation, so nothing here
+    * can block scan pruning the way the reverted shingle-set memo
+    * did); the fraction/threshold keys are Double bit-patterns. */
+  private val statsCache = new graft.SessionMemo[
+    (SparkSession, String, Long), JaccardStats]("jaccard_stats")
+  private val pfRowsCache = new graft.SessionMemo[
+    (SparkSession, String, Long, Long), Long]("prefix_join_rows")
+
+  private[graft] def jaccardStatsFor(spark: SparkSession, d: String,
+                                     sampleFraction: Double): JaccardStats =
+    statsCache.getOrBuild(
+      (spark, d, java.lang.Double.doubleToLongBits(sampleFraction))) {
+      jaccardStats(shingleSets(spark, d), sampleFraction)
+    }
+
+  private[graft] def prefixJoinRowsFor(spark: SparkSession, d: String,
+                                       threshold: Double,
+                                       sampleFraction: Double): Long =
+    pfRowsCache.getOrBuild(
+      (spark, d, java.lang.Double.doubleToLongBits(threshold),
+        java.lang.Double.doubleToLongBits(sampleFraction))) {
+      prefixJoinRows(shingleSets(spark, d), threshold, sampleFraction)
+    }
+
   private[graft] sealed trait JaccardStrategy
   private[graft] case object BitmapAllPairs extends JaccardStrategy
   private[graft] case object PrefixFiltered extends JaccardStrategy
@@ -634,9 +663,10 @@ object TextOps {
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5,
                    statsSampleFraction: Double = 1.0): DataFrame = {
     val sets = shingleSets(spark, d)
-    val stats = jaccardStats(sets, statsSampleFraction)
+    val stats = jaccardStatsFor(spark, d, statsSampleFraction)
     val bitmapDocsCap = if (statsSampleFraction >= 1.0) 32768L else 0L
-    chooseJaccardStrategy(stats, prefixJoinRows(sets, threshold, statsSampleFraction),
+    chooseJaccardStrategy(stats,
+        prefixJoinRowsFor(spark, d, threshold, statsSampleFraction),
         maxBitmapDocs = bitmapDocsCap) match {
       case BitmapAllPairs => bitmapJaccard(sets, stats.vocab, threshold)
       case PrefixFiltered => jaccardVerify(prefixCandidates(sets, threshold), sets, threshold)
@@ -661,7 +691,8 @@ object TextOps {
   private[graft] def chosenStrategy(spark: SparkSession, d: String,
                                     threshold: Double = 0.5): JaccardStrategy = {
     val sets = shingleSets(spark, d)
-    chooseJaccardStrategy(jaccardStats(sets), prefixJoinRows(sets, threshold))
+    chooseJaccardStrategy(jaccardStatsFor(spark, d, 1.0),
+      prefixJoinRowsFor(spark, d, threshold, 1.0))
   }
 
   /** The naive inverted-index form — reference semantics for the
@@ -811,7 +842,7 @@ object TextOps {
   def containmentPairs(spark: SparkSession, d: String,
                        threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(spark, d)
-    val stats = jaccardStats(sets, 1.0)
+    val stats = jaccardStatsFor(spark, d, 1.0)
     if (stats.nDocs >= 2 && stats.vocab > 0 &&
         stats.nDocs <= 32768 && stats.vocab <= 16384)
       bitmapContainment(sets, stats.vocab, threshold)
